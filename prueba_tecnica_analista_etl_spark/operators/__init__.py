@@ -1,0 +1,33 @@
+"""Relational operators (SURVEY.md §2.2-§2.7)."""
+
+from prueba_tecnica_analista_etl_spark.operators.dedupe import (
+    distinct_count_audit,
+    dup_census,
+    keep_first,
+    tag_source_order,
+)
+from prueba_tecnica_analista_etl_spark.operators.upsert import (
+    assert_unique,
+    upsert,
+    upsert_with_metrics,
+)
+from prueba_tecnica_analista_etl_spark.operators.pivot import (
+    count_sum_pivot,
+    count_sum_rollup,
+    top_duplicates,
+)
+from prueba_tecnica_analista_etl_spark.operators.topk import top_k_per_group
+
+__all__ = [
+    "keep_first",
+    "tag_source_order",
+    "dup_census",
+    "distinct_count_audit",
+    "upsert",
+    "upsert_with_metrics",
+    "assert_unique",
+    "count_sum_pivot",
+    "count_sum_rollup",
+    "top_duplicates",
+    "top_k_per_group",
+]

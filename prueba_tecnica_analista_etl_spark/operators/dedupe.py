@@ -1,0 +1,113 @@
+"""Deduplication family (SURVEY.md §2.5, D1-D5) — the reference's
+signature operator group (pandas ``drop_duplicates(keep='first')``,
+PostgreSQL ctid-DELETE and ``DISTINCT ON``).
+
+Spark has no implicit row order and no physical row ids, so "keep
+first" must be made explicit: a deterministic survivor is the row with
+the minimal declared ordering key inside each key-group
+(``row_number() == 1``). Bare ``dropDuplicates([key])`` is
+nondeterministic and never used where the survivor matters.
+
+Scale notes (100 TB): the window shuffles once on the dedup key —
+same cost as any groupBy. For heavily-skewed keys AQE skew handling
+applies; when the survivor order is a pure min/max of one sortable
+column, prefer the ``min_by``-style aggregate (one partial-agg pass,
+map-side combine) over the full window sort — provided here as
+``keep_first_agg``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SRC_COL = "_src_priority"
+ROW_COL = "_row_id"
+
+
+def tag_source_order(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union N sources preserving "file order" identity (D1 machinery).
+
+    The reference's keep-first depends on concat order (earlier file
+    wins; earlier row within a file wins). Spark rows carry no such
+    identity, so we inject it *before* the union: a source-priority
+    tag and a per-source ``monotonically_increasing_id`` captured
+    before any shuffle (it is only stable per-partition, so it must be
+    attached directly on the scan output).
+
+    Columns must match by name (pandas concat aligns by name →
+    ``unionByName``).
+    """
+    tagged = [
+        df.withColumn(SRC_COL, F.lit(i)).withColumn(
+            ROW_COL, F.monotonically_increasing_id()
+        )
+        for i, df in enumerate(dfs)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Deterministic keep-first dedup (D1/D2/D3).
+
+    Survivor = first row per ``keys`` group under ``order_by`` (which
+    must be a total order within each group — include a unique
+    tiebreak). Covers pandas ``drop_duplicates(keep='first')`` (order =
+    [SRC_COL, ROW_COL] from :func:`tag_source_order`), PostgreSQL
+    ``DISTINCT ON … ORDER BY`` (order = the declared sort), and the
+    ctid-DELETE (rewrite-not-delete: Spark is immutable, we emit the
+    deduped frame and overwrite — ``seccion3_sql.sql:184-189``).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", SRC_COL, ROW_COL)
+    )
+
+
+def keep_first_agg(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Scale-path keep-first when survivor order is a single column:
+    one hash aggregation with map-side partial combine (no full sort).
+    Emits ``keys + [order_col]`` plus ``min_by`` of every other column.
+    """
+    others = [c for c in df.columns if c not in set(keys) | {order_col}]
+    aggs = [F.min(order_col).alias(order_col)] + [
+        F.min_by(c, order_col).alias(c) for c in others
+    ]
+    return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+
+
+def dup_census(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Duplicate census: keys occurring more than once with their count
+    (A3/P5; reference ``HAVING COUNT(*) > 1`` duplicate hunt and the
+    Excel ``Duplicados_Col1`` sheet)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def distinct_count_audit(df: DataFrame, key: str) -> DataFrame:
+    """One-row audit: total, distinct keys, duplicate rows (A1/A2/D4;
+    reference's pre-dedup ``duplicated().sum()`` and post-merge
+    ``COUNT(*) vs COUNT(DISTINCT)`` checks). Exact ``countDistinct``;
+    at 100 TB swap in ``approx_count_distinct`` (HLL, no exact-distinct
+    shuffle) when a ±2% audit suffices."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct(key).alias("uniq"),
+        (F.count(F.lit(1)) - F.countDistinct(key)).alias("dup_rows"),
+    )

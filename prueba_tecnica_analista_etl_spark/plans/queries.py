@@ -1,0 +1,763 @@
+"""Declared query set (SURVEY.md §2.11): every operator the reference
+implements or specifies, proven against a DuckDB oracle on the harness
+tables at sf=0.01.
+
+Cross-engine hash-stability rules used throughout (refines SURVEY §2's
+convention after measuring the testdata):
+- Pass-through doubles are NEVER rounded — both engines read identical
+  parquet bits, so raw values hash equal; rounding could only hurt.
+- Computed money aggregates go through DECIMAL(18,2): the inputs are
+  2-decimal values, the decimal math is exact and order-independent, and
+  the final ``CAST(… AS DOUBLE)`` lands on the same double in both
+  engines. Plain ``round(sum(double),2)`` is order-dependent in the last
+  bits and Spark/DuckDB round half-cases differently (Java shortest-repr
+  HALF_UP vs binary) — exact decimals sidestep both problems.
+- avg/stddev stay double + round(2): their error (~1e-9 relative) is
+  far from any 2dp rounding boundary.
+- Timestamps exposed as DATE or as formatted strings; every LIMIT has a
+  total order with unique tiebreak; aliases identical on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.functions.cleanse import (
+    digits_only,
+    json_long,
+)
+from prueba_tecnica_analista_etl_spark.operators.dedupe import (
+    distinct_count_audit,
+    dup_census,
+    keep_first,
+)
+from prueba_tecnica_analista_etl_spark.operators.pivot import (
+    count_sum_pivot,
+    count_sum_rollup,
+    top_duplicates,
+)
+from prueba_tecnica_analista_etl_spark.operators.quality import (
+    count_if,
+    profile_stats,
+    ref_integrity_orphans,
+    uniqueness_verdict,
+    violations_census,
+)
+from prueba_tecnica_analista_etl_spark.operators.topk import (
+    running_sum,
+    top_k_per_group,
+)
+from prueba_tecnica_analista_etl_spark.operators.upsert import upsert
+from prueba_tecnica_analista_etl_spark.session import ensure_runtime_conf
+from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def dec2(c: Column) -> Column:
+    """Exact 2-decimal fixed-point view of a money double."""
+    return c.cast("decimal(18,2)")
+
+
+def money_sum(c: Column) -> Column:
+    """Order-independent, cross-engine-exact sum of a 2dp money column."""
+    return F.sum(dec2(c)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# M1 — core relational (S5, P*, A1-A5, O1-O4, F6/F14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+    doc="S5,P1,P2,F14: projection + derived revenue column; filter pushed "
+    "to the parquet scan (PushedFilters), only 4 columns read.",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.round(
+        dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount"))),
+        2,
+    ).cast("double")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey", "l_linenumber", revenue.alias("revenue")
+    )
+
+
+@query(
+    "q_filter_predicate",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="P3,P6: conjunctive predicates incl. IN-list; all pushed down.",
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 50000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "q_union_all",
+    """
+    SELECT o_orderkey, 'old' AS src FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'new' AS src FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    """,
+    doc="O4: positional two-source append; unionByName matches pandas "
+    "concat-by-name semantics (reference load cell).",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    old = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", F.lit("old").alias("src")
+    )
+    new = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", F.lit("new").alias("src")
+    )
+    return old.unionByName(new)
+
+
+@query(
+    "q_count_distinct",
+    """
+    SELECT count(*) AS total,
+           count(DISTINCT o_custkey) AS uniq,
+           count(*) - count(DISTINCT o_custkey) AS dup_rows
+    FROM orders
+    """,
+    doc="A1,A2,D4: the reference's duplicate pre-check "
+    "(duplicated().sum() == total - distinct).",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_count_audit(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+@query(
+    "q_groupby_count_sum",
+    """
+    SELECT o_orderpriority, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A4: the Excel pivot (rows=category, count + sum of measure); "
+    "one hash-agg shuffle, map-side partial combine.",
+)
+def q_groupby_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "q_groupby_rollup",
+    """
+    SELECT coalesce(o_orderpriority, 'TOTAL') AS o_orderpriority,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP(o_orderpriority)
+    """,
+    doc="A5: pivot + grand-TOTAL row in one pass (grouping sets).",
+)
+def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum(F.col("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("TOTAL")).alias(
+                "o_orderpriority"
+            ),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_top_duplicates",
+    """
+    SELECT l_partkey, count(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY cnt DESC, l_partkey ASC LIMIT 20
+    """,
+    doc="A3,O2,W2: most-duplicated-key table (Excel Duplicados sheet); "
+    "TakeOrderedAndProject — only k rows leave each partition.",
+)
+def q_top_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_duplicates(_t(spark, sf_dir, "lineitem"), "l_partkey", 20)
+
+
+@query(
+    "q_having_dups",
+    """
+    SELECT o_custkey, count(*) AS cnt
+    FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    """,
+    doc="P5,A3: duplicate hunt (HAVING count>1) from the reference's "
+    "post-merge verification.",
+)
+def q_having_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_census(_t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+@query(
+    "q_sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="O3,P6: deterministic top-n sample.",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_case_when_check",
+    """
+    SELECT CASE WHEN count(*) = count(DISTINCT o_orderkey)
+                THEN 'OK - no duplicates'
+                ELSE 'ERROR - duplicates found' END AS verification
+    FROM orders
+    """,
+    doc="F6,A7,D5: machine-parseable OK/ERROR verdict "
+    "(seccion3_sql.sql:352-361).",
+)
+def q_case_when_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniqueness_verdict(_t(spark, sf_dir, "orders"), "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# M2 — dedup + joins + merge (D1-D5, J1-J4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_keep_first",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    doc="D1-D3,O1,W1: deterministic keep-first survivor per key under a "
+    "declared total order (never bare dropDuplicates).",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return keep_first(
+        ev, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_type", "event_id")
+
+
+@query(
+    "q_inner_join",
+    """
+    SELECT r_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+    doc="J1: 4-table star join; region/nation broadcast (tiny dims at any "
+    "scale), customer⋈orders shuffled on key — AQE decides.",
+)
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@query(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="J2: existence (rows that would be UPDATEs in the merge audit).",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J3: non-existence (rows that would be INSERTs; FK-orphan shape).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_ref_integrity",
+    """
+    SELECT count(*) AS orphans FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="J3 quality form: FK-orphan census (designed check nb:352).",
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = _t(spark, sf_dir, "orders")
+    return ref_integrity_orphans(li, o.select("o_orderkey"), ["o_orderkey"])
+
+
+@query(
+    "q_upsert_merge",
+    """
+    WITH base AS (SELECT * FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+         new_d AS (SELECT * FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1994-07-01')
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+    FROM new_d
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           CAST(b.o_orderdate AS DATE) AS o_orderdate, b.o_orderpriority
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM new_d n
+                      WHERE n.o_orderkey = b.o_orderkey)
+    """,
+    doc="J4,D5,S9: MERGE join-rewrite (INSERT … ON CONFLICT DO UPDATE "
+    "semantics, seccion3_sql.sql:269-294): incoming keys win, untouched "
+    "base passes through; idempotent (property-tested fixpoint).",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1994-07-01").cast("timestamp")
+    )
+    merged = upsert(base, new, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 — windows (W1-W3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rownum",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 5
+    """,
+    doc="W1: partitioned ranking, rank exposed; WindowGroupLimit pushes "
+    "rn<=5 into the window sort.",
+)
+def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        5,
+    )
+
+
+@query(
+    "q_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    doc="W2: top-3 orders per customer (ranking variant).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+@query(
+    "q_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    doc="W3: per-customer cumulative total; DECIMAL accumulation — exact "
+    "regardless of each engine's frame-evaluation order.",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = running_sum(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        dec2(F.col("o_totalprice")),
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("running_total").cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — scalar library + quality (F1-F14, A7-A9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_clean",
+    """
+    SELECT c_custkey,
+           trim(c_name) AS name_clean,
+           upper(c_mktsegment) AS seg_up,
+           regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+           length(trim(c_name)) AS name_len
+    FROM customer
+    """,
+    doc="F1,F2,F7,F13: trim / case / digits-only — the notebook's "
+    "email+phone cleaning steps as native expressions.",
+)
+def q_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.col("c_name")).alias("name_clean"),
+        F.upper(F.col("c_mktsegment")).alias("seg_up"),
+        digits_only(F.col("c_name")).alias("name_digits"),
+        F.length(F.trim(F.col("c_name"))).cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "q_regex_validate",
+    """
+    SELECT p_type,
+           CASE WHEN regexp_matches(digits, '^[0-9]+$')
+                     AND length(digits) = 2 AND digits LIKE '1%'
+                THEN 'teen-brand'
+                WHEN regexp_matches(digits, '^[0-9]+$')
+                     AND length(digits) = 2
+                THEN 'two-digit'
+                WHEN regexp_matches(digits, '^[0-9]+$')
+                THEN 'one-digit'
+                ELSE 'invalid' END AS status,
+           count(*) AS cnt
+    FROM (SELECT p_type,
+                 regexp_replace(p_brand, '[^0-9]', '', 'g') AS digits
+          FROM part)
+    GROUP BY 1, 2
+    """,
+    doc="F3,F4,F5,P4,U1,U2: anchored-regex + length + prefix when-chain "
+    "classification (the validar_telefono rewrite), grouped census.",
+)
+def q_regex_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    digits = digits_only(F.col("p_brand"))
+    is_num = digits.rlike("^[0-9]+$")
+    status = (
+        F.when(is_num & (F.length(digits) == 2) & digits.startswith("1"),
+               F.lit("teen-brand"))
+        .when(is_num & (F.length(digits) == 2), F.lit("two-digit"))
+        .when(is_num, F.lit("one-digit"))
+        .otherwise(F.lit("invalid"))
+    )
+    return (
+        p.select("p_type", status.alias("status"))
+        .groupBy("p_type", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_try_cast_json",
+    """
+    SELECT event_type,
+           CAST(sum(coalesce(TRY_CAST(
+                json_extract_string(props, '$.k') AS BIGINT), 0))
+                AS BIGINT) AS k_total,
+           count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="F8,F10: schema-on-read JSON extraction + errors→0 try_cast "
+    "(the Excel Col_10 semantic).",
+)
+def q_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(json_long(F.col("props"), "$.k")).cast("long").alias("k_total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "q_split_part",
+    """
+    SELECT split_part(p_name, ' ', 1) AS adj,
+           split_part(p_name, ' ', 2) AS noun,
+           count(*) AS cnt
+    FROM part GROUP BY 1, 2
+    """,
+    doc="F9: composite-string decode via split/element_at (the Col_14 "
+    "pipe-composite pattern), grouped census.",
+)
+def q_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    parts = F.split(F.col("p_name"), " ")
+    return (
+        p.select(
+            F.element_at(parts, 1).alias("adj"),
+            F.element_at(parts, 2).alias("noun"),
+        )
+        .groupBy("adj", "noun")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_null_range_checks",
+    """
+    SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_value,
+           CAST(sum(CASE WHEN value < 0 OR value > 200 THEN 1 ELSE 0 END)
+             AS BIGINT) AS out_of_range,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_user
+    FROM events
+    """,
+    doc="A7,T6: single-pass violations census (all rules fuse into one "
+    "HashAggregate — one scan regardless of rule count).",
+)
+def q_null_range_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return violations_census(
+        ev,
+        {
+            "null_value": F.col("value").isNull(),
+            "out_of_range": (F.col("value") < 0) | (F.col("value") > 200),
+            "null_user": F.col("user_id").isNull(),
+        },
+    )
+
+
+@query(
+    "q_profile_stats",
+    """
+    SELECT count(l_extendedprice) AS n,
+           round(avg(l_extendedprice), 2) AS avg,
+           round(stddev_samp(l_extendedprice), 2) AS sd,
+           round(min(l_extendedprice), 2) AS mn,
+           round(max(l_extendedprice), 2) AS mx
+    FROM lineitem
+    """,
+    doc="A8,A9: anomaly-detection statistical profile (designed nb:360); "
+    "approx_percentile variant exercised in tests (rows-only semantics).",
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_stats(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# M5 — time + streaming-as-batch (F11, T1, T2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_volume_by_day",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+    doc="F11,T1: watermark-cadence daily volume (batch form of the "
+    "incremental design).",
+)
+def q_volume_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        money_sum(F.col("value")).alias("total"),
+    )
+
+
+@query(
+    "q_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    doc="T2: tumbling 1-hour window × event_type (Spark window(); "
+    "streaming twin in streaming/windows.py asserts batch/stream parity).",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — text extensions (documents table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lang_stats",
+    """
+    SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="extension: per-language corpus stats.",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    """
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents) WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    doc="U4/extension: tokenize via explode(split()) — native, no UDTF; "
+    "top-20 token census.",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )

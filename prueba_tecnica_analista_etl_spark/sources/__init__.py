@@ -1,0 +1,23 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S11)."""
+
+from prueba_tecnica_analista_etl_spark.sources.tables import (
+    TABLES,
+    load_all,
+    load_table,
+    register_views,
+)
+from prueba_tecnica_analista_etl_spark.sources.csv import (
+    flights_schema,
+    read_csv_repaired,
+    write_csv,
+)
+
+__all__ = [
+    "TABLES",
+    "load_all",
+    "load_table",
+    "register_views",
+    "flights_schema",
+    "read_csv_repaired",
+    "write_csv",
+]

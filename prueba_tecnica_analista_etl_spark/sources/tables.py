@@ -1,0 +1,62 @@
+"""Canonical parquet table loaders (S5).
+
+Parquet is the engine's canonical storage (columnar, splittable,
+predicate/column pushdown — the scan Catalyst can prune). At 100 TB each
+table would be a partitioned directory (e.g. ``orders/o_orderdate=.../``)
+and these loaders pick up partition pruning for free; the harness
+testdata is a single file per table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor
+# (region=5 rows, nation=25 — even at 100 TB these stay tiny).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one canonical table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 cannot map
+    to its µs TimestampType; with ``nanosAsLong`` it arrives as epoch
+    nanos (long) and is truncated here to a µs timestamp — the same
+    ns→µs truncation DuckDB applies when casting TIMESTAMP_NS, so both
+    engines see identical instants.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, T.LongType
+    ):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API path."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,32 @@
+"""Shared fixtures: one SparkSession per test session, sf-dir paths."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prueba_tecnica_analista_etl_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("TEST_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="engine-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def oracle_sf_dir() -> str:
+    return SF_ORACLE
