@@ -1,0 +1,89 @@
+"""Text-analysis builders for training-data pipelines (north-star
+extensions; SURVEY.md §2 D6/U4 + BASELINE.json): tokenization, token
+stats, stopword scoring, language-ID heuristic, shingling, rolling-hash
+fingerprints. All native higher-order-function expressions — no Python
+in the row path, so the whole stage stays in whole-stage codegen and
+scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for heuristic scoring. On natural text
+# these discriminate well; the harness corpus shares one vocabulary
+# across langs, so there the operator is proven by oracle-parity rather
+# than by classification accuracy.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "et", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (U4: explode(split()) — no UDTF)."""
+    return F.split(F.lower(text), " ")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_hits(toks: Column, words: Sequence[str]) -> Column:
+    """Occurrence count of any of ``words`` (list_filter keeps
+    duplicates — occurrence, not membership, semantics)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+
+
+def predict_lang(toks: Column) -> Column:
+    """Greatest-hits language prediction with deterministic tie-break
+    (alphabetical language order, 'unknown' when all scores zero)."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    for lang in sorted(STOPWORDS, reverse=True):
+        out = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def shingles(toks: Column, k: int) -> Column:
+    """All k-token shingles as strings; short docs yield one shingle of
+    the whole text (sequence/transform/slice — pure codegen)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Document fingerprint: min-md5 over k-token shingles — the
+    winnowing/rolling-hash family's single-fingerprint special case.
+    md5 hex is engine-portable (oracle-checkable), unlike xxhash64."""
+    sh = shingles(tokens(text), k)
+    return F.array_min(F.transform(sh, F.md5))
+
+
+def shingle_hashes(toks: Column, k: int) -> Column:
+    """Sorted distinct xxhash64 values of k-shingles — the minhash
+    signature source (xxhash64: 64-bit, JVM-side, fast; engine-specific
+    so rows-only checks)."""
+    return F.array_sort(
+        F.transform(F.array_distinct(shingles(toks, k)), F.xxhash64)
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / F.size(F.array_union(a, b)).cast("double")

@@ -1,0 +1,203 @@
+"""Oracle-checked extension queries: text analysis + similarity search
+over the ``documents``/``embeddings`` tables (north-star training-data
+operators — exact dedup, token stats, quality scoring, language-ID,
+fingerprinting, brute-force cosine top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    n_tokens,
+    predict_lang,
+    stopword_hits,
+    tokens,
+)
+from prueba_tecnica_analista_etl_spark.functions.vectors import (
+    as_double,
+    cosine,
+)
+from prueba_tecnica_analista_etl_spark.operators.dedupe import keep_first
+from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
+
+
+@query(
+    "q_exact_dedup",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    doc="extension (exact dedup): content-keyed keep-first — survivor = "
+    "min doc_id per identical text. At 100 TB group on md5(text) "
+    "instead of the raw text to shrink shuffle keys.",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return keep_first(d, ["text"], [F.asc("doc_id")]).select("doc_id", "lang")
+
+
+@query(
+    "q_token_count",
+    """
+    SELECT source, count(*) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="extension (token counting): per-source corpus token budget — "
+    "the sizing query every training-data pipeline starts with.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    return d.select("source", nt.alias("nt")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("nt"), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_quality_score",
+    """
+    SELECT quality, count(*) AS docs, round(avg(nt), 2) AS avg_tokens
+    FROM (
+      SELECT CASE WHEN nt >= 50 AND stop_hits >= 5 THEN 'high'
+                  WHEN nt >= 20 THEN 'medium'
+                  ELSE 'low' END AS quality, nt
+      FROM (
+        SELECT len(string_split(text, ' ')) AS nt,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits
+        FROM documents))
+    GROUP BY quality
+    """,
+    doc="extension (quality scoring): length + stopword-ratio heuristic "
+    "bucketing (the pretraining-filter shape: compute per-doc features "
+    "natively, bucket, census).",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    hits = stopword_hits(toks, STOPWORDS["en"])
+    quality = (
+        F.when((nt >= 50) & (hits >= 5), F.lit("high"))
+        .when(nt >= 20, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        d.select(quality.alias("quality"), nt.alias("nt"))
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("nt"), 2).alias("avg_tokens"),
+        )
+    )
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {lang}_hits = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(STOPWORDS)
+    )
+    + " ELSE 'unknown' END"
+)
+
+_LANG_HITS = ", ".join(
+    "len(list_filter(toks, t -> t IN ({}))) AS {}_hits".format(
+        ", ".join(f"'{w}'" for w in ws), lang
+    )
+    for lang, ws in STOPWORDS.items()
+)
+
+
+@query(
+    "q_lang_id",
+    f"""
+    SELECT lang, predicted, count(*) AS docs FROM (
+      SELECT lang, {_LANG_CASE} AS predicted FROM (
+        SELECT lang, {_LANG_HITS},
+               greatest(de_hits, en_hits, es_hits, fr_hits) AS best
+        FROM (SELECT lang, string_split(lower(text), ' ') AS toks
+              FROM documents)))
+    GROUP BY lang, predicted
+    """,
+    doc="extension (language-ID): stopword-hit n-gram heuristic with "
+    "deterministic tie-break, output as a lang×predicted confusion "
+    "census. The harness corpus shares one vocabulary across langs, so "
+    "accuracy is not meaningful here — the operator is proven by parity.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.select("lang", predict_lang(toks).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 4, 1)))
+                        AS i
+               FROM t)
+    SELECT doc_id, min(md5(array_to_string(toks[i:i+4], ' '))) AS fp
+    FROM s GROUP BY doc_id
+    """,
+    doc="extension (fingerprinting): min-md5 over 5-token shingles — "
+    "rolling-hash document fingerprint (winnowing's single-fingerprint "
+    "case); md5 is engine-portable so this one is oracle-checked.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text"), 5).alias("fp"))
+
+
+@query(
+    "q_similarity_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="extension (similarity search): brute-force cosine top-k for one "
+    "query vector — broadcast the query, one pass over the corpus, "
+    "TakeOrderedAndProject; double-precision sequential fold matches "
+    "DuckDB bit-for-bit. Scale path for many queries: sign-LSH buckets "
+    "(q_ann_lsh).",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
