@@ -79,7 +79,9 @@ def shingle_hashes(toks: Column, k: int) -> Column:
     signature source (xxhash64: 64-bit, JVM-side, fast; engine-specific
     so rows-only checks)."""
     return F.array_sort(
-        F.transform(F.array_distinct(shingles(toks, k)), F.xxhash64)
+        F.transform(
+            F.array_distinct(shingles(toks, k)), lambda s: F.xxhash64(s)
+        )
     )
 
 

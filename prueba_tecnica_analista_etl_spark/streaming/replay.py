@@ -1,0 +1,47 @@
+"""File-replay source (T1/S10): re-emit a batch table as a Structured
+Streaming file source — the monitored-folder/SFTP incremental design
+(reference §4 prose) made concrete. In production the same code points
+at the landing directory; ``maxFilesPerTrigger`` gives batch cadence.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+
+def write_replay_files(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    n_files: int = 8,
+    base_dir: str | None = None,
+) -> tuple[str, T.StructType]:
+    """Materialize a table as ``n_files`` parquet chunks in a fresh
+    temp dir (the simulated landing folder). Returns (dir, schema)."""
+    df = load_table(spark, sf_dir, table)
+    out = base_dir or tempfile.mkdtemp(prefix=f"replay_{table}_")
+    data_dir = os.path.join(out, "data")
+    df.repartition(n_files).write.mode("overwrite").parquet(data_dir)
+    return data_dir, df.schema
+
+
+def replay_as_stream(
+    spark: SparkSession,
+    data_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """File stream over the landing dir; ``maxFilesPerTrigger`` slices
+    the backlog into micro-batches so multi-batch behavior (state,
+    idempotency, watermark advance) is actually exercised."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(data_dir)
+    )

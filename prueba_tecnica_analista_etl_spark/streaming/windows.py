@@ -1,0 +1,83 @@
+"""Watermarked window aggregations (T2/T4) + availableNow runner.
+
+Tumbling windows mirror the batch ``q_tumbling_window`` exactly
+(batch/stream parity is asserted in tests); session windows use
+``session_window`` — Spark's native gap-based sessionization, state
+kept per key and evicted by the watermark (bounded memory at 100 TB:
+state size ~ active keys, not history).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    stream: DataFrame, watermark: str = "1 minute"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Per-user sessions: a session is a run of events with < ``gap``
+    between neighbors. Append mode emits a session once the watermark
+    passes its close — the tiny default watermark finalizes nearly all
+    sessions in an availableNow replay."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    named memory sink (T7: real checkpoint dir, resumable) and return
+    the materialized result as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
