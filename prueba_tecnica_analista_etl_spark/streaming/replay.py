@@ -21,13 +21,25 @@ def write_replay_files(
     table: str = "events",
     n_files: int = 8,
     base_dir: str | None = None,
+    time_col: str = "ts",
 ) -> tuple[str, T.StructType]:
     """Materialize a table as ``n_files`` parquet chunks in a fresh
-    temp dir (the simulated landing folder). Returns (dir, schema)."""
+    temp dir (the simulated landing folder). Returns (dir, schema).
+
+    Chunks are range-partitioned on ``time_col`` so replay order
+    matches event-time order — the realistic landing-folder arrival
+    pattern. (A deliberately shuffled replay with a tight watermark
+    drops almost everything after the first micro-batch as late data —
+    correct semantics, but not what the parity tests model.)
+    """
     df = load_table(spark, sf_dir, table)
     out = base_dir or tempfile.mkdtemp(prefix=f"replay_{table}_")
     data_dir = os.path.join(out, "data")
-    df.repartition(n_files).write.mode("overwrite").parquet(data_dir)
+    if time_col in df.columns:
+        df = df.repartitionByRange(n_files, time_col)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(data_dir)
     return data_dir, df.schema
 
 

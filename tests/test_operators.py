@@ -1,0 +1,139 @@
+"""Operator-level property tests mirroring the reference's own
+invariants (SURVEY.md §5): upsert idempotency + audit counts, dedup
+determinism, reject-routing completeness, UDF-parity of the native
+classifiers."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.functions.validate import (
+    phone_status,
+    phone_status_pandas_udf,
+)
+from prueba_tecnica_analista_etl_spark.operators.dedupe import (
+    keep_first,
+    keep_first_agg,
+)
+from prueba_tecnica_analista_etl_spark.operators.quality import (
+    approx_quantiles,
+    split_rejects,
+)
+from prueba_tecnica_analista_etl_spark.operators.upsert import (
+    assert_unique,
+    upsert,
+    upsert_with_metrics,
+)
+from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_upsert_semantics_and_metrics(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    result, metrics = upsert_with_metrics(base, new, ["k"])
+    assert _rows(result, "k", "v") == [
+        (1, "a"), (2, "B"), (3, "c"), (4, "D")
+    ]
+    assert metrics == {
+        "base_rows": 3,
+        "new_rows": 2,
+        "updates": 1,
+        "inserts": 1,
+        "result_rows": 4,
+    }
+
+
+def test_upsert_idempotent_fixpoint(spark, sf_dir):
+    """Reference claim sql:130: re-running the merge changes nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    new = orders.filter(F.col("o_orderdate") >= "1994-07-01")
+    once = upsert(base, new, ["o_orderkey"])
+    twice = upsert(once, new, ["o_orderkey"])
+    assert once.count() == twice.count()
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_upsert_dedups_incoming_batch(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "x", 2), (1, "y", 1), (2, "z", 1)], "k long, v string, pri long"
+    )
+    out = upsert(base, new, ["k"], dedup_order=[F.asc("pri")])
+    assert _rows(out, "k", "v") == [(1, "y"), (2, "z")]
+
+
+def test_assert_unique_raises(spark):
+    dup = spark.createDataFrame([(1,), (1,)], "k long")
+    with pytest.raises(ValueError):
+        assert_unique(dup, ["k"])
+
+
+def test_keep_first_agg_matches_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    a = keep_first(ev, ["user_id", "event_type"], [F.asc("event_id")])
+    b = keep_first_agg(ev, ["user_id", "event_type"], "event_id")
+    assert _rows(a, "user_id", "event_type", "event_id") == _rows(
+        b, "user_id", "event_type", "event_id"
+    )
+
+
+def test_split_rejects_partitions_completely(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    accepted, rejected = split_rejects(
+        ev,
+        {
+            "low_value": F.col("value") < 1.0,
+            "error_event": F.col("event_type") == "error",
+        },
+    )
+    assert accepted.count() + rejected.count() == ev.count()
+    assert rejected.filter(F.col("reject_reason").isNull()).count() == 0
+    # first-matching-rule precedence
+    both = rejected.filter(
+        (F.col("value") < 1.0) & (F.col("event_type") == "error")
+    )
+    assert (
+        both.filter(F.col("reject_reason") != "low_value").count() == 0
+    )
+
+
+def test_phone_udf_parity(spark):
+    vals = [
+        "3108152764", "6015551234", "0", "12345", "601abc1234",
+        "30000000000", "3999999999", None, "6010000000",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "phone string")
+    out = df.select(
+        phone_status(F.col("phone")).alias("native"),
+        phone_status_pandas_udf(F.col("phone")).alias("udf"),
+    )
+    mism = out.filter(F.col("native") != F.col("udf")).count()
+    assert mism == 0
+
+
+def test_approx_quantiles_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = approx_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    assert q[0] <= q[1] <= q[2]
+
+
+def test_registry_docs_and_coverage():
+    # every declared query documents what it proves
+    for name, spec in REGISTRY.items():
+        assert spec.doc, f"{name} missing doc"
+    assert len(REGISTRY) >= 35
+    assert sum(1 for s in REGISTRY.values() if s.oracle) >= 30
