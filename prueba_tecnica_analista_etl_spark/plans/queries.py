@@ -294,6 +294,35 @@ def q_case_when_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness_verdict(_t(spark, sf_dir, "orders"), "o_orderkey")
 
 
+@query(
+    "q_pivot_wide",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A4 (wide form): true columnar pivot — groupBy().pivot() with "
+    "explicit value list (no extra pass to discover values); compiles "
+    "to one hash aggregation of conditional counts.",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # M2 — dedup + joins + merge (D1-D5, J1-J4)
 # ---------------------------------------------------------------------------
