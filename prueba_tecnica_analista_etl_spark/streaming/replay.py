@@ -40,6 +40,20 @@ def write_replay_files(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(data_dir)
+    # The file stream source orders files by modification time; the
+    # writer stamps every part file in the same second, so arrival
+    # order would be a tie-break lottery — and one out-of-order file
+    # advances the watermark past its peers, dropping them as late
+    # data. Stamp strictly increasing mtimes in range order (part file
+    # index == range-partition index) so replay order == event-time
+    # order, matching the landing-folder arrival pattern we model.
+    parts = sorted(
+        f for f in os.listdir(data_dir) if f.startswith("part-")
+    )
+    base_ts = os.path.getmtime(os.path.join(data_dir, parts[0]))
+    for i, name in enumerate(parts):
+        p = os.path.join(data_dir, name)
+        os.utime(p, (base_ts + i, base_ts + i))
     return data_dir, df.schema
 
 
