@@ -10,8 +10,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny built-in stopword lists for heuristic scoring. On natural text
 # these discriminate well; the harness corpus shares one vocabulary
@@ -83,6 +86,32 @@ def shingle_hashes(toks: Column, k: int) -> Column:
             F.array_distinct(shingles(toks, k)), lambda s: F.xxhash64(s)
         )
     )
+
+
+def simhash64(feature_hashes: Column) -> Column:
+    """64-bit SimHash from an ``array<long>`` of feature hashes: per-bit
+    majority vote across features, majority bits packed into a long.
+
+    Split of labor: the feature hashing (xxhash64 per shingle) stays
+    JVM-side where it's a native codegen'd expression; the 64-way bit
+    census runs as an Arrow-batched Pandas UDF (one numpy pass per
+    batch). The all-expression alternative (64 sum(when(bit)) aggs over
+    an exploded feature table) costs a shuffle plus interpreted
+    evaluation of 64 conditionals per feature — measured ~10× slower.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _sig(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
+            maj = (2 * ones > len(a)).astype(np.uint64)
+            out[i] = (maj << shifts).sum(dtype=np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return _sig(feature_hashes)
 
 
 def jaccard(a: Column, b: Column) -> Column:

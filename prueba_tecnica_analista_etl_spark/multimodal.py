@@ -58,32 +58,44 @@ def fake_assets(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    if REAL_DECODE:
-        # Real path: PIL.Image.open(io.BytesIO(b)) / soundfile / pyav.
-        raise NotImplementedError("media codecs not available in container")
-    lengths = pdf["content"].map(lambda b: 0 if b is None else len(b))
-    # Deterministic fake dimensions derived from payload length — stands
-    # in for codec-extracted width/height with a stable contract.
-    return pd.DataFrame(
-        {
-            "asset_id": pdf["asset_id"],
-            "media_type": pdf["media_type"],
-            "n_bytes": lengths.astype("int64"),
-            "checksum": pdf["content"].map(
-                lambda b: "" if b is None else format(len(b) * 2654435761 % (1 << 32), "08x")
-            ),
-            "width": (lengths % 1920).astype("int32"),
-            "height": (lengths % 1080).astype("int32"),
-        }
-    )
-
-
 def extract_metadata(assets: DataFrame) -> DataFrame:
-    """Decode/inspect assets via Arrow-batched ``mapInPandas``."""
+    """Decode/inspect assets via Arrow-batched ``mapInPandas``.
+
+    The batch function is fully self-contained (only locals + pandas):
+    executor Python workers do NOT have this package importable — a
+    module-level helper would pickle by reference and die with
+    ModuleNotFoundError on any cluster where the driver script isn't
+    launched from the package root. Closures pickle by value.
+    """
+    real_decode = REAL_DECODE
+
+    def decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if real_decode:
+            # Real path: PIL.Image.open(io.BytesIO(b)) / soundfile / pyav.
+            raise NotImplementedError(
+                "media codecs not available in container"
+            )
+        lengths = pdf["content"].map(lambda b: 0 if b is None else len(b))
+        # Deterministic fake dimensions derived from payload length —
+        # stands in for codec-extracted width/height with a stable
+        # contract.
+        return pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": lengths.astype("int64"),
+                "checksum": pdf["content"].map(
+                    lambda b: ""
+                    if b is None
+                    else format(len(b) * 2654435761 % (1 << 32), "08x")
+                ),
+                "width": (lengths % 1920).astype("int32"),
+                "height": (lengths % 1080).astype("int32"),
+            }
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_batch(pdf)
+            yield decode_batch(pdf)
 
     return assets.mapInPandas(gen, schema=META_SCHEMA)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from prueba_tecnica_analista_etl_spark.functions.text import (
     jaccard,
     shingles,
+    simhash64,
     tokens,
 )
 from prueba_tecnica_analista_etl_spark.functions.vectors import (
@@ -25,6 +26,7 @@ from prueba_tecnica_analista_etl_spark.functions.vectors import (
     sign_bits,
 )
 from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
+from prueba_tecnica_analista_etl_spark.sources.tables import spread
 from prueba_tecnica_analista_etl_spark.streaming.replay import (
     replay_as_stream,
     write_replay_files,
@@ -35,39 +37,103 @@ from prueba_tecnica_analista_etl_spark.streaming.windows import (
 )
 
 
+# Banded-minhash knobs: b bands × r rows. A pair with shingle-set
+# Jaccard s collides in a band with prob s^r; recall = 1-(1-s^r)^b.
+# r=3, b=4 → s=0.9: 99.9%; s=0.1: 0.4% of random pairs become
+# candidates — the AND-amplification that keeps the self-join linear.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 3
+BUCKET_CAP = 64  # skew guard: degenerate buckets are exact-dup
+# families — at 100 TB they are removed by the exact-dedup pass first,
+# so refusing to expand a >cap bucket loses no near-dup information
+# while bounding per-bucket pair count at cap².
+
+
 @query(
     "q_minhash_dedup",
     None,
-    doc="D6 (near-dup, MinHash+LSH): ml.feature.MinHashLSH over hashed "
-    "token sets; approxSimilarityJoin = band-bucket join, only "
-    "colliding pairs compared — O(n·bands) not O(n²). Seeded → "
-    "deterministic. Output: candidate pairs with Jaccard distance.",
+    doc="D6 (near-dup, MinHash+LSH): banded minhash over 3-token "
+    "shingles, pure DataFrame ops. Signature = 12 seeded xxhash64 "
+    "minima, grouped 4 bands × 3 rows; candidates share a band key "
+    "(one explode + one shuffle on the key), buckets capped at 64 "
+    "docs (skew guard), exact Jaccard re-rank on candidates only — "
+    "O(n·b) join input instead of O(n²) all-pairs.",
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+    n_hashes = MINHASH_BANDS * MINHASH_ROWS
+    d = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh"),
     )
-    tf = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    sig = d.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("sh", lambda s, j=j: F.xxhash64(F.lit(j), s))
+            ).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ],
     )
-    feats = tf.transform(d)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * MINHASH_ROWS + r}")
+                                for r in range(MINHASH_ROWS)
+                            ]
+                        ).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs").between(2, BUCKET_CAP))
     )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, threshold=0.95, distCol="jaccard_dist"
-    )
-    return (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+    cand = (
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda a: F.transform(
+                                "docs",
+                                lambda b: F.struct(
+                                    a.alias("doc_a"), b.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .orderBy("jaccard_dist", "doc_a", "doc_b")
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )
 
@@ -75,15 +141,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ngram_jaccard",
     None,
-    doc="n-gram Jaccard near-dup: bigram-shingle sets, candidates = "
+    doc="n-gram Jaccard near-dup: trigram-shingle sets, candidates = "
     "docs sharing the global min xxhash shingle (1-band minhash LSH), "
     "exact Jaccard on candidates only. One groupBy(minhash) shuffle "
-    "replaces the n² comparison.",
+    "replaces the n² comparison. Trigrams, not bigrams: the corpus "
+    "vocabulary is tiny (31 words → ~900 possible bigrams), so bigram "
+    "min-shingle buckets degenerate into near-all-pairs; trigram space "
+    "(27k observed) keeps bucket fan-out bounded by shingle doc-freq.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), 2)).alias("sh"),
+        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh"),
     )
     d = d.withColumn(
         "minhash",
@@ -115,67 +184,84 @@ BAND_BITS = N_SIMHASH_BITS // N_BANDS
 @query(
     "q_simhash_dedup",
     None,
-    doc="SimHash near-dup: 64-bit per-token-hash majority signature, "
-    "banded 4×16 bits; pairs sharing any band are candidates, kept if "
-    "hamming(sig) <= 8. Signature build = one explode + one groupBy; "
-    "candidate join = 4 band-key shuffles (each tiny).",
+    doc="SimHash near-dup: 64-bit majority signature over 3-shingle "
+    "xxhash64 features (JVM hashing + Arrow-batched numpy bit census), "
+    "banded 4×16 bits; candidates share a band value (one shuffle on "
+    "(band, value), buckets skew-capped), kept if hamming(sig) <= 8. "
+    "Features are shingles, not unigrams: the 31-word corpus "
+    "vocabulary makes unigram signatures collide for most docs "
+    "(degenerate bands → near-n² candidates).",
 )
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    h = d.withColumn("th", F.xxhash64("tok"))
-    # per-bit majority vote: sum(+1/-1) per bit position, sign → bit
-    bit_sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(N_SIMHASH_BITS)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for i in range(N_SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sigs = (
+        spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")), 3)).alias(
+                "sh"
+            ),
         )
-        sig = sig.bitwiseOR(F.shiftleft(bit, i))
-    sigs = bit_sums.select("doc_id", sig.alias("sig"))
+        .select(
+            "doc_id",
+            simhash64(
+                F.transform("sh", lambda s: F.xxhash64(s))
+            ).alias("sig"),
+        )
+    )
+    # The signature is one long, so it rides along into the buckets —
+    # no join-back (and no recomputation of the UDF stage) needed.
     bands = sigs.select(
         "doc_id",
         "sig",
-        *[
-            F.shiftrightunsigned("sig", b * BAND_BITS)
-            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
-            .alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * BAND_BITS)
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("docs"))
+        .filter(F.size("docs").between(2, BUCKET_CAP))
     )
-    cand = None
-    for b in range(N_BANDS):
-        a = bands.alias("a")
-        c = bands.alias("c")
-        pairs = (
-            a.join(
-                c,
-                F.col(f"a.band{b}") == F.col(f"c.band{b}"),
-            )
-            .filter(F.col("a.doc_id") < F.col("c.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("c.doc_id").alias("doc_b"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("c.sig").alias("sig_b"),
-            )
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    hamming = F.bit_count(
-        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    ).alias("hamming")
     return (
-        cand.dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", hamming)
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda a: F.transform(
+                                "docs",
+                                lambda b: F.struct(
+                                    a["doc_id"].alias("doc_a"),
+                                    b["doc_id"].alias("doc_b"),
+                                    a["sig"].alias("sig_a"),
+                                    b["sig"].alias("sig_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
+        )
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(
+                F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 8)
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(100)
@@ -232,7 +318,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_assets,
     )
 
-    assets = fake_assets(_t(spark, sf_dir, "documents"))
+    assets = fake_assets(spread(_t(spark, sf_dir, "documents")))
     meta = extract_metadata(assets)
     return (
         meta.groupBy("media_type")
@@ -249,13 +335,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sessionize",
     None,
     doc="T4,T5,T7: events replayed as a file stream (availableNow, "
-    "4 micro-batches), session_window(30 min) per user with watermark, "
+    "2 micro-batches), session_window(30 min) per user with watermark, "
     "append-mode memory sink; returns finalized sessions. Streaming "
     "state is bounded by active keys (watermark eviction).",
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir, schema = write_replay_files(
-        spark, sf_dir, "events", n_files=8
+        spark, sf_dir, "events", n_files=4
     )
     stream = replay_as_stream(spark, data_dir, schema, max_files_per_trigger=2)
     return run_available_now(sessionize(stream), spark)

@@ -23,6 +23,7 @@ from prueba_tecnica_analista_etl_spark.functions.vectors import (
 )
 from prueba_tecnica_analista_etl_spark.operators.dedupe import keep_first
 from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
+from prueba_tecnica_analista_etl_spark.sources.tables import spread
 
 
 @query(
@@ -136,7 +137,7 @@ _LANG_HITS = ", ".join(
     "accuracy is not meaningful here — the operator is proven by parity.",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     return (
         d.select("lang", predict_lang(toks).alias("predicted"))
@@ -162,7 +163,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case); md5 is engine-portable so this one is oracle-checked.",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", fingerprint(F.col("text"), 5).alias("fp"))
 
 

@@ -52,6 +52,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition before expensive per-row compute.
+
+    A small table read from one parquet file arrives as ONE partition,
+    so heavy row-wise expressions (shingling, hashing, UDF batches)
+    run on a single core no matter how many the cluster has. One cheap
+    narrow-data shuffle first buys full parallelism for the expensive
+    stage. At 100 TB the scan is already many-splits and this is a
+    no-op decision — it matters exactly when file count < cores.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
