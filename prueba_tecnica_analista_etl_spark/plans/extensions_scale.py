@@ -305,6 +305,83 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_neardup",
+    None,
+    doc="embedding-cosine near-dup (all-pairs): 32-bit sign-LSH "
+    "signature per vector (Arrow-batched matmul), candidates = vectors "
+    "sharing a signature-band (4 bands × 8 bits, one shuffle on the "
+    "band key, buckets skew-capped), exact cosine re-rank of candidate "
+    "pairs only. Sign-LSH: P(bit agree) = 1 − angle/π, so a cos≥0.95 "
+    "dup pair agrees on an 8-bit band w.p. ~0.43 → ~89%% recall over "
+    "4 bands, while a random pair is a candidate w.p. ~1.6%% — the "
+    "all-pairs O(n²) comparison is never materialized. The corpus "
+    "plants no true dups (max pairwise cosine ≈0.51), so the query "
+    "reports the top-100 most-similar candidate pairs.",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bits, band_bits, n_bands = 32, 8, 4
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = random_hyperplanes(n_bits, 64, seed=42)
+    sigs = e.withColumn("sig", sign_bits(F.col("v"), planes))
+    bands = sigs.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "bk.band", "bk.key")
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
+        .filter(F.size("vecs").between(2, BUCKET_CAP))
+    )
+    pairs = (
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "vecs",
+                            lambda a: F.transform(
+                                "vecs",
+                                lambda b: F.struct(
+                                    a["vec_id"].alias("vec_a"),
+                                    b["vec_id"].alias("vec_b"),
+                                    a["v"].alias("va"),
+                                    b["v"].alias("vb"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["vec_a"] < p["vec_b"],
+                )
+            ).alias("p")
+        )
+        .select(
+            "p.vec_a",
+            "p.vec_b",
+            F.round(cosine(F.col("p.va"), F.col("p.vb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(100)
+
+
+@query(
     "q_multimodal_meta",
     None,
     doc="multimodal plumbing: binary asset column + Arrow-batched "

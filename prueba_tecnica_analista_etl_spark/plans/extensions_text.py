@@ -64,6 +64,41 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "q_token_regex",
+    f"""
+    SELECT source, count(*) AS docs,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}')))
+                AS BIGINT) AS bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '{_BPE_PATTERN}'))), 2)
+             AS avg_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="extension (BPE-ish token counting): pre-tokenizer regex "
+    "(letter runs | digit runs | single other-symbol — the GPT-style "
+    "pre-split shape) counted per source. Same RE2-compatible pattern "
+    "evaluates identically in Spark (Java regex) and DuckDB, so this "
+    "one is oracle-checked, unlike hash-based token ops.",
+)
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nt = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    ).cast("long")
+    return (
+        d.select("source", nt.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("nt").cast("long").alias("bpe_tokens"),
+            F.round(F.avg("nt"), 2).alias("avg_bpe_tokens"),
+        )
+    )
+
+
 @query(
     "q_quality_score",
     """
