@@ -99,3 +99,164 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
             yield decode_batch(pdf)
 
     return assets.mapInPandas(gen, schema=META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize image assets to ``width×height`` via ``mapInPandas``.
+
+    Plumbing is real (schema, Arrow batch flow, pass-through of
+    non-image rows); the pixel transform is stubbed deterministically —
+    payload truncated/padded to the target pixel budget — because the
+    container has no image codecs. Real path: PIL thumbnail per batch.
+    """
+    real_decode = REAL_DECODE
+    budget = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "image codecs not available in container"
+                )
+            is_img = pdf["media_type"].str.startswith("image/")
+
+            def fake_resize(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                return bytes(b[:budget]).ljust(budget, b"\0")
+
+            content = pdf["content"].where(
+                ~is_img, pdf["content"].map(fake_resize)
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "content": content,
+                    "width": is_img.map(lambda i: width if i else None),
+                    "height": is_img.map(lambda i: height if i else None),
+                }
+            ).astype({"width": "Int32", "height": "Int32"})
+
+    return assets.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every ``every_n``-th frame from video assets — a
+    row-expanding ``mapInPandas`` (one asset → many frames).
+
+    Frame extraction is stubbed as fixed-size byte windows standing in
+    for decoded frames (real path: pyav keyframe iteration); the
+    fan-out shape — the part that matters for partitioning and memory
+    at 100 TB — is real: output rows ≫ input rows, bounded per Arrow
+    batch by ``maxRecordsPerBatch``, never a whole video in memory
+    beyond the already-loaded payload.
+    """
+    real_decode = REAL_DECODE
+    frame_bytes = 64
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "video codecs not available in container"
+                )
+            out_ids, out_idx, out_frames = [], [], []
+            for aid, mt, b in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                if not mt.startswith("video/") or b is None:
+                    continue
+                n_frames = max(len(b) // frame_bytes, 1)
+                for i in range(0, n_frames, every_n):
+                    out_ids.append(aid)
+                    out_idx.append(i)
+                    out_frames.append(
+                        bytes(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame": out_frames,
+                }
+            )
+
+    return assets.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField(
+            "features", T.ArrayType(T.FloatType(), False), True
+        ),
+    ]
+)
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Per-asset feature vector via ``mapInPandas`` (the embedding-model
+    stage of a multimodal pipeline).
+
+    Stub features are a deterministic byte-histogram projection (numpy,
+    one pass per batch) standing in for a model forward pass; the
+    contract — fixed-dim float vector per asset, Arrow-batched, no
+    driver collect — is the real one.
+    """
+    real_decode = REAL_DECODE
+    n_dim = dim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "feature models not available in container"
+                )
+            feats = []
+            for b in pdf["content"]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(a % n_dim, minlength=n_dim).astype(
+                    np.float64
+                )
+                norm = np.linalg.norm(hist)
+                feats.append(
+                    (hist / norm if norm else hist).astype(np.float32)
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)

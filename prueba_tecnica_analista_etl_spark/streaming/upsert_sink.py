@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Callable, Sequence
+from typing import TypeVar
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -28,6 +30,34 @@ from prueba_tecnica_analista_etl_spark.operators.upsert import upsert
 CONTROL = "_etl_control"
 REJECTS = "_rejects"
 DATA = "data"
+
+
+_R = TypeVar("_R")
+
+
+def run_with_retry(
+    fn: Callable[[], _R],
+    attempts: int = 3,
+    backoff_s: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> _R:
+    """Driver-side retry with exponential backoff (T8, reference design
+    ``nb:372``): transient failures (executor loss, storage hiccups)
+    get ``attempts`` tries with 1×, 2×, 4×… ``backoff_s`` waits; the
+    idempotent batch ledger makes a retried ``process(batch, id)`` a
+    safe no-op for work that already committed. Last failure re-raises
+    so the caller's control table records the batch as failed, not
+    silently skipped."""
+    last: BaseException | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as ex:  # noqa: BLE001 - retry then re-raise
+            last = ex
+            if i < attempts - 1:
+                sleep(backoff_s * (2**i))
+    assert last is not None
+    raise last
 
 
 def _paths(target: str) -> tuple[str, str, str]:

@@ -1,0 +1,177 @@
+"""Scale-extension semantics: LSH recall against exact all-pairs ground
+truth on the planted near-dups, bucketed co-located joins (no Exchange),
+multimodal op plumbing, driver-side retry (T8)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.multimodal import (
+    extract_features,
+    fake_assets,
+    resize_images,
+    sample_frames,
+)
+from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+from prueba_tecnica_analista_etl_spark.sources.tables import (
+    load_table,
+    write_bucketed,
+)
+from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+    run_with_retry,
+)
+
+
+def _exact_neardup_pairs(spark, sf_dir, threshold=0.5):
+    """Exact all-pairs 3-shingle Jaccard ground truth (driver-side on
+    the small test slice only — the thing the LSH queries exist to
+    avoid at scale)."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sh = {}
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        n = max(len(toks) - 2, 1)
+        sh[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(n)
+        }
+    out = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue
+        j = inter / len(sh[a] | sh[b])
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def test_minhash_recall_and_exactness(spark, sf_dir):
+    truth = _exact_neardup_pairs(spark, sf_dir)
+    assert truth, "corpus should contain planted near-dup pairs"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in REGISTRY["q_minhash_dedup"].fn(spark, sf_dir).collect()
+    }
+    # banded-minhash recall: 4 bands × 3 rows at s≥0.9 ⇒ ~99.99%;
+    # allow a miss or two from pairs right at the 0.5 threshold
+    found = set(got) & set(truth)
+    assert len(found) >= 0.9 * len(truth)
+    # no false positives (exact re-rank filters candidates)
+    for pair in got:
+        assert pair in truth
+    # reported similarity is the exact Jaccard (re-rank, not estimate)
+    for pair in found:
+        assert got[pair] == pytest.approx(truth[pair], abs=1e-4)
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    truth = _exact_neardup_pairs(spark, sf_dir, threshold=0.3)
+    got = REGISTRY["q_simhash_dedup"].fn(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        assert (r["doc_a"], r["doc_b"]) in truth
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF := "/root/testdata/sf0.001", "orders")
+    customer = load_table(spark, SF, "customer")
+    write_bucketed(
+        orders, "b_orders", ["o_custkey"], 4, str(tmp_path / "o")
+    )
+    write_bucketed(
+        customer, "b_customer", ["c_custkey"], 4, str(tmp_path / "c")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: shuffle pre-paid
+        n = joined.count()
+        want = (
+            orders.join(
+                customer, F.col("o_custkey") == F.col("c_custkey")
+            ).count()
+        )
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_resize_images(spark, sf_dir):
+    assets = fake_assets(load_table(spark, sf_dir, "documents"))
+    out = resize_images(assets, 32, 16).collect()
+    assert len(out) == assets.count()
+    for r in out:
+        if r["media_type"].startswith("image/"):
+            assert r["width"] == 32 and r["height"] == 16
+            assert len(r["content"]) == 32 * 16
+        else:
+            assert r["width"] is None and r["height"] is None
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    assets = fake_assets(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(assets, every_n=2)
+    n_videos = assets.filter(
+        F.col("media_type").startswith("video/")
+    ).count()
+    got = frames.collect()
+    assert {r["asset_id"] for r in got} == {
+        r["asset_id"]
+        for r in assets.filter(
+            F.col("media_type").startswith("video/")
+        ).collect()
+    }
+    assert len(got) >= n_videos  # ≥1 frame per video, many for long ones
+    assert all(r["frame_idx"] % 2 == 0 for r in got)
+
+
+def test_extract_features_contract(spark, sf_dir):
+    assets = fake_assets(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(assets, dim=8).collect()
+    assert len(feats) == assets.count()
+    for r in feats:
+        assert len(r["features"]) == 8
+        norm = sum(x * x for x in r["features"])
+        assert norm == pytest.approx(1.0, abs=1e-3)
+    again = extract_features(assets, dim=8).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_run_with_retry():
+    calls = []
+    waits = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert (
+        run_with_retry(flaky, attempts=3, backoff_s=1.0, sleep=waits.append)
+        == "ok"
+    )
+    assert waits == [1.0, 2.0]
+
+    with pytest.raises(RuntimeError):
+        run_with_retry(
+            lambda: (_ for _ in ()).throw(RuntimeError("always")),
+            attempts=2,
+            backoff_s=0.5,
+            sleep=waits.append,
+        )
