@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from prueba_tecnica_analista_etl_spark.functions.text import (
     jaccard,
+    shingle_hashes,
     shingles,
     simhash64,
     tokens,
@@ -26,6 +27,7 @@ from prueba_tecnica_analista_etl_spark.functions.vectors import (
     sign_bits,
 )
 from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
+from prueba_tecnica_analista_etl_spark.session import ensure_runtime_conf
 from prueba_tecnica_analista_etl_spark.sources.tables import spread
 from prueba_tecnica_analista_etl_spark.streaming.replay import (
     replay_as_stream,
@@ -61,21 +63,29 @@ BUCKET_CAP = 64  # skew guard: degenerate buckets are exact-dup
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes = MINHASH_BANDS * MINHASH_ROWS
+    # Shingle once, hash once: every downstream step (minhashes, band
+    # keys, exact re-rank) works on the array<long> of shingle hashes,
+    # so the expensive string shingling is built exactly once and the
+    # whole query is ONE shuffle (the band-key groupBy). Jaccard over
+    # hashed shingles equals Jaccard over shingles up to xxhash64
+    # collisions (P ≈ |sh|²·2⁻⁶⁴ per doc — negligible).
     d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh"),
+        shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
     )
     sig = d.select(
         "doc_id",
+        "hs",
         *[
             F.array_min(
-                F.transform("sh", lambda s, j=j: F.xxhash64(F.lit(j), s))
+                F.transform("hs", lambda h, j=j: F.xxhash64(F.lit(j), h))
             ).alias(f"mh{j}")
             for j in range(n_hashes)
         ],
     )
     bands = sig.select(
         "doc_id",
+        "hs",
         F.explode(
             F.array(
                 *[
@@ -92,13 +102,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "hs", "bk.band", "bk.key")
     small = (
         bands.groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("docs"))
+        .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
         .filter(F.size("docs").between(2, BUCKET_CAP))
     )
-    cand = (
+    return (
         small.select(
             F.explode(
                 F.filter(
@@ -108,7 +118,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda a: F.transform(
                                 "docs",
                                 lambda b: F.struct(
-                                    a.alias("doc_a"), b.alias("doc_b")
+                                    a["doc_id"].alias("doc_a"),
+                                    b["doc_id"].alias("doc_b"),
+                                    a["hs"].alias("hs_a"),
+                                    b["hs"].alias("hs_b"),
                                 ),
                             ),
                         )
@@ -117,21 +130,14 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+            "p.doc_a",
+            "p.doc_b",
+            F.round(jaccard(F.col("p.hs_a"), F.col("p.hs_b")), 4).alias(
                 "jaccard_sim"
             ),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_sim") >= 0.5)
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
@@ -420,5 +426,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir, schema = write_replay_files(
         spark, sf_dir, "events", n_files=4
     )
-    stream = replay_as_stream(spark, data_dir, schema, max_files_per_trigger=2)
-    return run_available_now(sessionize(stream), spark)
+    # Stateful ops run exactly `shuffle.partitions` state tasks per
+    # micro-batch (no AQE in streaming), so the session default (sized
+    # for batch shuffles) over-fragments this replay's tiny state —
+    # measured 2× slower at 32 than 8. Size state partitions on a
+    # session CLONE (shared SparkContext, independent SQL conf): the
+    # caller's session is never mutated. At scale this constant is the
+    # state-store sizing knob and is pinned by the first checkpoint.
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=2)
+    return run_available_now(sessionize(stream), s)
