@@ -73,16 +73,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
     )
-    sig = d.select(
-        "doc_id",
-        "hs",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h, j=j: F.xxhash64(F.lit(j), h))
-            ).alias(f"mh{j}")
-            for j in range(n_hashes)
-        ],
-    )
+    # Seeded minhash family. The transform lambda MUST take exactly one
+    # parameter: PySpark inspects lambda arity and passes (element,
+    # index) to a two-parameter function, so the `lambda h, j=j:` idiom
+    # silently rebinds the seed to the array index — collapsing all
+    # n_hashes "independent" hash functions into one and destroying
+    # banded-LSH recall. Bind the seed via an outer closure instead.
+    def _seeded_min(j: int):
+        return F.array_min(
+            F.transform("hs", lambda h: F.xxhash64(F.lit(j), h))
+        ).alias(f"mh{j}")
+
+    sig = d.select("doc_id", "hs", *[_seeded_min(j) for j in range(n_hashes)])
     bands = sig.select(
         "doc_id",
         "hs",
@@ -150,10 +152,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-dup: trigram-shingle sets, candidates = "
     "docs sharing the global min xxhash shingle (1-band minhash LSH), "
     "exact Jaccard on candidates only. One groupBy(minhash) shuffle "
-    "replaces the n² comparison. Trigrams, not bigrams: the corpus "
-    "vocabulary is tiny (31 words → ~900 possible bigrams), so bigram "
-    "min-shingle buckets degenerate into near-all-pairs; trigram space "
-    "(27k observed) keeps bucket fan-out bounded by shingle doc-freq.",
+    "replaces the n² comparison, and buckets are capped at BUCKET_CAP "
+    "docs (skew guard: a popular min-shingle would otherwise create "
+    "one quadratic bucket — degenerate buckets are exact-dup families "
+    "removed by the exact-dedup pass at scale). Trigrams, not bigrams: "
+    "the corpus vocabulary is tiny (31 words → ~900 possible bigrams), "
+    "so bigram min-shingle buckets degenerate into near-all-pairs; "
+    "trigram space (27k observed) keeps fan-out bounded.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_t(spark, sf_dir, "documents")).select(
@@ -164,16 +169,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash",
         F.array_min(F.transform("sh", lambda s: F.xxhash64(s))),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    cand = a.join(b, on="minhash").filter(
-        F.col("a.doc_id") < F.col("b.doc_id")
+    # Capped-bucket expansion (same machinery as minhash/simhash):
+    # collect each min-shingle bucket, refuse to expand buckets larger
+    # than BUCKET_CAP, emit ordered pairs in-bucket. Join input stays
+    # O(n), per-bucket pair work bounded at cap².
+    small = (
+        d.groupBy("minhash")
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("docs"))
+        .filter(F.size("docs").between(2, BUCKET_CAP))
     )
     return (
-        cand.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias(
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda a: F.transform(
+                                "docs",
+                                lambda b: F.struct(
+                                    a["doc_id"].alias("doc_a"),
+                                    b["doc_id"].alias("doc_b"),
+                                    a["sh"].alias("sh_a"),
+                                    b["sh"].alias("sh_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
+        )
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.round(jaccard(F.col("p.sh_a"), F.col("p.sh_b")), 4).alias(
                 "jaccard_sim"
             ),
         )

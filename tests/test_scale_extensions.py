@@ -71,6 +71,53 @@ def test_minhash_recall_and_exactness(spark, sf_dir):
         assert got[pair] == pytest.approx(truth[pair], abs=1e-4)
 
 
+def test_ngram_jaccard_exact_values(spark, sf_dir):
+    """q_ngram_jaccard's reported similarity is the exact trigram
+    Jaccard, and every emitted pair genuinely shares shingles."""
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sh = {}
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        n = max(len(toks) - 2, 1)
+        sh[r["doc_id"]] = {" ".join(toks[i : i + 3]) for i in range(n)}
+    got = REGISTRY["q_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        a, b = sh[r["doc_a"]], sh[r["doc_b"]]
+        want = len(a & b) / len(a | b)
+        assert r["jaccard_sim"] == pytest.approx(want, abs=1e-4)
+        assert want > 0
+
+
+def test_ngram_jaccard_skew_bucket_capped(spark, tmp_path):
+    """A pathological corpus where every doc shares the same min-shingle
+    (identical text) must NOT explode into n²/2 pairs: the bucket
+    exceeds BUCKET_CAP and is refused, so the query returns 0 rows
+    instead of 19,900. This is the 100 TB guard — a single popular
+    shingle cannot create a quadratic bucket."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        BUCKET_CAP,
+    )
+
+    n = 4 * BUCKET_CAP
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact text repeated in every document row").alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit(50).alias("n_chars"),
+    )
+    skew_dir = str(tmp_path / "skew_sf")
+    docs.write.parquet(f"{skew_dir}/documents.parquet")
+    out = REGISTRY["q_ngram_jaccard"].fn(spark, skew_dir)
+    assert out.count() == 0
+
+
 def test_simhash_pairs_are_near_dups(spark, sf_dir):
     truth = _exact_neardup_pairs(spark, sf_dir, threshold=0.3)
     got = REGISTRY["q_simhash_dedup"].fn(spark, sf_dir).collect()
