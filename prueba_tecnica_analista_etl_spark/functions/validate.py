@@ -23,8 +23,15 @@ EMAIL_RE = r"^[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}$"
 
 
 def email_valid(c: Column) -> Column:
-    """Boolean email validity (F3; ``nb:79`` semantics incl. trim)."""
-    return F.trim(c).rlike(EMAIL_RE)
+    """Boolean email validity (F3; ``nb:79`` semantics incl. trim).
+
+    NULL input classifies as **False**, not NULL: the reference's
+    ``.astype(str)`` path turns missing emails into the literal string
+    ``"nan"`` (invalid), so downstream ``== False`` filters must see
+    missing emails as invalid too — a bare ``rlike`` would propagate
+    NULL and silently drop them from both sides.
+    """
+    return F.coalesce(F.trim(c).rlike(EMAIL_RE), F.lit(False))
 
 
 def phone_status(c: Column) -> Column:
