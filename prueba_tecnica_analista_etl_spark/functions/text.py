@@ -102,13 +102,32 @@ def simhash64(feature_hashes: Column) -> Column:
 
     @F.pandas_udf(T.LongType())
     def _sig(hs: pd.Series) -> pd.Series:
+        # Whole-batch vectorization — no per-row Python loop. All rows'
+        # feature arrays are concatenated once; the bit matrix comes
+        # from np.unpackbits over the little-endian byte view (bit i of
+        # each uint64 lands in column i on x86), and the per-row bit
+        # census is one segment-sum (np.add.reduceat at row offsets,
+        # accumulated in int64 so uint8 bits can't overflow).
+        # Precondition: every feature array is non-empty (shingles()
+        # guarantees >=1 shingle per doc).
+        n = len(hs)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        lens = np.fromiter((len(a) for a in hs), count=n, dtype=np.int64)
+        if lens.min() <= 0:
+            raise ValueError("simhash64 requires non-empty feature arrays")
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hs]
+        )
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+        maj = (2 * ones > lens[:, None]).astype(np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
-            maj = (2 * ones > len(a)).astype(np.uint64)
-            out[i] = (maj << shifts).sum(dtype=np.uint64).view(np.int64)
+        out = (maj << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
         return pd.Series(out)
 
     return _sig(feature_hashes)

@@ -42,7 +42,23 @@ def tag_source_order(dfs: Sequence[DataFrame]) -> DataFrame:
     """
     tagged = [
         df.withColumn(SRC_COL, F.lit(i)).withColumn(
-            ROW_COL, F.monotonically_increasing_id()
+            ROW_COL,
+            # True in-file order, robust to Spark's split scheduling:
+            # the scan bin-packs splits sorted by SIZE, so partition
+            # index need not follow byte offset once a file splits —
+            # bare monotonically_increasing_id would then break
+            # "earlier row in file wins". (file, block offset, id)
+            # restores it: block start orders splits within a file,
+            # the id orders rows within a split (its partition index
+            # is constant there). Non-file sources yield ('', -1, id)
+            # for every row and degrade to the plain id order. For
+            # multi-file sources, files order alphabetically —
+            # documented concat-order convention.
+            F.struct(
+                F.input_file_name().alias("f"),
+                F.input_file_block_start().alias("off"),
+                F.monotonically_increasing_id().alias("r"),
+            ),
         )
         for i, df in enumerate(dfs)
     ]
@@ -80,13 +96,26 @@ def keep_first_agg(
 ) -> DataFrame:
     """Scale-path keep-first when survivor order is a single column:
     one hash aggregation with map-side partial combine (no full sort).
-    Emits ``keys + [order_col]`` plus ``min_by`` of every other column.
+
+    The survivor is ``min`` of ``struct(order_col, *other_cols)`` — a
+    lexicographic min over WHOLE ROWS, so when ``order_col`` ties
+    within a key group the remaining columns break the tie and every
+    output column still comes from the same input row. (Independent
+    per-column ``min_by`` calls would tear rows on ties: each could
+    pick its value from a different tied row, fabricating a composite
+    survivor that never existed.)
     """
     others = [c for c in df.columns if c not in set(keys) | {order_col}]
-    aggs = [F.min(order_col).alias(order_col)] + [
-        F.min_by(c, order_col).alias(c) for c in others
-    ]
-    return df.groupBy(*keys).agg(*aggs).select(*df.columns)
+    packed = df.groupBy(*keys).agg(
+        F.min(F.struct(order_col, *others)).alias("_first")
+    )
+    return packed.select(
+        *keys,
+        *[
+            F.col("_first").getField(c).alias(c)
+            for c in [order_col] + others
+        ],
+    ).select(*df.columns)
 
 
 def dup_census(df: DataFrame, keys: Sequence[str]) -> DataFrame:

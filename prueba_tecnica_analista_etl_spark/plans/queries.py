@@ -88,9 +88,28 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+# Plan-construction caches. A DataFrame is an immutable logical plan,
+# so one per (session, sf_dir, table) can be shared by every query:
+# without this, each of the 44 declared queries pays its own parquet
+# file-listing + footer schema read + a round of conf.set py4j calls —
+# measured as the DOMINANT cost of the whole bench at sf0.1 (driver-side
+# plan building, not execution). Keyed by id(spark) with the session
+# object held in the value to make the identity check sound.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+_CONF_ENSURED: dict[int, SparkSession] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    ensure_runtime_conf(spark)
-    return load_table(spark, sf_dir, name)
+    if _CONF_ENSURED.get(id(spark)) is not spark:
+        ensure_runtime_conf(spark)
+        _CONF_ENSURED[id(spark)] = spark
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = load_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = (spark, df)
+    return df
 
 
 def dec2(c: Column) -> Column:

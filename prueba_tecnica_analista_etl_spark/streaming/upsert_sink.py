@@ -23,6 +23,7 @@ from collections.abc import Callable, Sequence
 from typing import TypeVar
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from prueba_tecnica_analista_etl_spark.operators.quality import split_rejects
 from prueba_tecnica_analista_etl_spark.operators.upsert import upsert
@@ -68,6 +69,50 @@ def _paths(target: str) -> tuple[str, str, str]:
     )
 
 
+def _swap_in(data_path: str, tmp: str, batch_id: int) -> None:
+    """Atomic-enough directory swap: rename the live dir ASIDE, rename
+    the fully-written tmp dir into place, then delete the old dir.
+
+    Order matters — the old ``rmtree(data) → rename(tmp, data)`` had a
+    crash window with NO live dir and no ledger entry, so a replayed
+    batch took the first-batch path and silently rebuilt the target
+    from one micro-batch. Here every crash point leaves either the old
+    dir or the new dir recoverable (see :func:`_recover`).
+    """
+    old = data_path + f"._old_{batch_id}"
+    if os.path.exists(data_path):
+        os.rename(data_path, old)
+    os.rename(tmp, data_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _recover(data_path: str) -> None:
+    """Crash recovery, run before every merge decision.
+
+    - live dir present: any ``._old_*`` (crash after rename-in, before
+      delete) and ``._tmp_*`` (crash before swap) leftovers are stale —
+      remove them.
+    - live dir missing but a ``._old_*`` survives (crash between
+      rename-aside and rename-in): restore it — it IS the accumulated
+      base, and without this the replay would rebuild from one batch.
+    """
+    parent = os.path.dirname(data_path) or "."
+    base = os.path.basename(data_path)
+    leftovers = sorted(
+        n
+        for n in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if n.startswith(base + "._old_") or n.startswith(base + "._tmp_")
+    )
+    if not os.path.exists(data_path):
+        olds = [n for n in leftovers if "._old_" in n]
+        if olds:
+            os.rename(os.path.join(parent, olds[-1]), data_path)
+            leftovers = [n for n in leftovers if n != olds[-1]]
+    for n in leftovers:
+        shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+
+
 def read_control(spark: SparkSession, target: str) -> DataFrame | None:
     ctrl = _paths(target)[1]
     if not os.path.exists(ctrl):
@@ -86,6 +131,12 @@ def foreach_batch_upsert(
         stream.writeStream.foreachBatch(
             foreach_batch_upsert(spark, target, ["event_id"])
         ).trigger(availableNow=True).start()
+
+    Scale note: this variant reads and REWRITES the whole target every
+    micro-batch — O(|target|) per batch, fine for harness-sized targets
+    but a scale-killer against a 100 TB base. At scale use
+    :func:`foreach_batch_upsert_partitioned` (rewrites only the
+    partitions containing incoming keys) or a bucketed/Delta target.
     """
     data_path, ctrl_path, rej_path = _paths(target)
 
@@ -101,22 +152,134 @@ def foreach_batch_upsert(
             if rejected.limit(1).count() > 0:
                 rejected.write.mode("append").parquet(rej_path)
 
+        _recover(data_path)
         if os.path.exists(data_path):
             base = spark.read.parquet(data_path)
             merged = upsert(base, batch.select(*base.columns), keys)
         else:
             merged = batch
 
-        # write-then-swap: the target is never half-written
+        # write-then-swap: the target is never half-written and never
+        # lost (rename-aside, rename-in, then delete — see _swap_in)
         tmp = data_path + f"._tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(data_path):
-            shutil.rmtree(data_path)
-        os.rename(tmp, data_path)
+        _swap_in(data_path, tmp, batch_id)
 
         n = spark.read.parquet(data_path).count()
         spark.createDataFrame(
             [(int(batch_id), "OK", int(n))],
+            "batch_id long, estado string, filas long",
+        ).write.mode("append").parquet(ctrl_path)
+
+    return process
+
+
+def _recover_partitioned(data_path: str, target: str) -> None:
+    """Partitioned-target crash recovery: a ``._old_<id>`` root holds
+    partition dirs renamed aside mid-swap. Any of them missing from the
+    live tree (crash between rename-aside and rename-in) is restored;
+    the rest are stale copies of dirs whose replacement landed. Stale
+    ``._tmp_*`` write dirs are removed."""
+    if not os.path.isdir(target):
+        return
+    for n in sorted(os.listdir(target)):
+        p = os.path.join(target, n)
+        if n.startswith("._old_"):
+            for d in os.listdir(p):
+                live = os.path.join(data_path, d)
+                if not os.path.exists(live):
+                    os.rename(os.path.join(p, d), live)
+            shutil.rmtree(p, ignore_errors=True)
+        elif n.startswith(os.path.basename(data_path) + "._tmp_"):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def foreach_batch_upsert_partitioned(
+    spark: SparkSession,
+    target: str,
+    keys: Sequence[str],
+    partition_col: str,
+    rules: dict[str, Column] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Partition-scoped streaming upsert (the 100 TB shape of T5).
+
+    The target is laid out as ``data/{partition_col}={v}/…`` and each
+    micro-batch rewrites ONLY the partitions its keys fall in: the base
+    is read partition-pruned to the batch's partition values, merged
+    with the J4 join-rewrite, written to a tmp dir, and the touched
+    partition dirs are swapped in one by one (rename-aside → rename-in
+    → delete, recoverable at every crash point). Untouched partitions'
+    files are never opened, let alone rewritten — per-batch cost is
+    O(|touched partitions| + |batch|), not O(|target|).
+
+    ``partition_col`` must be a stable function of the key columns
+    (e.g. a date or hash-bucket of the key), otherwise a key could move
+    between partitions and survive in two places.
+
+    The ``filas`` ledger column records rows in the REWRITTEN slice
+    (counting the whole target would be the O(|target|) scan this
+    variant exists to avoid).
+    """
+    data_path, ctrl_path, rej_path = _paths(target)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        ctrl = read_control(spark, target)
+        if ctrl is not None and (
+            ctrl.filter(ctrl.batch_id == batch_id).limit(1).count() > 0
+        ):
+            return
+
+        if rules:
+            batch, rejected = split_rejects(batch, rules)
+            if rejected.limit(1).count() > 0:
+                rejected.write.mode("append").parquet(rej_path)
+
+        _recover_partitioned(data_path, target)
+        vals = [
+            r[0]
+            for r in batch.select(partition_col).distinct().collect()
+        ]
+        if os.path.exists(data_path):
+            base_slice = (
+                spark.read.option("basePath", data_path)
+                .parquet(data_path)
+                .filter(F.col(partition_col).isin(vals))
+            )
+            merged = upsert(
+                base_slice, batch.select(*base_slice.columns), keys
+            )
+        else:
+            merged = batch
+
+        tmp = data_path + f"._tmp_{batch_id}"
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(
+            tmp
+        )
+
+        part_dirs = [
+            d
+            for d in os.listdir(tmp)
+            if d.startswith(f"{partition_col}=")
+        ]
+        old_root = os.path.join(target, f"._old_{batch_id}")
+        os.makedirs(old_root, exist_ok=True)
+        os.makedirs(data_path, exist_ok=True)
+        for d in sorted(part_dirs):
+            live = os.path.join(data_path, d)
+            if os.path.exists(live):
+                os.rename(live, os.path.join(old_root, d))
+            os.rename(os.path.join(tmp, d), live)
+        shutil.rmtree(old_root, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        n_slice = (
+            spark.read.option("basePath", data_path)
+            .parquet(data_path)
+            .filter(F.col(partition_col).isin(vals))
+            .count()
+        )
+        spark.createDataFrame(
+            [(int(batch_id), "OK", int(n_slice))],
             "batch_id long, estado string, filas long",
         ).write.mode("append").parquet(ctrl_path)
 

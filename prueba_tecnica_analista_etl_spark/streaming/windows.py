@@ -40,8 +40,18 @@ def sessionize(
 ) -> DataFrame:
     """Per-user sessions: a session is a run of events with < ``gap``
     between neighbors. Append mode emits a session once the watermark
-    passes its close — the tiny default watermark finalizes nearly all
-    sessions in an availableNow replay."""
+    passes its close.
+
+    **Withheld tail (structural, not a bug):** in an availableNow
+    replay the final watermark stops at ``max(event time) − watermark``,
+    so any session still open within ``gap`` of the stream's end — in
+    particular every user's LAST session — is never emitted. This is
+    exactly Spark's append-mode contract (only finalized windows leave
+    the state store); a live pipeline emits them when later events
+    advance the watermark. Batch parity therefore holds on the subset
+    of sessions whose window end precedes the final watermark — the
+    ``test_sessionize_batch_stream_parity`` test quantifies the gap
+    against a batch ``session_window`` aggregation."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(

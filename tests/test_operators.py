@@ -137,3 +137,53 @@ def test_registry_docs_and_coverage():
         assert spec.doc, f"{name} missing doc"
     assert len(REGISTRY) >= 35
     assert sum(1 for s in REGISTRY.values() if s.oracle) >= 30
+
+
+def test_keep_first_survives_file_splits(spark, tmp_path):
+    """'Earlier row in file wins' must hold even when Spark splits the
+    CSV into many partitions and schedules them in size order — the
+    (file, block offset, row-in-split) ordering key restores true
+    byte order; a bare monotonically_increasing_id would not."""
+    from prueba_tecnica_analista_etl_spark.operators.dedupe import (
+        ROW_COL,
+        SRC_COL,
+        tag_source_order,
+    )
+
+    p = tmp_path / "big.csv"
+    with open(p, "w") as f:
+        f.write("k,v\n")
+        for i in range(200_000):
+            f.write(f"{i % 1000},{i}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = spark.read.option("header", True).csv(str(p))
+        assert df.rdd.getNumPartitions() > 4  # the split actually happened
+        tagged = tag_source_order([df])
+        out = keep_first(tagged, ["k"], [F.asc(SRC_COL), F.asc(ROW_COL)])
+        got = {r["k"]: int(r["v"]) for r in out.collect()}
+        # first occurrence of key k is row k (v == k)
+        assert got == {str(k): k for k in range(1000)}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_keep_first_agg_no_row_tearing(spark):
+    """Ties on order_col must yield ONE real input row, not a composite
+    of per-column minima from different tied rows."""
+    df = spark.createDataFrame(
+        [
+            ("k1", 1, "z", 9),
+            ("k1", 1, "a", 5),  # tie on o: struct tiebreak picks ("a",5)
+            ("k1", 2, "b", 1),
+            ("k2", 7, "q", 3),
+        ],
+        "k string, o long, s string, n long",
+    )
+    rows = {
+        r["k"]: (r["o"], r["s"], r["n"])
+        for r in keep_first_agg(df, ["k"], "o").collect()
+    }
+    # survivor is an actual row: ("a", 5) together, never ("a", 9)
+    assert rows == {"k1": (1, "a", 5), "k2": (7, "q", 3)}

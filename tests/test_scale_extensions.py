@@ -222,3 +222,45 @@ def test_run_with_retry():
             backoff_s=0.5,
             sleep=waits.append,
         )
+
+
+def test_extract_metadata_real_png_gif_dims(spark):
+    """extract_metadata parses REAL dimensions from PNG IHDR and GIF
+    logical-screen headers (pure-Python, no codec lib); payloads with
+    no image magic fall back to the deterministic stub."""
+    import struct
+    import zlib
+
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_metadata,
+    )
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 10
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(png(640, 480))),
+            (2, "image/gif", bytearray(gif(320, 200))),
+            (3, "image/png", bytearray(b"not a real png payload")),
+        ],
+        "asset_id long, media_type string, content binary",
+    )
+    got = {
+        r["asset_id"]: (r["width"], r["height"])
+        for r in extract_metadata(assets).collect()
+    }
+    assert got[1] == (640, 480)
+    assert got[2] == (320, 200)
+    n = len(b"not a real png payload")
+    assert got[3] == (n % 1920, n % 1080)  # stub fallback

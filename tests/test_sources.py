@@ -75,3 +75,32 @@ def test_observed_count_metric(spark, sf_dir):
     df, obs = observed_count(nation, "audit")
     n = df.count()
     assert obs.get["rows"] == n == 25
+
+
+def test_sql_api_twin_of_inner_join(spark, sf_dir):
+    """The SQL-API surface (register_views + spark.sql) produces a
+    frame equal to the DataFrame version of the flagship join — the
+    path the reference's SQL section corresponds to (seccion3_sql.sql
+    runs everything through SQL)."""
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    sql_df = spark.sql(
+        """
+        SELECT r_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+    df_df = REGISTRY["q_inner_join"].fn(spark, sf_dir)
+    assert sorted(tuple(r) for r in sql_df.collect()) == sorted(
+        tuple(r) for r in df_df.collect()
+    )
