@@ -459,11 +459,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateful ops run exactly `shuffle.partitions` state tasks per
     # micro-batch (no AQE in streaming), so the session default (sized
     # for batch shuffles) over-fragments this replay's tiny state —
-    # measured 2× slower at 32 than 8. Size state partitions on a
-    # session CLONE (shared SparkContext, independent SQL conf): the
-    # caller's session is never mutated. At scale this constant is the
-    # state-store sizing knob and is pinned by the first checkpoint.
+    # measured 2× slower at 32 than 8, and 4 is the sweet spot for this
+    # replay's state size. Size state partitions on a session CLONE
+    # (shared SparkContext, independent SQL conf): the caller's session
+    # is never mutated. At scale this constant is the state-store
+    # sizing knob and is pinned by the first checkpoint.
     s = ensure_runtime_conf(spark.newSession())
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=2)
     return run_available_now(sessionize(stream), s)

@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from prueba_tecnica_analista_etl_spark.session import ensure_runtime_conf
 from prueba_tecnica_analista_etl_spark.sources.tables import load_table
 
 
@@ -41,6 +42,12 @@ def write_replay_files(
     key = (sf_dir, table, n_files, time_col)
     if base_dir is None and key in _REPLAY_CACHE:
         return _REPLAY_CACHE[key]
+    # Must run before the read: an externally-built session (the
+    # correctness driver's) lacks nanosAsLong and the ns-timestamp
+    # events table fails schema conversion — this function may be a
+    # query's FIRST table access, so it cannot rely on _t having set
+    # the conf already.
+    ensure_runtime_conf(spark)
     df = load_table(spark, sf_dir, table)
     out = base_dir or tempfile.mkdtemp(prefix=f"replay_{table}_")
     data_dir = os.path.join(out, "data")
