@@ -173,17 +173,17 @@ def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_all",
     """
     SELECT o_orderkey, 'old' AS src FROM orders
-    WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
     UNION ALL
     SELECT o_orderkey, 'new' AS src FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
     """,
     doc="O4: positional two-source append; unionByName matches pandas "
     "concat-by-name semantics (reference load cell).",
 )
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    cutoff = F.lit("1995-01-01").cast("timestamp")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
     old = o.filter(F.col("o_orderdate") < cutoff).select(
         "o_orderkey", F.lit("old").alias("src")
     )
@@ -448,9 +448,9 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_upsert_merge",
     """
     WITH base AS (SELECT * FROM orders
-                  WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+                  WHERE o_orderdate < TIMESTAMP '1999-01-01'),
          new_d AS (SELECT * FROM orders
-                   WHERE o_orderdate >= TIMESTAMP '1994-07-01')
+                   WHERE o_orderdate >= TIMESTAMP '1997-01-01')
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
     FROM new_d
@@ -467,9 +467,9 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    base = o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    base = o.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     new = o.filter(
-        F.col("o_orderdate") >= F.lit("1994-07-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
     )
     merged = upsert(base, new, ["o_orderkey"])
     return merged.select(
@@ -809,3 +809,160 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M7 — beyond-reference relational completions (J5, O5, A11, T3):
+# operator families the reference never uses but a full engine surface
+# needs; each oracle-checked like the core set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="A11: two-dimension CUBE — all four grouping sets in ONE "
+    "shuffle (Expand + partial/final HashAggregate), the same "
+    "single-pass shape as the rollup TOTAL. Grouping-null relabeled "
+    "'ALL' (both dims are non-null in the data, so coalesce is "
+    "unambiguous).",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum(F.col("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias(
+                "status"
+            ),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_intersect_except",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate <  DATE '1998-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1998-01-01')
+    SELECT 'both' AS side, o_custkey
+    FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'old_only' AS side, o_custkey
+    FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """,
+    doc="O5: INTERSECT / EXCEPT (distinct set semantics) — customers "
+    "active in both date halves vs only the old one. Each set op is "
+    "one hash aggregation over the union of the (pre-aggregated "
+    "distinct) sides.",
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = "1998-01-01"
+    a = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .select("o_custkey")
+        .distinct()
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+        .distinct()
+    )
+    return a.intersect(b).select(
+        F.lit("both").alias("side"), "o_custkey"
+    ).unionByName(
+        a.subtract(b).select(F.lit("old_only").alias("side"), "o_custkey")
+    )
+
+
+@query(
+    "q_sliding_window",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS cnt
+    FROM (SELECT unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                 event_type
+          FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="T3: sliding window 2h every 1h × event_type — each event lands "
+    "in exactly two epoch-aligned windows (Spark window(ts,'2 hours',"
+    "'1 hour') = the oracle's explicit two-bucket unnest). One Expand + "
+    "one shuffle, same cost family as tumbling.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT event_id, user_id, asof_event_id FROM (
+      SELECT c.event_id, c.user_id, p.event_id AS asof_event_id,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    ) WHERE rn = 1
+    """,
+    doc="J5 (as-of/point-in-time join): for every click, the same "
+    "user's latest purchase at or before it (feature-store shape). "
+    "Spark impl is the sort-based interleave in operators/asof.py — "
+    "one shuffle + sort on (user, time), NOT the quadratic range-join "
+    "the oracle SQL spells out (fine for DuckDB at oracle scale; the "
+    "row_number over the exploded join is the semantic spec, not the "
+    "plan).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload=["event_id"],
+        tiebreak="event_id",
+    ).select("event_id", "user_id", "asof_event_id")

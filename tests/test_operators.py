@@ -187,3 +187,47 @@ def test_keep_first_agg_no_row_tearing(spark):
     }
     # survivor is an actual row: ("a", 5) together, never ("a", 9)
     assert rows == {"k1": (1, "a", 5), "k2": (7, "q", 3)}
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built as-of cases: strict-before match, equal-timestamp
+    match (<=), tie on time broken by max tiebreak, no-match -> NULL,
+    and whole-row payload (no tearing across payload columns)."""
+    from prueba_tecnica_analista_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 100),
+            (2, "u1", 205),   # matches r at 200 (strictly before)
+            (3, "u1", 300),   # matches r at 300 (equal ts counts)
+            (4, "u2", 50),    # u2 has no right rows -> NULL
+        ],
+        "event_id long, user string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 90, 10, "a"),
+            ("u1", 200, 11, "b"),
+            ("u1", 200, 12, "c"),  # tie at 200: max tiebreak (12) wins
+            ("u1", 300, 13, "d"),
+        ],
+        "user string, t long, rid long, tag string",
+    )
+    got = {
+        r["event_id"]: (r["asof_rid"], r["asof_tag"])
+        for r in asof_join(
+            left,
+            right,
+            keys=["user"],
+            left_time="t",
+            right_time="t",
+            payload=["rid", "tag"],
+            tiebreak="rid",
+        ).collect()
+    }
+    assert got == {
+        1: (10, "a"),
+        2: (12, "c"),
+        3: (13, "d"),
+        4: (None, None),
+    }
