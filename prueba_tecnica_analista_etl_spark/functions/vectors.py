@@ -56,6 +56,71 @@ def random_hyperplanes(
     ]
 
 
+def assign_clusters(v: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id by cosine (spherical k-means assignment).
+
+    The k×dim centroid matrix rides inside the UDF closure (broadcast
+    with the task binary — KBs); each Arrow batch is ONE normalized
+    matmul + argmax. This is the IVF index's partition function: at
+    100 TB the corpus would be written partitioned by this id so a
+    query reads only the probed partitions.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(
+        np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        Mn = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype(np.int32))
+
+    return _assign(v)
+
+
+def ivf_fit(
+    df,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (IVF training).
+
+    Seeds = the k rows with the lowest ids (stable, data-derived — no
+    RNG); each Lloyd iteration is one distributed assignment pass plus
+    a posexplode/avg centroid update whose driver collect is k×dim
+    scalars (the MODEL, not data — O(k·dim), scale-independent).
+    Centroid components are rounded to 6dp after each update so the
+    partition-order-dependent last bits of the double `avg` cannot make
+    training nondeterministic across runs.
+    """
+    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    C = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assigned = df.withColumn(
+            "_c", assign_clusters(F.col(vec_col), C)
+        )
+        rows = (
+            assigned.select(
+                "_c", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("_c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        C2 = C.copy()
+        touched = set()
+        for r in rows:
+            C2[r["_c"], r["pos"]] = r["m"]
+            touched.add(r["_c"])
+        C = np.round(C2, 6)  # empty clusters keep their old centroid
+    return C
+
+
 def sign_bits(v: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH signature: one bit per hyperplane packed into a long.
     Buckets preserve cosine locality (SimHash for dense vectors).

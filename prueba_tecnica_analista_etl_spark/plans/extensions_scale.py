@@ -22,7 +22,9 @@ from prueba_tecnica_analista_etl_spark.functions.text import (
 )
 from prueba_tecnica_analista_etl_spark.functions.vectors import (
     as_double,
+    assign_clusters,
     cosine,
+    ivf_fit,
     random_hyperplanes,
     sign_bits,
 )
@@ -338,6 +340,73 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF ANN: spherical k-means coarse quantizer (deterministic fit,
+    see ``ivf_fit``), corpus assigned to its nearest centroid, query
+    probes the ``nprobe`` nearest centroids and exact-cosine re-ranks
+    only those clusters' members. With the corpus written partitioned
+    by cluster id, a query scans nprobe/k of the data — the IVF scale
+    path; ``nprobe == k`` degrades gracefully to exact brute force
+    (tested equal). Driver-side cost per query is O(dim + k·dim): the
+    query vector and the centroid model, never corpus data."""
+    import numpy as np
+
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    centroids = ivf_fit(e, "v", "vec_id", k=k, iters=iters)
+    assigned = e.withColumn(
+        "cluster", assign_clusters(F.col("v"), centroids)
+    )
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == 0).select("v").collect()[0][0],
+        dtype=np.float64,
+    )
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    sims = Cn @ (qv / max(np.linalg.norm(qv), 1e-12))
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    q = spark.createDataFrame(
+        [(qv.tolist(),)], "qv array<double>"
+    )
+    return (
+        assigned.filter(
+            F.col("cluster").isin(probes) & (F.col("vec_id") != 0)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+@query(
+    "q_ann_ivf",
+    None,
+    doc="ANN via IVF (inverted-file index): deterministic spherical "
+    "k-means coarse quantizer (k=16, 2 Lloyd iterations, Arrow-matmul "
+    "assignment), query probes the 4 nearest centroids, exact cosine "
+    "re-rank of those clusters only — the partition-pruned scale path "
+    "complementing the sign-LSH variant (q_ann_lsh). nprobe=k is "
+    "tested equal to brute force.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf(spark, sf_dir, k=16, nprobe=4, iters=2)
 
 
 @query(

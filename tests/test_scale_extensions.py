@@ -264,3 +264,29 @@ def test_extract_metadata_real_png_gif_dims(spark):
     assert got[2] == (320, 200)
     n = len(b"not a real png payload")
     assert got[3] == (n % 1920, n % 1080)  # stub fallback
+
+
+def test_ann_ivf_exact_when_probing_all_and_recall(spark, sf_dir):
+    """IVF with nprobe == k degrades to exact brute force (same rows,
+    same similarities as q_similarity_topk); at the query's nprobe=4
+    the deterministic recall is 9/10 on this corpus — asserted at a
+    0.8 floor."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        ann_ivf,
+    )
+
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in REGISTRY["q_similarity_topk"].fn(spark, sf_dir).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf(spark, sf_dir, nprobe=16).collect()
+    ]
+    assert full == brute
+
+    probed = {
+        r["vec_id"] for r in REGISTRY["q_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    recall = len(probed & {v for v, _ in brute}) / len(brute)
+    assert recall >= 0.8
