@@ -61,12 +61,13 @@ def fake_assets(documents: DataFrame) -> DataFrame:
 def extract_metadata(assets: DataFrame) -> DataFrame:
     """Decode/inspect assets via Arrow-batched ``mapInPandas``.
 
-    Dimensions are REAL for PNG and GIF payloads — a pure-Python
+    Dimensions are REAL for PNG, GIF and JPEG payloads — a pure-Python
     container-header parse (PNG IHDR big-endian w/h at bytes 16..24,
-    GIF logical-screen little-endian w/h at bytes 6..10), no codec
-    library needed. Payloads whose magic doesn't match fall back to the
-    deterministic length-derived fake (the stub for formats that would
-    need a real decoder); full pixel decode stays behind ``REAL_DECODE``.
+    GIF logical-screen little-endian w/h at bytes 6..10, JPEG marker
+    walk to the first SOF frame header), no codec library needed.
+    Payloads whose magic doesn't match fall back to the deterministic
+    length-derived fake (the stub for formats that would need a real
+    decoder); full pixel decode stays behind ``REAL_DECODE``.
 
     The batch function is fully self-contained (only locals + pandas):
     executor Python workers do NOT have this package importable — a
@@ -101,6 +102,33 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
                     int.from_bytes(b[6:8], "little"),
                     int.from_bytes(b[8:10], "little"),
                 )
+            if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI
+                # Walk marker segments to the first SOF frame header:
+                # [FF marker len16 precision8 height16 width16 ...]
+                i = 2
+                while i + 9 <= len(b):
+                    if b[i] != 0xFF:
+                        i += 1
+                        continue
+                    marker = b[i + 1]
+                    if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                        i += 2  # standalone marker, no length
+                        continue
+                    if i + 4 > len(b):
+                        break
+                    seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                    if 0xC0 <= marker <= 0xCF and marker not in (
+                        0xC4,
+                        0xC8,
+                        0xCC,
+                    ):
+                        if i + 9 <= len(b):
+                            h = int.from_bytes(b[i + 5 : i + 7], "big")
+                            w = int.from_bytes(b[i + 7 : i + 9], "big")
+                            return (w, h)
+                        break
+                    i += 2 + seg_len
+                return None
             return None
 
         lengths = pdf["content"].map(lambda b: 0 if b is None else len(b))

@@ -33,7 +33,11 @@ from prueba_tecnica_analista_etl_spark.session import ensure_runtime_conf
 from prueba_tecnica_analista_etl_spark.sources.tables import spread
 from prueba_tecnica_analista_etl_spark.streaming.replay import (
     replay_as_stream,
+    write_overlapping_replay,
     write_replay_files,
+)
+from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+    dedupe_stream,
 )
 from prueba_tecnica_analista_etl_spark.streaming.windows import (
     run_available_now,
@@ -526,6 +530,24 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@query(
+    "q_stream_dedupe",
+    None,
+    doc="U3/T custom stateful operator (applyInPandasWithState): "
+    "exactly-once projection of an at-least-once stream — two "
+    "overlapping landing files (middle 20% of ids delivered twice, in "
+    "different micro-batches) pass through a per-user seen-id state "
+    "filter; every event_id is emitted exactly once. State partitioned "
+    "by user (one shuffle), checkpointed with the query.",
+)
+def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=1)
+    return run_available_now(dedupe_stream(stream), s)
 
 
 @query(

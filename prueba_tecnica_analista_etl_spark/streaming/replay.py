@@ -10,6 +10,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from prueba_tecnica_analista_etl_spark.session import ensure_runtime_conf
@@ -72,6 +73,49 @@ def write_replay_files(
         os.utime(p, (base_ts + i, base_ts + i))
     if base_dir is None:
         _REPLAY_CACHE[key] = (data_dir, df.schema)
+    return data_dir, df.schema
+
+
+def write_overlapping_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    id_col: str = "event_id",
+) -> tuple[str, T.StructType]:
+    """Landing dir that models AT-LEAST-ONCE delivery: two files whose
+    id ranges overlap (each covers 60% of the id space, middle 20%
+    delivered twice), mtime-ordered so they arrive as separate
+    micro-batches. The union covers every row, so an exactly-once
+    consumer must emit each id exactly once while seeing ~1.2× rows."""
+    key = ("overlap", sf_dir, table, id_col)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
+    ensure_runtime_conf(spark)
+    df = load_table(spark, sf_dir, table)
+    lo, hi = df.agg(
+        F.expr(f"percentile({id_col}, 0.4)"),
+        F.expr(f"percentile({id_col}, 0.6)"),
+    ).first()
+    out = tempfile.mkdtemp(prefix=f"replay_overlap_{table}_")
+    data_dir = os.path.join(out, "data")
+    os.makedirs(data_dir)
+    halves = [
+        df.filter(F.col(id_col) <= hi),
+        df.filter(F.col(id_col) > lo),
+    ]
+    base_ts = None
+    for i, half in enumerate(halves):
+        tmp = os.path.join(out, f"w{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+        )
+        dst = os.path.join(data_dir, f"file-{i}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        if base_ts is None:
+            base_ts = os.path.getmtime(dst)
+        os.utime(dst, (base_ts + i, base_ts + i))
+    _REPLAY_CACHE[key] = (data_dir, df.schema)
     return data_dir, df.schema
 
 

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(U3/T-family: the escape hatch for stateful semantics Spark's built-in
+windows can't express — the reference's §4 design only *names* dedup
+across incremental loads; this realizes it).
+
+``dedupe_stream`` turns an at-least-once stream into an exactly-once
+projection: the first occurrence of each ``id_col`` per ``key_col``
+passes through, every later occurrence — in the same micro-batch or
+any later one — is dropped. State is the per-key set of seen ids,
+checkpointed with the query, so replayed batches stay deduplicated
+across restarts.
+
+Scale notes: state is partitioned by ``key_col`` (same shuffle as any
+grouped aggregation) and grows with distinct ids per key. At 100 TB
+retention must be bounded: hand ``GroupStateTimeout.ProcessingTimeTimeout``
+plus a TTL to expire idle keys, or swap the exact id set for a Bloom
+filter per key (accepting a tunable false-drop rate) — both slot into
+the same ``applyInPandasWithState`` shape. The harness keeps the exact
+set (NoTimeout) because replay streams are finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("ids", T.ArrayType(T.LongType()), True)]
+)
+
+
+def dedupe_stream(
+    stream: DataFrame, key_col: str = "user_id", id_col: str = "event_id"
+) -> DataFrame:
+    """First-occurrence-wins streaming dedup per key (see module doc).
+
+    Output schema = input schema (pass-through of surviving rows).
+    """
+    out_schema = stream.schema
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh = pdf[~pdf[id_col].isin(seen)].drop_duplicates(
+                subset=[id_col]
+            )
+            seen.update(int(x) for x in fresh[id_col])
+            if len(fresh):
+                yield fresh
+        state.update((sorted(seen),))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

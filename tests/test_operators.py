@@ -231,3 +231,46 @@ def test_asof_join_semantics(spark):
         3: (13, "d"),
         4: (None, None),
     }
+
+
+def test_asof_join_random_matches_bruteforce(spark):
+    """200×200 seeded-random as-of join vs a driver-side brute force:
+    the sort-based interleave must agree on every row, including key
+    groups with many time ties."""
+    import random
+
+    from prueba_tecnica_analista_etl_spark.operators.asof import asof_join
+
+    rng = random.Random(0)
+    lefts = [
+        (i, f"u{rng.randrange(5)}", rng.randrange(60)) for i in range(200)
+    ]
+    rights = [
+        (f"u{rng.randrange(5)}", rng.randrange(60), 1000 + i)
+        for i in range(200)
+    ]
+    want = {}
+    for lid, lu, lt in lefts:
+        best = None
+        for ru, rt, rid in rights:
+            if ru == lu and rt <= lt:
+                cand = (rt, rid)
+                if best is None or cand > best:
+                    best = cand
+        want[lid] = best[1] if best else None
+
+    left = spark.createDataFrame(lefts, "lid long, user string, t long")
+    right = spark.createDataFrame(rights, "user string, t long, rid long")
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left,
+            right,
+            keys=["user"],
+            left_time="t",
+            right_time="t",
+            payload=["rid"],
+            tiebreak="rid",
+        ).collect()
+    }
+    assert got == want

@@ -248,11 +248,23 @@ def test_extract_metadata_real_png_gif_dims(spark):
     def gif(w, h):
         return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 10
 
+    def jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
     assets = spark.createDataFrame(
         [
             (1, "image/png", bytearray(png(640, 480))),
             (2, "image/gif", bytearray(gif(320, 200))),
             (3, "image/png", bytearray(b"not a real png payload")),
+            (4, "image/jpeg", bytearray(jpeg(800, 600))),
         ],
         "asset_id long, media_type string, content binary",
     )
@@ -262,6 +274,7 @@ def test_extract_metadata_real_png_gif_dims(spark):
     }
     assert got[1] == (640, 480)
     assert got[2] == (320, 200)
+    assert got[4] == (800, 600)
     n = len(b"not a real png payload")
     assert got[3] == (n % 1920, n % 1080)  # stub fallback
 

@@ -104,3 +104,42 @@ def test_sql_api_twin_of_inner_join(spark, sf_dir):
     assert sorted(tuple(r) for r in sql_df.collect()) == sorted(
         tuple(r) for r in df_df.collect()
     )
+
+
+def test_kafka_source_builder(spark):
+    """S11: the Kafka source builder either constructs the standard
+    7-column streaming frame (connector present) or raises the
+    actionable classpath error (harness container: no connector). The
+    JSON value-lifting helper is exercised on an equivalent batch frame
+    either way."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from prueba_tecnica_analista_etl_spark.sources.kafka import (
+        kafka_source,
+        parse_json_values,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # value-lifting works on any kafka-shaped frame (backfill path)
+    kafka_shaped = spark.createDataFrame(
+        [(b'{"event_id": 7, "value": 1.5}', "t", 0, 0)],
+        "value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+    parsed = parse_json_values(kafka_shaped, schema).collect()
+    assert parsed[0]["event_id"] == 7
+    assert parsed[0]["value"] == 1.5
+
+    try:
+        stream = kafka_source(spark, "localhost:9092", "events")
+    except RuntimeError as ex:
+        assert "connector" in str(ex)
+        pytest.skip("kafka connector not on classpath in harness")
+    assert stream.isStreaming
+    assert "value" in stream.columns

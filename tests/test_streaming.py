@@ -237,3 +237,23 @@ def test_multimodal_meta_deterministic(spark, sf_dir):
     b = _sorted_rows(REGISTRY["q_multimodal_meta"].fn(spark, sf_dir))
     assert a == b
     assert len(a) == 3  # image/audio/video buckets
+
+
+def test_stream_dedupe_exactly_once(spark, sf_dir):
+    """applyInPandasWithState seen-id filter: the overlapping landing
+    dir re-delivers the middle 20% of event ids in a second micro-batch;
+    the stateful operator must emit every id exactly once."""
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        write_overlapping_replay,
+    )
+
+    out = REGISTRY["q_stream_dedupe"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    assert out.count() == n  # exactly once
+    assert out.select("event_id").distinct().count() == n
+
+    # the overlap is real: raw landing rows exceed distinct events
+    data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")
+    raw = spark.read.schema(schema).parquet(data_dir).count()
+    assert raw > n
