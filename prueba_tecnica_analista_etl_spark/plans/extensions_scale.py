@@ -547,7 +547,12 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ensure_runtime_conf(spark.newSession())
     s.conf.set("spark.sql.shuffle.partitions", "4")
     stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=1)
-    return run_available_now(dedupe_stream(stream), s)
+    # Project BEFORE the stateful operator: the dedup decision needs
+    # only (key, id, ts), and every surviving column rides through the
+    # Arrow state channel and the result sink — the wide `props` JSON
+    # string tripled the operator's wall at sf0.1.
+    slim = stream.select("event_id", "user_id", "ts")
+    return run_available_now(dedupe_stream(slim), s)
 
 
 @query(
