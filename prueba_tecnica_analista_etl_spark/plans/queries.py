@@ -966,3 +966,72 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["event_id"],
         tiebreak="event_id",
     ).select("event_id", "user_id", "asof_event_id")
+
+
+@query(
+    "q_stratified_sample",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <=
+          CASE event_type
+            WHEN 'purchase' THEN 'ff'
+            WHEN 'click'    THEN '19'
+            WHEN 'view'     THEN '0c'
+            ELSE '33'
+          END
+    """,
+    doc="training-data extension: DETERMINISTIC stratified sampling — "
+    "per-class keep rates via a lexicographic threshold on "
+    "md5(event_id) (purchase 100%, click ~10%, view ~5%, rest ~20%). "
+    "Hash-mod sampling, not rand(): reproducible across runs, engines "
+    "and partitionings (the property a training pipeline needs for "
+    "auditable splits), embarrassingly parallel, and pushdown-friendly "
+    "— no RNG state, no seed plumbing, oracle-checkable bit-for-bit.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    threshold = (
+        F.when(F.col("event_type") == "purchase", F.lit("ff"))
+        .when(F.col("event_type") == "click", F.lit("19"))
+        .when(F.col("event_type") == "view", F.lit("0c"))
+        .otherwise(F.lit("33"))
+    )
+    return ev.filter(bucket <= threshold).select("event_id", "event_type")
+
+
+@query(
+    "q_text_ratios",
+    """
+    SELECT lang,
+           count(*) AS docs,
+           round(avg(CAST(len(text)
+                 - len(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                 AS DOUBLE) / len(text)), 4) AS punct_ratio,
+           round(avg(CAST(len(text)
+                 - len(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS DOUBLE) / len(text)), 4) AS digit_ratio,
+           round(avg(CAST(len(text)
+                 - len(regexp_replace(text, '[A-Z]', '', 'g'))
+                 AS DOUBLE) / len(text)), 4) AS upper_ratio
+    FROM documents GROUP BY lang
+    """,
+    doc="training-data extension: per-language text-quality ratios "
+    "(punctuation / digit / uppercase density) — the heuristic feature "
+    "block of a corpus quality filter, all native length/regexp "
+    "expressions (count-by-deletion: len(text) - len(text sans class)).",
+)
+def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+
+    def density(pattern: str) -> Column:
+        removed = F.length(F.regexp_replace(F.col("text"), pattern, ""))
+        return (n - removed.cast("double")) / n
+
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg(density(r"[.!?,;:]")), 4).alias("punct_ratio"),
+        F.round(F.avg(density(r"[0-9]")), 4).alias("digit_ratio"),
+        F.round(F.avg(density(r"[A-Z]")), 4).alias("upper_ratio"),
+    )

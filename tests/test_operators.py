@@ -274,3 +274,76 @@ def test_asof_join_random_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Hash-threshold sampling: per-class keep rates land near their
+    thresholds (26/256 for click, 13/256 for view, 52/256 default,
+    100% for purchase) and the sample is bit-identical across runs —
+    the reproducibility property rand()-based sampling lacks."""
+    q = REGISTRY["q_stratified_sample"].fn
+    a = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert a == b  # deterministic
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    kept: dict[str, int] = {}
+    for _, etype in a:
+        kept[etype] = kept.get(etype, 0) + 1
+    assert kept["purchase"] == totals["purchase"]  # 'ff' keeps all
+    for etype, want in [
+        ("click", 26 / 256),
+        ("view", 13 / 256),
+        ("signup", 52 / 256),
+        ("error", 52 / 256),
+    ]:
+        rate = kept.get(etype, 0) / totals[etype]
+        assert abs(rate - want) < 0.06, (etype, rate, want)
+
+
+def test_salted_join_equivalence(spark):
+    """Salted join is row-identical to the plain join on a skewed
+    corpus (one key holds 90% of rows) for every supported join type,
+    and the hot key really is split across salts."""
+    import random
+
+    from prueba_tecnica_analista_etl_spark.operators.salt import (
+        salted_join,
+    )
+
+    rng = random.Random(3)
+    big_rows = [
+        ("hot" if rng.random() < 0.9 else f"k{rng.randrange(20)}", i)
+        for i in range(5000)
+    ]
+    small_rows = [("hot", 100), ("k1", 101), ("k2", 102), ("zz", 103)]
+    big = spark.createDataFrame(big_rows, "k string, v long")
+    small = spark.createDataFrame(small_rows, "k string, w long")
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        want = sorted(
+            tuple(r) for r in big.join(small, on=["k"], how=how).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_join(big, small, ["k"], how=how).collect()
+        )
+        assert got == want, how
+
+    from pyspark.sql import functions as F
+
+    salts = (
+        big.withColumn(
+            "_s",
+            F.pmod(F.hash(F.col("k"), F.col("v")), F.lit(8)),
+        )
+        .filter(F.col("k") == "hot")
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert salts == 8  # the hot key spreads over every salt bucket
