@@ -77,6 +77,28 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     return F.array_min(F.transform(sh, F.md5))
 
 
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): md5 each ordered k-token shingle, take the minimum of
+    every w-wide sliding window of hashes, distinct the minima.
+    Guarantees a shared fingerprint for any shared run of k+w-1 tokens
+    — the standard plagiarism/near-dup fingerprinting scheme.
+
+    Implementation is ALL higher-order array expressions (sequence/
+    slice/array_min) — zero shuffles, zero explode fan-out: the
+    per-doc window walk stays inside one row, so the operator is
+    embarrassingly parallel at any corpus size. md5 (not xxhash64) so
+    the whole operator is oracle-checkable cross-engine.
+    """
+    hs = F.transform(shingles(tokens(text), k), F.md5)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hs, i, w)))
+    )
+
+
 def shingle_hashes(toks: Column, k: int) -> Column:
     """Sorted distinct xxhash64 values of k-shingles — the minhash
     signature source (xxhash64: 64-bit, JVM-side, fast; engine-specific

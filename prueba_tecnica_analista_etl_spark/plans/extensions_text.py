@@ -237,3 +237,48 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_winnow_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         idx AS (SELECT doc_id, toks,
+                        greatest(len(toks) - 2, 1) AS n_sh,
+                        unnest(range(1, greatest(len(toks) - 2, 1) + 1))
+                          AS i
+                 FROM t),
+         sh AS (SELECT doc_id, i, n_sh,
+                       md5(array_to_string(list_slice(toks, i, i + 2),
+                                           ' ')) AS h
+                FROM idx),
+         win AS (SELECT doc_id, i, n_sh,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS fp
+                 FROM sh)
+    SELECT doc_id, count(DISTINCT fp) AS n_fp, min(fp) AS min_fp
+    FROM win WHERE i <= greatest(n_sh - 3, 1)
+    GROUP BY doc_id
+    """,
+    doc="extension (winnowing/MOSS fingerprints): md5 k=3-shingles, "
+    "min of every w=4 sliding window, distinct minima — guarantees a "
+    "shared fingerprint for any shared 6-token run. Spark side is pure "
+    "higher-order array expressions (sequence/slice/array_min): the "
+    "window walk stays inside each row — ZERO shuffles before the "
+    "final projection, vs the oracle's explode + window-frame SQL "
+    "which shuffles every shingle. Same answer, verified row-exact.",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(F.col("text"), k=3, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+    )

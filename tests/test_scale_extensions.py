@@ -303,3 +303,32 @@ def test_ann_ivf_exact_when_probing_all_and_recall(spark, sf_dir):
     }
     recall = len(probed & {v for v, _ in brute}) / len(brute)
     assert recall >= 0.8
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: any two docs sharing a run of
+    k+w-1 = 6 tokens share at least one fingerprint; disjoint docs
+    share none."""
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} and a tail of text"),
+            (2, f"{shared} completely different continuation tokens"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id",
+            winnow_fingerprints(F.col("text"), k=3, w=4).alias("fps"),
+        ).collect()
+    }
+    assert fps[1] & fps[2]          # shared 6-token run -> shared fp
+    assert not (fps[1] & fps[3])    # disjoint docs share nothing
+    assert not (fps[2] & fps[3])
