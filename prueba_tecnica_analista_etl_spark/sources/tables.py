@@ -53,6 +53,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution reader: a 100 TB table's files span schema
+    versions (columns added over time); ``mergeSchema`` unions all
+    footers into one superset schema and older files surface NULLs for
+    columns they predate. Footer merging costs one distributed pass at
+    planning — for hot paths pin an explicit superset ``schema=``
+    instead (same NULL semantics, no merge pass)."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition before expensive per-row compute.
 

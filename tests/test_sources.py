@@ -143,3 +143,28 @@ def test_kafka_source_builder(spark):
         pytest.skip("kafka connector not on classpath in harness")
     assert stream.isStreaming
     assert "value" in stream.columns
+
+
+def test_read_evolving_parquet_schema_union(spark, tmp_path):
+    """Files written under different schema versions read as one table:
+    the superset schema applies, old files yield NULL for columns they
+    predate, values survive per-file."""
+    from pyspark.sql import functions as F
+
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        read_evolving_parquet,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+
+    df = read_evolving_parquet(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    assert df.filter(F.col("score").isNull()).count() == 2

@@ -257,3 +257,69 @@ def test_stream_dedupe_exactly_once(spark, sf_dir):
     data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")
     raw = spark.read.schema(schema).parquet(data_dir).count()
     assert raw > n
+
+
+def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
+    """T7 hard proof: stop the stream, add an overlapping file, restart
+    from the SAME checkpoint — the seen-id state must carry across the
+    restart so re-delivered ids are dropped by the new process."""
+    import uuid
+
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(df, name, mtime):
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+        )
+        dst = str(landing / f"{name}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        # memory sink can't recover a checkpoint; foreachBatch can
+        s = ensure_runtime_conf(spark.newSession())
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = replay_as_stream(s, str(landing), ev.schema, 1)
+        emitted: list[int] = []
+        q = (
+            dedupe_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.append(df.count())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(emitted)
+
+    ids = ev.filter(F.col("event_id") < 3000)
+    drop_file(ids.filter(F.col("event_id") < 2000), "f0", 1_700_000_000)
+    first = run_once()
+    assert first == ids.filter(F.col("event_id") < 2000).count()
+
+    # second delivery: half re-delivered (1000..2000), half new
+    drop_file(
+        ids.filter(F.col("event_id") >= 1000), "f1", 1_700_000_001
+    )
+    second = run_once()
+    fresh = ids.filter(F.col("event_id") >= 2000).count()
+    assert second == fresh  # re-delivered 1000..2000 dropped by state
