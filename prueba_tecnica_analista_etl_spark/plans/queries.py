@@ -1035,3 +1035,52 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(density(r"[0-9]")), 4).alias("digit_ratio"),
         F.round(F.avg(density(r"[A-Z]")), 4).alias("upper_ratio"),
     )
+
+
+@query(
+    "q_range_join",
+    """
+    WITH i AS (SELECT CAST(l_shipdate AS DATE) AS s,
+                      CAST(l_shipdate AS DATE)
+                        + to_days(CAST((l_partkey % 14) + 1 AS INT)) AS e,
+                      (l_partkey % 14) + 1 AS span_days
+               FROM lineitem WHERE year(l_shipdate) = 1998),
+         p AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+               WHERE year(o_orderdate) = 1998)
+    SELECT span_days, count(*) AS matches
+    FROM i JOIN p ON p.d BETWEEN i.s AND i.e
+    GROUP BY span_days
+    """,
+    doc="J5 (range join, point-in-interval, NO equi key): 1998 order "
+    "dates joined into [shipdate, shipdate + span] windows (span = a "
+    "deterministic 1-14 day function of the row). The oracle spells "
+    "the naive theta-join BETWEEN; the Spark plan is the scale-safe "
+    "rewrite — explode each interval into its day bins "
+    "(sequence + explode) and EQUI-join on the bin date, turning the "
+    "O(|I|x|P|) nested loop into one hash shuffle whose fan-out is "
+    "bounded by interval length. The same rewrite covers any bounded "
+    "range predicate at 100 TB.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    span = (F.col("l_partkey") % 14 + 1).cast("int")
+    i = (
+        li.filter(F.year("l_shipdate") == 1998)
+        .select(
+            F.to_date("l_shipdate").alias("s"),
+            span.alias("span_days"),
+        )
+        .withColumn("e", F.date_add(F.col("s"), F.col("span_days")))
+    )
+    bins = i.select(
+        "span_days", F.explode(F.sequence("s", "e")).alias("d")
+    )
+    p = o.filter(F.year("o_orderdate") == 1998).select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    return (
+        bins.join(p, "d")
+        .groupBy(F.col("span_days").cast("long").alias("span_days"))
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
