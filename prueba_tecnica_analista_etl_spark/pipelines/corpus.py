@@ -1,0 +1,88 @@
+"""Corpus curation pipeline — the end-to-end shape of a training-data
+prep job, composing the engine's extension operators into one lazy DAG:
+
+    documents
+      → quality gate   (length + stopword-ratio heuristics, native)
+      → exact dedup    (content-keyed keep-first, one shuffle)
+      → near-dup purge (banded-minhash candidate pairs, greedy
+                        min-doc_id survivor per pair)
+
+Greedy survivor rule: every near-dup pair is emitted as
+(doc_a < doc_b); dropping all ``doc_b`` keeps the minimum id of each
+similarity clique found by the pair generator — the standard
+cheap-and-deterministic alternative to full connected components
+(which would need an iterative algorithm; at 100 TB run GraphFrames CC
+or iterate the same pair join if transitive closure matters).
+
+Each stage is one shuffle; nothing collects to the driver except the
+audit counts (``observe``-style, after the fact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.functions.text import (
+    STOPWORDS,
+    n_tokens,
+    stopword_hits,
+    tokens,
+)
+from prueba_tecnica_analista_etl_spark.operators.dedupe import keep_first
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 4,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Heuristic quality filter: minimum length and (optionally) a
+    minimum any-language stopword density — gibberish has none."""
+    toks = tokens(F.col("text"))
+    all_stops = [w for ws in STOPWORDS.values() for w in ws]
+    d = docs.withColumn("n_tokens", n_tokens(F.col("text"))).withColumn(
+        "_stop_ratio",
+        stopword_hits(toks, all_stops) / F.col("n_tokens"),
+    )
+    return d.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("_stop_ratio") >= min_stopword_ratio)
+    ).drop("_stop_ratio")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Content-keyed keep-first: survivor = min doc_id per identical
+    text (md5 the key at scale to shrink shuffle width)."""
+    return keep_first(docs, ["text"], [F.asc("doc_id")])
+
+
+def near_dup_purge(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Drop the greater side of every near-dup pair (greedy min-id
+    survivor). ``pairs`` must carry (doc_a < doc_b) columns."""
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, min_tokens: int = 4
+) -> tuple[DataFrame, dict[str, int]]:
+    """Full curation chain over the ``documents`` table; returns the
+    surviving corpus and per-stage audit counts."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        q_minhash_dedup,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = quality_gate(docs, min_tokens=min_tokens)
+    deduped = exact_dedup(gated)
+    pairs = q_minhash_dedup(spark, sf_dir)
+    survivors = near_dup_purge(deduped, pairs)
+    stats = {
+        "input_docs": docs.count(),
+        "after_quality": gated.count(),
+        "after_exact_dedup": deduped.count(),
+        "after_near_dup": survivors.count(),
+    }
+    return survivors, stats

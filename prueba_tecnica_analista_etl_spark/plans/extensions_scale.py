@@ -579,3 +579,28 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s.conf.set("spark.sql.shuffle.partitions", "4")
     stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=2)
     return run_available_now(sessionize(stream), s)
+
+
+@query(
+    "q_corpus_curate",
+    None,
+    doc="flagship training-data composition: quality gate (length + "
+    "stopword density) -> exact dedup (content keep-first) -> minhash "
+    "near-dup purge (greedy min-id survivor per pair) as ONE lazy DAG "
+    "(pipelines/corpus.py); returns the surviving corpus. Rows-only: "
+    "the minhash stage is not SQL-expressible.",
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        exact_dedup,
+        near_dup_purge,
+        quality_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = quality_gate(docs, min_tokens=4)
+    deduped = exact_dedup(gated)
+    pairs = q_minhash_dedup(spark, sf_dir)
+    return near_dup_purge(deduped, pairs).select(
+        "doc_id", "lang", "n_tokens"
+    )

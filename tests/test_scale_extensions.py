@@ -332,3 +332,32 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert fps[1] & fps[2]          # shared 6-token run -> shared fp
     assert not (fps[1] & fps[3])    # disjoint docs share nothing
     assert not (fps[2] & fps[3])
+
+
+def test_curate_corpus_stage_invariants(spark, sf_dir):
+    """The curation chain's invariants: monotone shrinking counts, no
+    identical texts among survivors, no surviving near-dup pair, and
+    the greedy rule keeps the min doc_id of every pair."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        curate_corpus,
+    )
+
+    survivors, stats = curate_corpus(spark, sf_dir)
+    assert (
+        stats["input_docs"]
+        >= stats["after_quality"]
+        >= stats["after_exact_dedup"]
+        >= stats["after_near_dup"]
+    )
+    assert stats["after_near_dup"] == survivors.count() > 0
+
+    assert (
+        survivors.groupBy("text").count().filter("count > 1").count()
+        == 0
+    )
+
+    pairs = REGISTRY["q_minhash_dedup"].fn(spark, sf_dir).collect()
+    alive = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    for p in pairs:
+        assert not (p["doc_a"] in alive and p["doc_b"] in alive)
+        assert p["doc_b"] not in alive  # greedy min-id survivor
