@@ -1084,3 +1084,43 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("span_days").cast("long").alias("span_days"))
         .agg(F.count(F.lit(1)).alias("matches"))
     )
+
+
+@query(
+    "q_hypertable_rollup",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="hypertable/continuous-aggregate pattern: the day level is "
+    "computed FROM the hourly rollup (sum of sums, sum of counts), "
+    "not from raw events — the two-tier re-aggregation a time-series "
+    "store materializes incrementally. The oracle aggregates the raw "
+    "table directly, so the hash match PROVES the rollup algebra is "
+    "lossless (decimal sums are associative; count re-sums exactly). "
+    "At scale the hourly tier is materialized once by the streaming "
+    "job (tumbling_counts) and every coarser query reads it instead "
+    "of raw data — here both tiers live in one lazy DAG.",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec2(F.col("value"))).alias("total_dec"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(
+                F.date_trunc("day", F.col("w.start")), "yyyy-MM-dd"
+            ).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total_dec").cast("double").alias("total"),
+        )
+    )
