@@ -282,3 +282,60 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).cast("long").alias("n_fp"),
         F.array_min(fps).alias("min_fp"),
     )
+
+
+@query(
+    "q_ann_batch",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8)
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q.q_id, e.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                        / (sqrt(list_dot_product(
+                             CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.q_id
+    ) WHERE rn <= 3
+    """,
+    doc="extension (batch similarity search): top-3 neighbors for 8 "
+    "query vectors in ONE corpus scan — the query block is broadcast "
+    "(KBs) and ranking is a per-query window with WindowGroupLimit "
+    "pruning, so many-query brute force costs one pass regardless of "
+    "query count. Complements the per-query scale paths (sign-LSH "
+    "buckets, IVF probing) for the small-query-batch regime where a "
+    "single scan beats index maintenance.",
+)
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id", "vec_id", F.round(F.col("cos"), 4).alias("cos_sim")
+        )
+    )
