@@ -95,3 +95,83 @@ def test_split_rejects_partition(spark, rows):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+LEFTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key
+        st.integers(min_value=0, max_value=30),  # time
+    ),
+    min_size=0,
+    max_size=15,
+)
+RIGHTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(lefts=LEFTS, rights=RIGHTS)
+@SLOW
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """Property: the sort-based as-of equals the brute-force definition
+    'latest right at-or-before, ties by max rid' on arbitrary inputs —
+    including empty sides, all-tied timestamps, single-key pileups."""
+    from prueba_tecnica_analista_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rights)],
+        "k long, t long, rid long",
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rid"], "rid"
+        ).collect()
+    }
+    want = {}
+    for i, (lk, lt) in enumerate(lefts):
+        best = None
+        for j, (rk, rt) in enumerate(rights):
+            if rk == lk and rt <= lt:
+                cand = (rt, 100 + j)
+                if best is None or cand > best:
+                    best = cand
+        want[i] = best[1] if best else None
+    assert got == want
+
+
+@given(big=KV, small=KV)
+@settings(
+    max_examples=6,  # 4 join types × 2 collects per example
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_join_matches_plain(spark, big, small):
+    """Property: salted_join == plain join for every supported type on
+    arbitrary (skew-free and skewed alike) inputs."""
+    from prueba_tecnica_analista_etl_spark.operators.salt import (
+        salted_join,
+    )
+
+    b = _df(spark, big)
+    s = keep_first(_df(spark, small), ["k"], [F.asc("pos")]).select(
+        "k", F.col("v").alias("w")
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        want = sorted(
+            tuple(r) for r in b.join(s, on=["k"], how=how).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_join(b, s, ["k"], how=how, n_salts=4).collect()
+        )
+        assert got == want, how
