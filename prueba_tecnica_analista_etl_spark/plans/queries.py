@@ -1044,9 +1044,12 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(l_shipdate AS DATE)
                         + to_days(CAST((l_partkey % 14) + 1 AS INT)) AS e,
                       (l_partkey % 14) + 1 AS span_days
-               FROM lineitem WHERE year(l_shipdate) = 1998),
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                 AND l_shipdate <  TIMESTAMP '1999-01-01'),
          p AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
-               WHERE year(o_orderdate) = 1998)
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                 AND o_orderdate <  TIMESTAMP '1999-01-01')
     SELECT span_days, count(*) AS matches
     FROM i JOIN p ON p.d BETWEEN i.s AND i.e
     GROUP BY span_days
@@ -1065,8 +1068,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     span = (F.col("l_partkey") % 14 + 1).cast("int")
+    # Literal bounds, not year(): range predicates on the raw column
+    # push down to the parquet scan (row-group min/max pruning at
+    # scale); year(cast(...)) is not a pushable filter.
     i = (
-        li.filter(F.year("l_shipdate") == 1998)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
         .select(
             F.to_date("l_shipdate").alias("s"),
             span.alias("span_days"),
@@ -1076,9 +1085,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = i.select(
         "span_days", F.explode(F.sequence("s", "e")).alias("d")
     )
-    p = o.filter(F.year("o_orderdate") == 1998).select(
-        F.to_date("o_orderdate").alias("d")
-    )
+    p = o.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select(F.to_date("o_orderdate").alias("d"))
     return (
         bins.join(p, "d")
         .groupBy(F.col("span_days").cast("long").alias("span_days"))
