@@ -46,6 +46,23 @@ def asof_join(
     assert tiebreak in payload, "tiebreak must be a payload column"
     key_list = list(keys)
     lcols = left.columns
+    for c in payload:
+        if f"{prefix}{c}" in lcols:
+            raise ValueError(
+                f"asof_join output column {prefix}{c!s} collides with an "
+                "existing left column; pass a different prefix"
+            )
+    for reserved in (_SIDE, _TIME, "_asof_p", "_asof_hit"):
+        if reserved in lcols or reserved in right.columns:
+            raise ValueError(
+                f"asof_join reserved column {reserved} already present"
+            )
+
+    # NULL-time rows never participate in "at or before": a right row
+    # with NULL right_time must not be carried into any left row (it
+    # would otherwise sort first under asc-nulls-first and leak into
+    # every left row preceding the first real right row).
+    right = right.filter(F.col(right_time).isNotNull())
 
     l_side = left.withColumn(_TIME, F.col(left_time)).withColumn(
         _SIDE, F.lit(1)
@@ -91,8 +108,16 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # A left row with NULL left_time gets NULL payload explicitly —
+    # with NULL right times filtered above the window already yields
+    # NULL there (nulls-first puts it before every right row), but the
+    # mask makes the contract hold independent of null-ordering.
     carried = packed.withColumn(
-        "_asof_hit", F.last("_asof_p", ignorenulls=True).over(w)
+        "_asof_hit",
+        F.when(
+            F.col(_TIME).isNotNull(),
+            F.last("_asof_p", ignorenulls=True).over(w),
+        ),
     )
     return (
         carried.filter(F.col(_SIDE) == 1)

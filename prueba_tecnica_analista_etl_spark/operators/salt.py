@@ -41,6 +41,11 @@ def salted_join(
     a right/full outer would duplicate unmatched small rows.
     """
     assert how in ("inner", "left", "left_semi", "left_anti")
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(
+            f"salted_join reserved column {_SALT} already present in an "
+            "input; rename it before salting"
+        )
     key_list = list(on)
     salt = F.pmod(
         F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)

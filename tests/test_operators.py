@@ -233,6 +233,66 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_null_times_never_match(spark):
+    """NULL-time rows stay out of the match: a right row with NULL
+    right_time must never be carried into any left row (it would
+    otherwise sort first under asc-nulls-first and leak into left rows
+    that precede the first real right row), and a left row with NULL
+    left_time keeps NULL payload."""
+    from prueba_tecnica_analista_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 50), (2, "u1", None), (3, "u1", 250)],
+        "event_id long, user string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 99, "leak"), ("u1", 200, 11, "b")],
+        "user string, t long, rid long, tag string",
+    )
+    got = {
+        r["event_id"]: (r["asof_rid"], r["asof_tag"])
+        for r in asof_join(
+            left,
+            right,
+            keys=["user"],
+            left_time="t",
+            right_time="t",
+            payload=["rid", "tag"],
+            tiebreak="rid",
+        ).collect()
+    }
+    # event 1 precedes every real right row -> NULL (not the leak row);
+    # event 2 has NULL left time -> NULL; event 3 matches the real row.
+    assert got == {1: (None, None), 2: (None, None), 3: (11, "b")}
+
+
+def test_asof_and_salt_collision_guards(spark):
+    """Output-name collisions fail fast instead of corrupting caller
+    columns: a left frame that already has `asof_rid`, and a salted
+    input that already has `_salt`."""
+    import pytest
+
+    from prueba_tecnica_analista_etl_spark.operators.asof import asof_join
+    from prueba_tecnica_analista_etl_spark.operators.salt import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 50, 7)], "event_id long, user string, t long, asof_rid long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 40, 11)], "user string, t long, rid long"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left, right, keys=["user"], left_time="t", right_time="t",
+            payload=["rid"], tiebreak="rid",
+        )
+
+    big = spark.createDataFrame([(1, 2, 0)], "k long, v long, _salt long")
+    small = spark.createDataFrame([(1, 9)], "k long, w long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(big, small, on=["k"])
+
+
 def test_asof_join_random_matches_bruteforce(spark):
     """200×200 seeded-random as-of join vs a driver-side brute force:
     the sort-based interleave must agree on every row, including key
