@@ -136,6 +136,63 @@ def test_pivot_golden(ep1):
     assert rollup["TOTAL"][1] == pytest.approx(11_274_856.1, abs=0.011)
 
 
+def test_export_matches_committed_output(spark):
+    """Row-for-row parity with the reference's own committed export
+    (``Seccion_2_Python/flights_unificado_limpio.csv``, written by the
+    notebook's export cell ``nb:116``): all 15,000 rows, all 19 columns,
+    in the notebook's concat order.
+
+    The only normalization applied is the documented pandas artifact on
+    Col_9/Col_10: pandas read them as float64 and ``to_csv`` serialized
+    ``0`` as ``0.0``; our bronze layer is stringly-typed by design, so
+    those two columns are compared as floats (exact value, not approx).
+    The other 17 columns must match byte-for-byte (NULL ↔ empty field,
+    the CSV encoding of missing)."""
+    import csv
+
+    from prueba_tecnica_analista_etl_spark.pipelines.flights import (
+        clean_for_export,
+    )
+
+    schema = flights_schema()
+    a = read_csv_repaired(
+        spark, f"{S2}/flights_10000v2.csv", schema, sep=";"
+    )
+    b = read_csv_repaired(
+        spark, f"{S2}/flights_5000v2.csv", schema, sep=";"
+    )
+    tagged = tag_source_order([a, b])
+    export_ordered = (
+        clean_for_export(tagged)
+        .orderBy(SRC_COL, ROW_COL)
+        .drop(SRC_COL, ROW_COL)
+    )
+
+    def norm(row):
+        out = []
+        for j, v in enumerate(row):
+            v = "" if v is None else v
+            if j in (8, 9) and v != "":  # Col_9/Col_10: pandas float64
+                v = repr(float(v))
+            out.append(v)
+        return tuple(out)
+
+    ours = [norm(r) for r in export_ordered.collect()]
+    with open(
+        f"{S2}/flights_unificado_limpio.csv",
+        encoding="utf-8-sig",
+        newline="",
+    ) as f:
+        rd = csv.reader(f)
+        header = next(rd)
+        theirs = [norm(row) for row in rd]
+
+    assert header == [f"Col_{i}" for i in range(1, 20)]
+    assert len(ours) == len(theirs) == 15_000
+    for i, (o, t) in enumerate(zip(ours, theirs)):
+        assert o == t, f"row {i}: {o} != {t}"
+
+
 @pytest.fixture(scope="module")
 def ep2(spark):
     """EP2 on the real ','-family CSVs: base=flights_5000, new=
