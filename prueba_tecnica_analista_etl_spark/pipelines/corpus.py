@@ -7,12 +7,14 @@ prep job, composing the engine's extension operators into one lazy DAG:
       → near-dup purge (banded-minhash candidate pairs, greedy
                         min-doc_id survivor per pair)
 
-Greedy survivor rule: every near-dup pair is emitted as
-(doc_a < doc_b); dropping all ``doc_b`` keeps the minimum id of each
-similarity clique found by the pair generator — the standard
-cheap-and-deterministic alternative to full connected components
-(which would need an iterative algorithm; at 100 TB run GraphFrames CC
-or iterate the same pair join if transitive closure matters).
+Survivor rule: every near-dup pair is emitted as (doc_a < doc_b) and
+the purge computes the greedy min-id maximal independent set by
+fixpoint iteration — a doc is dropped only while some SURVIVING
+smaller near-dup of it exists. One-shot "drop every doc_b" would
+over-purge chains (A~B, B~C, A≁C kills C even though its only
+near-dup B is itself dead); the iteration re-admits such docs. Still
+the cheap-and-deterministic alternative to full connected components
+(at 100 TB run GraphFrames CC if transitive-closure cliques matter).
 
 Each stage is one shuffle; nothing collects to the driver except the
 audit counts (``observe``-style, after the fact).
@@ -57,11 +59,49 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return keep_first(docs, ["text"], [F.asc("doc_id")])
 
 
-def near_dup_purge(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Drop the greater side of every near-dup pair (greedy min-id
-    survivor). ``pairs`` must carry (doc_a < doc_b) columns."""
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return docs.join(losers, "doc_id", "left_anti")
+def near_dup_purge(
+    docs: DataFrame, pairs: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Greedy min-id survivor purge, iterated to fixpoint: drop
+    ``doc_b`` only while its ``doc_a`` still survives. ``pairs`` must
+    carry (doc_a < doc_b) columns.
+
+    Each round recomputes the survivor set from the original ``docs``
+    against the previous round's survivors (chaotic iteration of
+    S = docs − {b : ∃(a,b) ∈ pairs, a ∈ S}); a chain A~B, B~C with
+    A≁C converges to {A, C} in two rounds instead of over-purging C.
+    Convergence needs rounds ≥ the longest alternating chain, so after
+    the cap a final enforcement pass greedy-drops ``doc_b`` of any
+    still-both-alive pair — the no-surviving-near-dup-pair invariant
+    holds unconditionally; only chains deeper than ``rounds`` can
+    still lose a non-duplicate doc. All lazy: each round is two hash
+    joins against the (small) candidate-pair set, no driver data.
+    """
+    pairs = pairs.select("doc_a", "doc_b")
+    survivors = docs
+    for _ in range(rounds):
+        live_pairs = pairs.join(
+            survivors.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_semi",
+        )
+        losers = live_pairs.select(
+            F.col("doc_b").alias("doc_id")
+        ).distinct()
+        survivors = docs.join(losers, "doc_id", "left_anti")
+    both_live = pairs.join(
+        survivors.select(F.col("doc_id").alias("doc_a")),
+        "doc_a",
+        "left_semi",
+    ).join(
+        survivors.select(F.col("doc_id").alias("doc_b")),
+        "doc_b",
+        "left_semi",
+    )
+    final_losers = both_live.select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return survivors.join(final_losers, "doc_id", "left_anti")
 
 
 def curate_corpus(
