@@ -1058,16 +1058,27 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dates joined into [shipdate, shipdate + span] windows (span = a "
     "deterministic 1-14 day function of the row). The oracle spells "
     "the naive theta-join BETWEEN; the Spark plan is the scale-safe "
-    "rewrite — explode each interval into its day bins "
-    "(sequence + explode) and EQUI-join on the bin date, turning the "
-    "O(|I|x|P|) nested loop into one hash shuffle whose fan-out is "
-    "bounded by interval length. The same rewrite covers any bounded "
-    "range predicate at 100 TB.",
+    "rewrite — bin both sides into WEEK buckets (each <=15-day "
+    "interval overlaps at most 3 week bins vs ~9.5 day bins), "
+    "EQUI-join on the bin, and apply the BETWEEN as a residual "
+    "filter. The classic bin-size trade: coarser bins shrink the "
+    "exploded/shuffled row count ~3.6x, paying a post-join residual "
+    "filter over same-week candidates; the nested loop stays "
+    "O(rows x bins-per-interval), never O(|I|x|P|). The same rewrite "
+    "covers any bounded range predicate at 100 TB.",
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     span = (F.col("l_partkey") % 14 + 1).cast("int")
+
+    # Week bin = floor(days-since-epoch-anchor / 7); any fixed anchor
+    # works as long as both sides share it.
+    anchor = F.lit("1998-01-01").cast("date")
+
+    def wk(c):
+        return F.floor(F.datediff(c, anchor) / 7)
+
     # Literal bounds, not year(): range predicates on the raw column
     # push down to the parquet scan (row-group min/max pruning at
     # scale); year(cast(...)) is not a pushable filter.
@@ -1083,14 +1094,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("e", F.date_add(F.col("s"), F.col("span_days")))
     )
     bins = i.select(
-        "span_days", F.explode(F.sequence("s", "e")).alias("d")
+        "span_days",
+        "s",
+        "e",
+        F.explode(F.sequence(wk(F.col("s")), wk(F.col("e")))).alias("wk"),
     )
-    p = o.filter(
-        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-    ).select(F.to_date("o_orderdate").alias("d"))
+    p = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select(F.to_date("o_orderdate").alias("d"))
+        .withColumn("wk", wk(F.col("d")))
+    )
     return (
-        bins.join(p, "d")
+        bins.join(p, "wk")
+        .filter(F.col("d").between(F.col("s"), F.col("e")))
         .groupBy(F.col("span_days").cast("long").alias("span_days"))
         .agg(F.count(F.lit(1)).alias("matches"))
     )
