@@ -51,10 +51,75 @@ from prueba_tecnica_analista_etl_spark.streaming.windows import (
 # candidates — the AND-amplification that keeps the self-join linear.
 MINHASH_BANDS = 4
 MINHASH_ROWS = 3
-BUCKET_CAP = 64  # skew guard: degenerate buckets are exact-dup
-# families — at 100 TB they are removed by the exact-dedup pass first,
-# so refusing to expand a >cap bucket loses no near-dup information
-# while bounding per-bucket pair count at cap².
+BUCKET_CAP = 64  # skew guard: per-bucket pair work is bounded by
+# SUB-SPLITTING oversized buckets (see capped_pair_array), never by
+# silently dropping them.
+
+
+def capped_pair_array(
+    docs_col,
+    id_field: str,
+    payload_field: str,
+    a_name: str,
+    b_name: str,
+    cap: int = BUCKET_CAP,
+    seed: int = 7,
+):
+    """Ordered candidate pairs (``a < b``) from one LSH bucket's
+    member array ``array<struct<{id_field}, {payload_field}>>``, with
+    the skew guard that makes degenerate buckets safe at 100 TB:
+
+    a bucket larger than ``cap`` is SUB-SPLIT, not dropped — members
+    are ordered by a secondary ``xxhash64`` of their id and chunked
+    into ``ceil(n/cap)`` groups of ≤ cap, and pairs expand within each
+    chunk only. Per-bucket work is O(n·cap) instead of O(n²), and a
+    popular bucket still yields its intra-chunk pairs instead of
+    silently vanishing (the round-2 guard refused whole buckets, which
+    let near-dups survive curation with no signal). Cross-chunk pairs
+    are the residual loss; under multi-band LSH any such pair is still
+    found by every OTHER band it shares, and the secondary hash is
+    band-independent so chunk boundaries differ per band. Output
+    fields: ``{a_name}, {b_name}, pa, pb`` (payloads of each side).
+    All expression-level (no extra shuffle, no UDF)."""
+    ordered = F.array_sort(
+        F.transform(
+            docs_col,
+            lambda m: F.struct(
+                F.xxhash64(F.lit(seed), m[id_field]).alias("_h"),
+                m[id_field].alias("_id"),
+                m[payload_field].alias("_p"),
+            ),
+        )
+    )
+    n_chunks_minus1 = F.floor(
+        (F.size(docs_col) - F.lit(1)) / F.lit(cap)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_minus1),
+        lambda c: F.slice(ordered, c * F.lit(cap) + F.lit(1), F.lit(cap)),
+    )
+    return F.flatten(
+        F.transform(
+            chunks,
+            lambda ch: F.filter(
+                F.flatten(
+                    F.transform(
+                        ch,
+                        lambda a: F.transform(
+                            ch,
+                            lambda b: F.struct(
+                                a["_id"].alias(a_name),
+                                b["_id"].alias(b_name),
+                                a["_p"].alias("pa"),
+                                b["_p"].alias("pb"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p[a_name] < p[b_name],
+            ),
+        )
+    )
 
 
 @query(
@@ -114,34 +179,20 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = (
         bands.groupBy("band", "key")
         .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
-        .filter(F.size("docs").between(2, BUCKET_CAP))
+        .filter(F.size("docs") >= 2)
     )
     return (
         small.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "docs",
-                            lambda a: F.transform(
-                                "docs",
-                                lambda b: F.struct(
-                                    a["doc_id"].alias("doc_a"),
-                                    b["doc_id"].alias("doc_b"),
-                                    a["hs"].alias("hs_a"),
-                                    b["hs"].alias("hs_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] < p["doc_b"],
+                capped_pair_array(
+                    F.col("docs"), "doc_id", "hs", "doc_a", "doc_b"
                 )
             ).alias("p")
         )
         .select(
             "p.doc_a",
             "p.doc_b",
-            F.round(jaccard(F.col("p.hs_a"), F.col("p.hs_b")), 4).alias(
+            F.round(jaccard(F.col("p.pa"), F.col("p.pb")), 4).alias(
                 "jaccard_sim"
             ),
         )
@@ -158,10 +209,11 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-dup: trigram-shingle sets, candidates = "
     "docs sharing the global min xxhash shingle (1-band minhash LSH), "
     "exact Jaccard on candidates only. One groupBy(minhash) shuffle "
-    "replaces the n² comparison, and buckets are capped at BUCKET_CAP "
-    "docs (skew guard: a popular min-shingle would otherwise create "
-    "one quadratic bucket — degenerate buckets are exact-dup families "
-    "removed by the exact-dedup pass at scale). Trigrams, not bigrams: "
+    "replaces the n² comparison; oversized buckets are sub-split by a "
+    "secondary hash into <=BUCKET_CAP chunks (skew guard: a popular "
+    "min-shingle would otherwise create one quadratic bucket; "
+    "sub-splitting bounds work at n*cap while still emitting "
+    "intra-chunk pairs). Trigrams, not bigrams: "
     "the corpus vocabulary is tiny (31 words → ~900 possible bigrams), "
     "so bigram min-shingle buckets degenerate into near-all-pairs; "
     "trigram space (27k observed) keeps fan-out bounded.",
@@ -176,40 +228,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform("sh", lambda s: F.xxhash64(s))),
     )
     # Capped-bucket expansion (same machinery as minhash/simhash):
-    # collect each min-shingle bucket, refuse to expand buckets larger
-    # than BUCKET_CAP, emit ordered pairs in-bucket. Join input stays
-    # O(n), per-bucket pair work bounded at cap².
+    # collect each min-shingle bucket; oversized buckets sub-split by
+    # secondary hash (capped_pair_array). Join input stays O(n),
+    # per-bucket pair work bounded at n·cap.
     small = (
         d.groupBy("minhash")
         .agg(F.collect_list(F.struct("doc_id", "sh")).alias("docs"))
-        .filter(F.size("docs").between(2, BUCKET_CAP))
+        .filter(F.size("docs") >= 2)
     )
     return (
         small.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "docs",
-                            lambda a: F.transform(
-                                "docs",
-                                lambda b: F.struct(
-                                    a["doc_id"].alias("doc_a"),
-                                    b["doc_id"].alias("doc_b"),
-                                    a["sh"].alias("sh_a"),
-                                    b["sh"].alias("sh_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] < p["doc_b"],
+                capped_pair_array(
+                    F.col("docs"), "doc_id", "sh", "doc_a", "doc_b"
                 )
             ).alias("p")
         )
         .select(
             "p.doc_a",
             "p.doc_b",
-            F.round(jaccard(F.col("p.sh_a"), F.col("p.sh_b")), 4).alias(
+            F.round(jaccard(F.col("p.pa"), F.col("p.pb")), 4).alias(
                 "jaccard_sim"
             ),
         )
@@ -272,27 +310,13 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = (
         bands.groupBy("band", "key")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("docs"))
-        .filter(F.size("docs").between(2, BUCKET_CAP))
+        .filter(F.size("docs") >= 2)
     )
     return (
         small.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "docs",
-                            lambda a: F.transform(
-                                "docs",
-                                lambda b: F.struct(
-                                    a["doc_id"].alias("doc_a"),
-                                    b["doc_id"].alias("doc_b"),
-                                    a["sig"].alias("sig_a"),
-                                    b["sig"].alias("sig_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] < p["doc_b"],
+                capped_pair_array(
+                    F.col("docs"), "doc_id", "sig", "doc_a", "doc_b"
                 )
             ).alias("p")
         )
@@ -300,7 +324,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p.doc_a",
             "p.doc_b",
             F.bit_count(
-                F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))
+                F.col("p.pa").bitwiseXOR(F.col("p.pb"))
             ).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
@@ -469,34 +493,20 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = (
         bands.groupBy("band", "key")
         .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
-        .filter(F.size("vecs").between(2, BUCKET_CAP))
+        .filter(F.size("vecs") >= 2)
     )
     pairs = (
         small.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "vecs",
-                            lambda a: F.transform(
-                                "vecs",
-                                lambda b: F.struct(
-                                    a["vec_id"].alias("vec_a"),
-                                    b["vec_id"].alias("vec_b"),
-                                    a["v"].alias("va"),
-                                    b["v"].alias("vb"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["vec_a"] < p["vec_b"],
+                capped_pair_array(
+                    F.col("vecs"), "vec_id", "v", "vec_a", "vec_b"
                 )
             ).alias("p")
         )
         .select(
             "p.vec_a",
             "p.vec_b",
-            F.round(cosine(F.col("p.va"), F.col("p.vb")), 4).alias(
+            F.round(cosine(F.col("p.pa"), F.col("p.pb")), 4).alias(
                 "cos_sim"
             ),
         )
