@@ -104,10 +104,25 @@ def keep_first_agg(
     per-column ``min_by`` calls would tear rows on ties: each could
     pick its value from a different tied row, fabricating a composite
     survivor that never existed.)
+
+    NULL ``order_col`` rows sort LAST, matching ``min_by``'s
+    ignore-null ordering: a bare struct-min would rank a NULL
+    order field FIRST (a null struct field is still a comparable
+    struct) and crown an unordered row the survivor. The leading
+    is-null flag (false < true) keeps NULL-order rows from winning
+    unless the whole group is NULL-ordered — unlike ``min_by``, such
+    an all-NULL group still yields a (deterministic) survivor instead
+    of disappearing.
     """
     others = [c for c in df.columns if c not in set(keys) | {order_col}]
     packed = df.groupBy(*keys).agg(
-        F.min(F.struct(order_col, *others)).alias("_first")
+        F.min(
+            F.struct(
+                F.col(order_col).isNull().alias("_null_last"),
+                F.col(order_col).alias(order_col),
+                *[F.col(c).alias(c) for c in others],
+            )
+        ).alias("_first")
     )
     return packed.select(
         *keys,
