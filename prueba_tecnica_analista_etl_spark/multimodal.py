@@ -38,6 +38,8 @@ META_SCHEMA = T.StructType(
         T.StructField("checksum", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
     ]
 )
 
@@ -65,6 +67,9 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
     container-header parse (PNG IHDR big-endian w/h at bytes 16..24,
     GIF logical-screen little-endian w/h at bytes 6..10, JPEG marker
     walk to the first SOF frame header), no codec library needed.
+    ``duration_s``/``sample_rate`` are likewise REAL for RIFF/WAVE
+    (fmt-chunk byte rate ÷ data-chunk size) and MP4 (moov/mvhd
+    timescale + duration box walk) payloads, NULL otherwise.
     Payloads whose magic doesn't match fall back to the deterministic
     length-derived fake (the stub for formats that would need a real
     decoder); full pixel decode stays behind ``REAL_DECODE``.
@@ -111,7 +116,18 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
                         i += 1
                         continue
                     marker = b[i + 1]
-                    if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                    if marker == 0xFF:
+                        # fill byte: advance ONE so a trailing FF can
+                        # still be the prefix of the real marker
+                        # (FF FF C0 must find the C0)
+                        i += 1
+                        continue
+                    if marker == 0x00:
+                        # byte-stuffed FF inside entropy-coded data —
+                        # not a marker, and it has NO length field
+                        i += 2
+                        continue
+                    if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                         i += 2  # standalone marker, no length
                         continue
                     if i + 4 > len(b):
@@ -131,8 +147,70 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
                 return None
             return None
 
+        def sniff_av(b: bytes | None) -> tuple[float | None, int | None] | None:
+            """(duration_s, sample_rate) from audio/video container
+            headers — same spirit as ``sniff_dims``, pure-Python:
+            RIFF/WAVE fmt-chunk byte rate + data-chunk size, or an
+            ISO-BMFF (MP4) moov/mvhd timescale + duration walk."""
+            if b is None:
+                return None
+            b = bytes(b)
+            if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                rate = byte_rate = data_size = None
+                i = 12
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    size = int.from_bytes(b[i + 4 : i + 8], "little")
+                    body = b[i + 8 : i + 8 + size]
+                    if cid == b"fmt " and len(body) >= 16:
+                        rate = int.from_bytes(body[4:8], "little")
+                        byte_rate = int.from_bytes(body[8:12], "little")
+                    elif cid == b"data":
+                        data_size = size
+                    i += 8 + size + (size & 1)  # chunks word-aligned
+                if rate and byte_rate and data_size is not None:
+                    return (data_size / byte_rate, rate)
+                return None
+            if len(b) >= 8 and b[4:8] == b"ftyp":
+
+                def boxes(start: int, end: int):
+                    i = start
+                    while i + 8 <= end:
+                        size = int.from_bytes(b[i : i + 4], "big")
+                        typ = b[i + 4 : i + 8]
+                        hdr = 8
+                        if size == 1:  # 64-bit largesize
+                            if i + 16 > end:
+                                return
+                            size = int.from_bytes(b[i + 8 : i + 16], "big")
+                            hdr = 16
+                        if size < hdr or i + size > end:
+                            return
+                        yield typ, i + hdr, i + size
+                        i += size
+
+                for typ, s, e in boxes(0, len(b)):
+                    if typ != b"moov":
+                        continue
+                    for t2, s2, e2 in boxes(s, e):
+                        if t2 != b"mvhd" or s2 + 4 > e2:
+                            continue
+                        ver = b[s2]
+                        if ver == 1 and s2 + 32 <= e2:
+                            ts = int.from_bytes(b[s2 + 20 : s2 + 24], "big")
+                            dur = int.from_bytes(b[s2 + 24 : s2 + 32], "big")
+                        elif ver == 0 and s2 + 20 <= e2:
+                            ts = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                            dur = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+                        else:
+                            return None
+                        return (dur / ts, None) if ts else None
+                return None
+            return None
+
         lengths = pdf["content"].map(lambda b: 0 if b is None else len(b))
         dims = pdf["content"].map(sniff_dims)
+        avs = pdf["content"].map(sniff_av)
         fake_w = (lengths % 1920).astype("int32")
         fake_h = (lengths % 1080).astype("int32")
         return pd.DataFrame(
@@ -159,6 +237,16 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
                     ],
                     index=pdf.index,
                 ).astype("int32"),
+                "duration_s": pd.Series(
+                    [a[0] if a else None for a in avs],
+                    index=pdf.index,
+                    dtype="float64",
+                ),
+                "sample_rate": pd.Series(
+                    [a[1] if a else None for a in avs],
+                    index=pdf.index,
+                    dtype="Int32",
+                ),
             }
         )
 
