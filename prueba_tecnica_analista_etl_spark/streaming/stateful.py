@@ -12,11 +12,14 @@ across restarts.
 
 Scale notes: state is partitioned by ``key_col`` (same shuffle as any
 grouped aggregation) and grows with distinct ids per key. At 100 TB
-retention must be bounded: hand ``GroupStateTimeout.ProcessingTimeTimeout``
-plus a TTL to expire idle keys, or swap the exact id set for a Bloom
-filter per key (accepting a tunable false-drop rate) — both slot into
-the same ``applyInPandasWithState`` shape. The harness keeps the exact
-set (NoTimeout) because replay streams are finite.
+retention must be bounded: pass ``ttl_ms`` to expire idle buckets via
+``GroupStateTimeout.ProcessingTimeTimeout`` — exactly-once then holds
+for any id re-delivered while its bucket stays warm (received data
+within the TTL), and an idle bucket's id set is dropped, trading
+re-admission of very-late replays for bounded state. The alternative
+bound (per-bucket Bloom filter, tunable false-drop instead of
+false-admit) slots into the same shape. Default stays the exact
+unbounded set because replay streams in the harness are finite.
 """
 
 from __future__ import annotations
@@ -37,7 +40,10 @@ _STATE_SCHEMA = T.StructType(
 
 
 def dedupe_stream(
-    stream: DataFrame, id_col: str = "event_id", n_buckets: int = 64
+    stream: DataFrame,
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """First-occurrence-wins streaming dedup on ``id_col`` (module doc).
 
@@ -49,6 +55,13 @@ def dedupe_stream(
     the operator's wall ~2×. At scale ``n_buckets`` scales with
     executors (state volume per bucket = total ids / n_buckets either
     way). Output schema = input schema + nothing (bucket col dropped).
+
+    ``ttl_ms`` bounds state retention (the 100 TB requirement): a
+    bucket idle for longer than the TTL is evicted by the processing-
+    time timeout, so state volume tracks the *active* id set instead
+    of every id ever seen. Dedup stays exact for ids re-delivered
+    while their bucket is warm; an id replayed after its bucket went
+    idle past the TTL is re-admitted (the documented trade).
     """
     out_schema = stream.schema
     bucketed = stream.withColumn(
@@ -62,6 +75,11 @@ def dedupe_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # Idle past TTL and no data this batch: drop the bucket's
+            # id set entirely. Nothing to emit.
+            state.remove()
+            return
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             fresh = pdf[~pdf[id_col].isin(seen)].drop_duplicates(
@@ -71,11 +89,20 @@ def dedupe_stream(
             if len(fresh):
                 yield fresh[out_cols]
         state.update((sorted(seen),))
+        if ttl_ms is not None:
+            # Relative to this batch's processing time; refreshed on
+            # every batch that touches the bucket.
+            state.setTimeoutDuration(ttl_ms)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return bucketed.groupBy("_dedup_bucket").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
