@@ -189,6 +189,27 @@ def test_keep_first_agg_no_row_tearing(spark):
     assert rows == {"k1": (1, "a", 5), "k2": (7, "q", 3)}
 
 
+def test_keep_first_agg_null_order_sorts_last(spark):
+    """A NULL order_col row must not become the survivor while an
+    ordered row exists (min_by's ignore-null semantics); a group whose
+    every row has NULL order still yields one deterministic survivor."""
+    df = spark.createDataFrame(
+        [
+            ("k1", None, "null-row", 1),
+            ("k1", 5, "real", 2),
+            ("k2", None, "b", 4),
+            ("k2", None, "a", 3),
+        ],
+        "k string, o long, s string, n long",
+    )
+    rows = {
+        r["k"]: (r["o"], r["s"], r["n"])
+        for r in keep_first_agg(df, ["k"], "o").collect()
+    }
+    assert rows["k1"] == (5, "real", 2)  # NULL-order row loses
+    assert rows["k2"] == (None, "a", 3)  # all-NULL group: min of rest
+
+
 def test_asof_join_semantics(spark):
     """Hand-built as-of cases: strict-before match, equal-timestamp
     match (<=), tie on time broken by max tiebreak, no-match -> NULL,

@@ -93,12 +93,13 @@ def test_ngram_jaccard_exact_values(spark, sf_dir):
         assert want > 0
 
 
-def test_ngram_jaccard_skew_bucket_capped(spark, tmp_path):
+def test_ngram_jaccard_skew_bucket_subsplit(spark, tmp_path):
     """A pathological corpus where every doc shares the same min-shingle
-    (identical text) must NOT explode into n²/2 pairs: the bucket
-    exceeds BUCKET_CAP and is refused, so the query returns 0 rows
-    instead of 19,900. This is the 100 TB guard — a single popular
-    shingle cannot create a quadratic bucket."""
+    (identical text) must NOT explode into n²/2 pairs — the oversized
+    bucket is sub-split into ≤BUCKET_CAP chunks — but it must also NOT
+    vanish (the round-2 guard dropped the whole bucket, losing every
+    near-dup signal feeding corpus curation). The query still emits
+    (limit-bounded) exact-dup pairs with jaccard 1.0."""
     from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
         BUCKET_CAP,
     )
@@ -114,8 +115,57 @@ def test_ngram_jaccard_skew_bucket_capped(spark, tmp_path):
     )
     skew_dir = str(tmp_path / "skew_sf")
     docs.write.parquet(f"{skew_dir}/documents.parquet")
-    out = REGISTRY["q_ngram_jaccard"].fn(spark, skew_dir)
-    assert out.count() == 0
+    out = REGISTRY["q_ngram_jaccard"].fn(spark, skew_dir).collect()
+    assert len(out) == 100  # the query's limit, not 19,900 and not 0
+    assert all(r["jaccard_sim"] == 1.0 for r in out)
+
+
+def test_capped_pair_array_bounds_and_coverage(spark):
+    """Direct bound on the sub-split expansion: a 20-member bucket at
+    cap=5 yields exactly 4 chunks × C(5,2) = 40 pairs (vs C(20,2) =
+    190 unguarded), every pair is ordered, deterministic across runs,
+    and an under-cap bucket expands to ALL its pairs."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        capped_pair_array,
+    )
+
+    docs = spark.range(1).select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("doc_id"),
+                    F.lit(i * 10).cast("long").alias("payload"),
+                )
+                for i in range(20)
+            ]
+        ).alias("docs")
+    )
+    expanded = docs.select(
+        F.explode(
+            capped_pair_array(
+                F.col("docs"), "doc_id", "payload", "doc_a", "doc_b", cap=5
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.pa", "p.pb")
+    rows = expanded.collect()
+    assert len(rows) == 4 * 10  # ceil(20/5) chunks × C(5,2)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+    assert all(
+        r["pa"] == r["doc_a"] * 10 and r["pb"] == r["doc_b"] * 10
+        for r in rows
+    )
+    again = expanded.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    small = docs.select(
+        F.explode(
+            capped_pair_array(
+                F.col("docs"), "doc_id", "payload", "doc_a", "doc_b",
+                cap=64,
+            )
+        ).alias("p")
+    )
+    assert small.count() == 190  # C(20,2): nothing lost under the cap
 
 
 def test_simhash_pairs_are_near_dups(spark, sf_dir):
@@ -279,6 +329,106 @@ def test_extract_metadata_real_png_gif_dims(spark):
     assert got[3] == (n % 1920, n % 1080)  # stub fallback
 
 
+def test_extract_metadata_jpeg_fill_and_stuffed_bytes(spark):
+    """JPEG marker-walk edge cases: FF fill bytes before a marker
+    (FF FF C0 — the re-sync must not consume the FF that prefixes the
+    real SOF) and a stuffed FF 00 data byte (not a marker, has no
+    length field) before the frame header."""
+    import struct
+
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_metadata,
+    )
+
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 600, 800)  # h, w
+        + b"\x01\x11\x00"
+    )
+    fill_then_sof = b"\xff\xd8" + b"\xff" + sof0 + b"\xff\xd9"
+    stuffed_then_sof = b"\xff\xd8" + b"\xff\x00" + sof0 + b"\xff\xd9"
+    assets = spark.createDataFrame(
+        [
+            (1, "image/jpeg", bytearray(fill_then_sof)),
+            (2, "image/jpeg", bytearray(stuffed_then_sof)),
+        ],
+        "asset_id long, media_type string, content binary",
+    )
+    got = {
+        r["asset_id"]: (r["width"], r["height"])
+        for r in extract_metadata(assets).collect()
+    }
+    assert got[1] == (800, 600)
+    assert got[2] == (800, 600)
+
+
+def test_extract_metadata_real_wav_mp4_duration(spark):
+    """Real duration/sample-rate from generated WAV and MP4 byte
+    strings (RIFF fmt+data chunks; mvhd v0 and v1 boxes) — the same
+    pure-Python header-parse spirit as the image dims; non-AV payloads
+    get NULLs."""
+    import struct
+
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_metadata,
+    )
+
+    def wav(rate, seconds, channels=1, bits=16):
+        block = channels * bits // 8
+        byte_rate = rate * block
+        data = b"\x00" * int(byte_rate * seconds)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, byte_rate, block, bits
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def mp4(timescale, duration, version=0):
+        if version == 0:
+            mvhd_body = (
+                b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, 0)  # creation, modification
+                + struct.pack(">II", timescale, duration)
+                + b"\x00" * 80
+            )
+        else:
+            mvhd_body = (
+                b"\x01\x00\x00\x00"
+                + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", timescale)
+                + struct.pack(">Q", duration)
+                + b"\x00" * 80
+            )
+        mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+        moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+        return ftyp + moov
+
+    assets = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(wav(8000, 2.5))),
+            (2, "video/mp4", bytearray(mp4(1000, 7500, version=0))),
+            (3, "video/mp4", bytearray(mp4(600, 1200, version=1))),
+            (4, "audio/wav", bytearray(b"no riff magic here")),
+        ],
+        "asset_id long, media_type string, content binary",
+    )
+    got = {
+        r["asset_id"]: (r["duration_s"], r["sample_rate"])
+        for r in extract_metadata(assets).collect()
+    }
+    assert got[1] == (pytest.approx(2.5), 8000)
+    assert got[2] == (pytest.approx(7.5), None)
+    assert got[3] == (pytest.approx(2.0), None)
+    assert got[4] == (None, None)
+
+
 def test_ann_ivf_exact_when_probing_all_and_recall(spark, sf_dir):
     """IVF with nprobe == k degrades to exact brute force (same rows,
     same similarities as q_similarity_topk); at the query's nprobe=4
@@ -332,6 +482,42 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert fps[1] & fps[2]          # shared 6-token run -> shared fp
     assert not (fps[1] & fps[3])    # disjoint docs share nothing
     assert not (fps[2] & fps[3])
+
+
+def test_near_dup_purge_fixpoint_keeps_chain_tail(spark):
+    """Planted chain A~B, B~C with A≁C: one-shot greedy would drop
+    both B and C; the fixpoint purge re-admits C (its only near-dup B
+    is itself dead). Also: a genuine pair still loses its doc_b, and
+    no surviving pair remains even past the round cap (enforcement
+    pass) on a chain longer than `rounds`."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        near_dup_purge,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    # chain 1-2-3 (1≁3), isolated pair (5,6)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    alive = {
+        r["doc_id"] for r in near_dup_purge(docs, pairs).collect()
+    }
+    assert alive == {1, 3, 4, 5, 7, 8}  # C(=3) survives; 2 and 6 drop
+
+    # chain 1-2-3-4-5-6-7-8 is deeper than rounds=2: enforcement must
+    # still leave no surviving pair, even if it over-purges the tail.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    surv = {
+        r["doc_id"]
+        for r in near_dup_purge(docs, chain, rounds=2).collect()
+    }
+    assert 1 in surv
+    for a, b in [(i, i + 1) for i in range(1, 8)]:
+        assert not (a in surv and b in surv)
 
 
 def test_curate_corpus_stage_invariants(spark, sf_dir):

@@ -323,3 +323,106 @@ def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
     second = run_once()
     fresh = ids.filter(F.col("event_id") >= 2000).count()
     assert second == fresh  # re-delivered 1000..2000 dropped by state
+
+
+def test_stateful_dedupe_ttl_bounds_state(spark, sf_dir, tmp_path):
+    """TTL state bound (the 100 TB retention requirement): (a) dedup
+    stays exact while buckets are warm, (b) buckets idle past the TTL
+    are evicted — observed via the state operator's numRowsTotal
+    dropping from all-buckets to zero — and (c) an id re-delivered
+    after its bucket was evicted is re-admitted (the documented trade
+    of bounded state).
+
+    With ProcessingTimeTimeout the availableNow trigger does NOT
+    self-terminate: Spark keeps scheduling (empty) batches, and those
+    empty batches are exactly where idle-bucket timeouts fire. So the
+    harness polls progress and stops the query explicitly instead of
+    awaitTermination()."""
+    import time
+
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream,
+    )
+
+    N_BUCKETS = 8
+    TTL_MS = 1_500
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(df, name, mtime):
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = str(landing / f"{name}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_until(predicate, deadline_s=90):
+        """Start the TTL stream, poll until predicate(emitted,
+        state_rows) holds (or fail), stop, return (emitted, states)."""
+        s = ensure_runtime_conf(spark.newSession())
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = replay_as_stream(s, str(landing), ev.schema, 1)
+        emitted: list[int] = []
+        q = (
+            dedupe_stream(stream, n_buckets=N_BUCKETS, ttl_ms=TTL_MS)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.append(df.count())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + deadline_s
+            while time.monotonic() < deadline:
+                states = [
+                    p["stateOperators"][0]["numRowsTotal"]
+                    for p in q.recentProgress
+                    if p.get("stateOperators")
+                ]
+                if predicate(sum(emitted), states):
+                    return sum(emitted), states
+                time.sleep(0.25)
+            raise AssertionError(
+                f"predicate never held: emitted={emitted} "
+                f"states={states}"
+            )
+        finally:
+            q.stop()
+
+    # (a) warm-path dedup: 1000 ids fill all 8 buckets; re-delivering
+    # half of them in the next micro-batch (well inside the TTL)
+    # emits only the fresh half.
+    ids = ev.filter(F.col("event_id") < 1500)
+    n_ids = ids.count()
+    drop_file(ids.filter(F.col("event_id") < 1000), "f0", 1_700_000_000)
+    drop_file(ids.filter(F.col("event_id") >= 500), "f1", 1_700_000_001)
+    # (b) then keep the query alive with no new data: every bucket
+    # goes idle past the TTL and is evicted in the empty batches.
+    first, states = run_until(
+        lambda em, st: st and st[-1] == 0 and em >= n_ids
+    )
+    assert first == n_ids  # overlap 500..1000 emitted exactly once
+    assert max(states) == N_BUCKETS  # all buckets held state pre-TTL
+
+    # (c) re-admission: an id from the evicted state passes again on
+    # restart from the same checkpoint (bounded-state trade).
+    drop_file(
+        spark.createDataFrame([(42, 1, None)], ev.schema),
+        "f2",
+        1_700_000_002,
+    )
+    third, _ = run_until(lambda em, st: em >= 1)
+    assert third == 1  # id 42 was seen in f0 but its state is gone
