@@ -66,42 +66,62 @@ def near_dup_purge(
     ``doc_b`` only while its ``doc_a`` still survives. ``pairs`` must
     carry (doc_a < doc_b) columns.
 
-    Each round recomputes the survivor set from the original ``docs``
-    against the previous round's survivors (chaotic iteration of
-    S = docs − {b : ∃(a,b) ∈ pairs, a ∈ S}); a chain A~B, B~C with
-    A≁C converges to {A, C} in two rounds instead of over-purging C.
+    The iteration runs over pair ENDPOINTS only, never the corpus: a
+    doc in no pair always survives, so the survivor recursion
+    (S = ids − {b : ∃(a,b) ∈ pairs, a ∈ S}) touches ≤ 2·|pairs| ids —
+    tiny next to ``docs`` at any scale — and ``docs`` itself is
+    anti-joined exactly once at the end. A chain A~B, B~C with A≁C
+    converges to {A, C} in two rounds instead of over-purging C.
     Convergence needs rounds ≥ the longest alternating chain, so after
     the cap a final enforcement pass greedy-drops ``doc_b`` of any
     still-both-alive pair — the no-surviving-near-dup-pair invariant
     holds unconditionally; only chains deeper than ``rounds`` can
-    still lose a non-duplicate doc. All lazy: each round is two hash
-    joins against the (small) candidate-pair set, no driver data.
+    still lose a non-duplicate doc. ``pairs`` is persisted for the
+    iteration (the standard Spark iterative-algorithm pattern: the
+    candidate-pair DAG — shingle, minhash, bucket, expand — must not
+    re-execute once per round).
     """
-    pairs = pairs.select("doc_a", "doc_b")
-    survivors = docs
+    # Persist the loop-invariant pair set AND each round's survivor
+    # frontier: `alive` is referenced by the next round, the
+    # enforcement pass, and the final anti-join, so without a persist
+    # the lineage re-executes ~2× per round (measured: 3.1 → 5.0 →
+    # 12 s for rounds 1..3 at sf0.1; flat ~2 s persisted). All of
+    # these frames are ≤ 2·|pairs| rows.
+    pairs = pairs.select("doc_a", "doc_b").persist()
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    alive = endpoints
     for _ in range(rounds):
-        live_pairs = pairs.join(
-            survivors.select(F.col("doc_id").alias("doc_a")),
-            "doc_a",
-            "left_semi",
+        losers = (
+            pairs.join(
+                alive.select(F.col("doc_id").alias("doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
         )
-        losers = live_pairs.select(
-            F.col("doc_b").alias("doc_id")
-        ).distinct()
-        survivors = docs.join(losers, "doc_id", "left_anti")
+        alive = endpoints.join(losers, "doc_id", "left_anti").persist()
     both_live = pairs.join(
-        survivors.select(F.col("doc_id").alias("doc_a")),
+        alive.select(F.col("doc_id").alias("doc_a")),
         "doc_a",
         "left_semi",
     ).join(
-        survivors.select(F.col("doc_id").alias("doc_b")),
+        alive.select(F.col("doc_id").alias("doc_b")),
         "doc_b",
         "left_semi",
     )
-    final_losers = both_live.select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
-    return survivors.join(final_losers, "doc_id", "left_anti")
+    alive = alive.join(
+        both_live.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    dropped = endpoints.join(alive, "doc_id", "left_anti")
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 def curate_corpus(
