@@ -1057,32 +1057,29 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J5 (range join, point-in-interval, NO equi key): 1998 order "
     "dates joined into [shipdate, shipdate + span] windows (span = a "
     "deterministic 1-14 day function of the row). The oracle spells "
-    "the naive theta-join BETWEEN; the Spark plan is the scale-safe "
-    "rewrite — bin both sides into WEEK buckets (each <=15-day "
-    "interval overlaps at most 3 week bins vs ~9.5 day bins), "
-    "EQUI-join on the bin, and apply the BETWEEN as a residual "
-    "filter. The classic bin-size trade: coarser bins shrink the "
-    "exploded/shuffled row count ~3.6x, paying a post-join residual "
-    "filter over same-week candidates; the nested loop stays "
-    "O(rows x bins-per-interval), never O(|I|x|P|). The same rewrite "
-    "covers any bounded range predicate at 100 TB.",
+    "the naive theta-join BETWEEN; the Spark plan composes two "
+    "scale rewrites. (1) Bin-and-equi-join: explode each interval "
+    "into its day bins and equi-join on the date — O(rows x span), "
+    "never the O(|I|x|P|) nested loop. (2) Aggregate pushdown below "
+    "the join: the query ends in a COUNT, and count algebra "
+    "distributes over a join, so BOTH sides pre-aggregate onto the "
+    "bin key first — intervals to distinct (start, span) combos "
+    "(<=365x14 groups regardless of row count), points to per-day "
+    "counts (<=365 rows) — and the join multiplies the two counts "
+    "instead of streaming every candidate row. The join input "
+    "collapses from |rows| to |distinct keys|: at 100 TB the heavy "
+    "tables are touched exactly once each by a map-side partial "
+    "aggregate, and the range join itself runs on dictionary-sized "
+    "frames.",
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     span = (F.col("l_partkey") % 14 + 1).cast("int")
-
-    # Week bin = floor(days-since-epoch-anchor / 7); any fixed anchor
-    # works as long as both sides share it.
-    anchor = F.lit("1998-01-01").cast("date")
-
-    def wk(c):
-        return F.floor(F.datediff(c, anchor) / 7)
-
     # Literal bounds, not year(): range predicates on the raw column
     # push down to the parquet scan (row-group min/max pruning at
     # scale); year(cast(...)) is not a pushable filter.
-    i = (
+    i_agg = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -1091,27 +1088,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("s"),
             span.alias("span_days"),
         )
-        .withColumn("e", F.date_add(F.col("s"), F.col("span_days")))
+        .groupBy("s", "span_days")
+        .agg(F.count(F.lit(1)).alias("n_i"))
     )
-    bins = i.select(
+    bins = i_agg.select(
         "span_days",
-        "s",
-        "e",
-        F.explode(F.sequence(wk(F.col("s")), wk(F.col("e")))).alias("wk"),
+        "n_i",
+        F.explode(
+            F.sequence(
+                F.col("s"), F.date_add(F.col("s"), F.col("span_days"))
+            )
+        ).alias("d"),
     )
-    p = (
+    p_agg = (
         o.filter(
             (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
         )
         .select(F.to_date("o_orderdate").alias("d"))
-        .withColumn("wk", wk(F.col("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_p"))
     )
     return (
-        bins.join(p, "wk")
-        .filter(F.col("d").between(F.col("s"), F.col("e")))
+        bins.join(F.broadcast(p_agg), "d")
         .groupBy(F.col("span_days").cast("long").alias("span_days"))
-        .agg(F.count(F.lit(1)).alias("matches"))
+        .agg(F.sum(F.col("n_i") * F.col("n_p")).alias("matches"))
     )
 
 
