@@ -80,45 +80,64 @@ def capped_pair_array(
     found by every OTHER band it shares, and the secondary hash is
     band-independent so chunk boundaries differ per band. Output
     fields: ``{a_name}, {b_name}, pa, pb`` (payloads of each side).
-    All expression-level (no extra shuffle, no UDF)."""
-    ordered = F.array_sort(
-        F.transform(
-            docs_col,
-            lambda m: F.struct(
-                F.xxhash64(F.lit(seed), m[id_field]).alias("_h"),
-                m[id_field].alias("_id"),
-                m[payload_field].alias("_p"),
+    All expression-level (no extra shuffle, no UDF). Buckets at or
+    under the cap — the overwhelmingly common case — take a direct
+    n×n expansion with no secondary-hash sort or chunking."""
+
+    def expand(members):
+        return F.filter(
+            F.flatten(
+                F.transform(
+                    members,
+                    lambda a: F.transform(
+                        members,
+                        lambda b: F.struct(
+                            a["_id"].alias(a_name),
+                            b["_id"].alias(b_name),
+                            a["_p"].alias("pa"),
+                            b["_p"].alias("pb"),
+                        ),
+                    ),
+                )
             ),
+            lambda p: p[a_name] < p[b_name],
         )
+
+    plain = F.transform(
+        docs_col,
+        lambda m: F.struct(
+            m[id_field].alias("_id"), m[payload_field].alias("_p")
+        ),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                docs_col,
+                lambda m: F.struct(
+                    F.xxhash64(F.lit(seed), m[id_field]).alias("_h"),
+                    m[id_field].alias("_id"),
+                    m[payload_field].alias("_p"),
+                ),
+            )
+        ),
+        lambda m: F.struct(m["_id"].alias("_id"), m["_p"].alias("_p")),
     )
     n_chunks_minus1 = F.floor(
         (F.size(docs_col) - F.lit(1)) / F.lit(cap)
     ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks_minus1),
-        lambda c: F.slice(ordered, c * F.lit(cap) + F.lit(1), F.lit(cap)),
-    )
-    return F.flatten(
+    chunked = F.flatten(
         F.transform(
-            chunks,
-            lambda ch: F.filter(
-                F.flatten(
-                    F.transform(
-                        ch,
-                        lambda a: F.transform(
-                            ch,
-                            lambda b: F.struct(
-                                a["_id"].alias(a_name),
-                                b["_id"].alias(b_name),
-                                a["_p"].alias("pa"),
-                                b["_p"].alias("pb"),
-                            ),
-                        ),
-                    )
+            F.transform(
+                F.sequence(F.lit(0), n_chunks_minus1),
+                lambda c: F.slice(
+                    ordered, c * F.lit(cap) + F.lit(1), F.lit(cap)
                 ),
-                lambda p: p[a_name] < p[b_name],
             ),
+            expand,
         )
+    )
+    return F.when(F.size(docs_col) <= F.lit(cap), expand(plain)).otherwise(
+        chunked
     )
 
 
@@ -517,11 +536,30 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_meta",
-    None,
+    """
+    SELECT media_type,
+           count(*) AS assets,
+           sum(n_bytes) AS total_bytes,
+           round(avg(n_bytes % 1920), 2) AS avg_width
+    FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents)
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
     doc="multimodal plumbing: binary asset column + Arrow-batched "
-    "mapInPandas metadata extraction (codec decode stubbed "
-    "deterministically — container has no media libs), censused by "
-    "media_type.",
+    "mapInPandas metadata extraction, censused by media_type. "
+    "Oracle-backed: the deterministic fake assets (UTF-8 payloads, "
+    "doc_id%3 media type) make the whole mapInPandas path "
+    "SQL-checkable — n_bytes = payload octet length and width = the "
+    "length-derived stub (text payloads match no container magic), so "
+    "the hash match proves the binary column, Arrow batch flow, and "
+    "header-sniff fallback end-to-end. The REAL header parses "
+    "(PNG/GIF/JPEG dims, WAV/MP4 durations) are covered by contract "
+    "tests on generated container bytes.",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prueba_tecnica_analista_etl_spark.multimodal import (

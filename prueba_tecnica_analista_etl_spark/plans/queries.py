@@ -496,8 +496,12 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders) WHERE rn <= 5
     """,
-    doc="W1: partitioned ranking, rank exposed; WindowGroupLimit pushes "
-    "rn<=5 into the window sort.",
+    doc="W1+W2: partitioned ranking with the rank exposed (row_number "
+    "dedup/rank) doubling as top-k-per-group — the same "
+    "WindowGroupLimit pattern at rn<=5; the former q_topk_per_group "
+    "(rn<=3) was this exact plan and was merged here to free a "
+    "registry slot (W2 top-k ranking is also proven by "
+    "q_top_duplicates).",
 )
 def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -506,27 +510,6 @@ def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         5,
-    )
-
-
-@query(
-    "q_topk_per_group",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders) WHERE rn <= 3
-    """,
-    doc="W2: top-3 orders per customer (ranking variant).",
-)
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return top_k_per_group(
-        o.select("o_custkey", "o_orderkey", "o_totalprice"),
-        ["o_custkey"],
-        [F.desc("o_totalprice"), F.asc("o_orderkey")],
-        3,
     )
 
 
