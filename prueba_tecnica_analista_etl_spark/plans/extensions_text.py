@@ -43,59 +43,140 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_first(d, ["text"], [F.asc("doc_id")]).select("doc_id", "lang")
 
 
-@query(
-    "q_token_count",
-    """
-    SELECT source, count(*) AS docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
-    FROM documents GROUP BY source
-    """,
-    doc="extension (token counting): per-source corpus token budget — "
-    "the sizing query every training-data pipeline starts with.",
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    nt = n_tokens(F.col("text"))
-    return d.select("source", nt.alias("nt")).groupBy("source").agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("nt").cast("long").alias("total_tokens"),
-        F.round(F.avg("nt"), 2).alias("avg_tokens"),
-    )
-
-
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 @query(
-    "q_token_regex",
+    "q_token_count",
     f"""
     SELECT source, count(*) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
            CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}')))
                 AS BIGINT) AS bpe_tokens,
            round(avg(len(regexp_extract_all(text, '{_BPE_PATTERN}'))), 2)
              AS avg_bpe_tokens
     FROM documents GROUP BY source
     """,
-    doc="extension (BPE-ish token counting): pre-tokenizer regex "
-    "(letter runs | digit runs | single other-symbol — the GPT-style "
-    "pre-split shape) counted per source. Same RE2-compatible pattern "
-    "evaluates identically in Spark (Java regex) and DuckDB, so this "
-    "one is oracle-checked, unlike hash-based token ops.",
+    doc="extension (token counting, both tokenizers in ONE scan): "
+    "whitespace tokens plus the BPE-ish pre-tokenizer regex (letter "
+    "runs | digit runs | single other-symbol — the GPT-style "
+    "pre-split shape) per source — the sizing query every "
+    "training-data pipeline starts with. The RE2-compatible pattern "
+    "evaluates identically in Spark (Java regex) and DuckDB, so both "
+    "counts are oracle-checked. (Formerly two registry entries; one "
+    "scan computes both.)",
 )
-def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    nt = F.size(
+    nt = n_tokens(F.col("text"))
+    nb = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
     ).cast("long")
     return (
-        d.select("source", nt.alias("nt"))
+        d.select("source", nt.alias("nt"), nb.alias("nb"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.sum("nt").cast("long").alias("bpe_tokens"),
-            F.round(F.avg("nt"), 2).alias("avg_bpe_tokens"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("nt"), 2).alias("avg_tokens"),
+            F.sum("nb").cast("long").alias("bpe_tokens"),
+            F.round(F.avg("nb"), 2).alias("avg_bpe_tokens"),
         )
+    )
+
+
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+
+@query(
+    "q_pii_scrub",
+    f"""
+    SELECT c_mktsegment, count(*) AS docs,
+           CAST(sum(CASE WHEN n_p + n_e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(n_p) AS BIGINT) AS phones_found,
+           CAST(sum(n_e) AS BIGINT) AS emails_found,
+           CAST(sum(len(scrubbed)) AS BIGINT) AS scrubbed_chars
+    FROM (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(card, '{_PHONE_RE}')) AS n_p,
+             len(regexp_extract_all(card, '{_EMAIL_RE}')) AS n_e,
+             regexp_replace(
+               regexp_replace(card, '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed
+      FROM (
+        SELECT c_mktsegment,
+               concat_ws(' ', c_name,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN printf('%02d-%03d-%03d-%04d',
+                                  c_custkey % 90 + 10,
+                                  c_custkey % 900 + 100,
+                                  (c_custkey * 7) % 900 + 100,
+                                  (c_custkey * 13) % 9000 + 1000)
+                      ELSE 'phone unavailable' END,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN concat('user', CAST(c_custkey AS VARCHAR),
+                                  '@example.com')
+                      ELSE 'mail unavailable' END) AS card
+        FROM customer))
+    GROUP BY c_mktsegment
+    """,
+    doc="extension (PII scrubbing): redact phone numbers and emails "
+    "from free text before training — regexp_extract_all census + "
+    "regexp_replace rewrite in one native pass, no UDF. The driver "
+    "testdata carries no PII-shaped columns, so the contact-card text "
+    "plants deterministic phones (every 3rd customer) and emails "
+    "(every 5th) identically in both engines; matches are real and "
+    "nonzero, and scrubbed_chars makes the oracle value-verify the "
+    "REPLACED text, not just the match counts. RE2-compatible "
+    "patterns evaluate identically in Spark (Java regex) and DuckDB "
+    "(which needs the 'g' flag to match Spark's replace-all "
+    "default). At 100 TB this is a map-only operator: no shuffle "
+    "until the audit aggregate.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        k % 90 + 10,
+        k % 900 + 100,
+        (k * 7) % 900 + 100,
+        (k * 13) % 9000 + 1000,
+    )
+    email = F.concat(
+        F.lit("user"), k.cast("string"), F.lit("@example.com")
+    )
+    card = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.when(k % 3 == 0, phone).otherwise(F.lit("phone unavailable")),
+        F.when(k % 5 == 0, email).otherwise(F.lit("mail unavailable")),
+    )
+    d = c.select(
+        "c_mktsegment",
+        F.size(
+            F.regexp_extract_all(card, F.lit(_PHONE_RE), F.lit(0))
+        ).cast("long").alias("n_p"),
+        F.size(
+            F.regexp_extract_all(card, F.lit(_EMAIL_RE), F.lit(0))
+        ).cast("long").alias("n_e"),
+        F.regexp_replace(
+            F.regexp_replace(card, _PHONE_RE, "<PHONE>"),
+            _EMAIL_RE,
+            "<EMAIL>",
+        ).alias("scrubbed"),
+    )
+    return d.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("n_p") + F.col("n_e") > 0).cast("long")).alias(
+            "docs_with_pii"
+        ),
+        F.sum("n_p").alias("phones_found"),
+        F.sum("n_e").alias("emails_found"),
+        F.sum(F.length("scrubbed")).alias("scrubbed_chars"),
     )
 
 
