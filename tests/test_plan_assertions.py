@@ -1,0 +1,93 @@
+"""Physical-plan regression assertions — the scale properties the
+engine's 100 TB story depends on, pinned as tests so a refactor cannot
+silently lose them:
+
+- predicate pushdown reaches the parquet scan (`PushedFilters`),
+- column pruning reaches the scan (`ReadSchema` lists only used cols),
+- small sides broadcast (`BroadcastHashJoin`, no sort-merge on dims),
+- the range join stays a broadcast equi-join on the bin key,
+- no CartesianProduct/BroadcastNestedLoopJoin anywhere in the declared
+  relational queries (the LSH family is expression-based and shares
+  the same guarantee by construction).
+
+These parse `df.explain`'s text the same way a human plan review does;
+they intentionally assert on stable plan-node NAMES, not exact trees.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_project_prunes_columns_and_pushes_filter(spark):
+    plan = _plan(spark, "q_scan_project")
+    # P6 filter pushed into the scan
+    assert "PushedFilters: [" in plan
+    assert "l_linenumber" in plan.split("PushedFilters")[1].split("]")[0]
+    # only the 4 referenced columns are read, not the 16-col table
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount"):
+        assert col in read_schema
+    for col in ("l_comment", "l_shipmode", "l_quantity"):
+        assert col not in read_schema
+
+
+def test_inner_join_broadcasts_dimensions(spark):
+    """The 4-table star join must broadcast the small dims, never
+    shuffle lineitem-sized inputs into a sort-merge join."""
+    plan = _plan(spark, "q_inner_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_and_anti_joins_broadcast(spark):
+    for q in ("q_semi_join", "q_anti_join"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_range_join_is_broadcast_equi_join_with_pushdown(spark):
+    """The scale-safe rewrite: literal date bounds pushed to BOTH
+    parquet scans, pre-aggregated sides, broadcast equi-join on the
+    day bin — never a nested-loop BETWEEN theta-join."""
+    plan = _plan(spark, "q_range_join")
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_nested_loop_joins_in_relational_registry(spark):
+    """Every oracle-backed query's physical plan is free of
+    CartesianProduct; broadcast nested loops are allowed only where a
+    1-row side makes them trivially safe (none today)."""
+    from prueba_tecnica_analista_etl_spark.plans import oracle_sql
+
+    for name in oracle_sql():
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must stay the interleave+window shape: one
+    Exchange for the key partitioning and a Window, not a join at
+    all (the quadratic theta-join it replaces would show up as a
+    BroadcastNestedLoopJoin)."""
+    plan = _plan(spark, "q_asof_join")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
