@@ -386,6 +386,7 @@ def test_stateful_dedupe_ttl_bounds_state(spark, sf_dir, tmp_path):
         )
         try:
             deadline = time.monotonic() + deadline_s
+            states: list[int] = []
             while time.monotonic() < deadline:
                 states = [
                     p["stateOperators"][0]["numRowsTotal"]
