@@ -166,7 +166,10 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
                         rate = int.from_bytes(body[4:8], "little")
                         byte_rate = int.from_bytes(body[8:12], "little")
                     elif cid == b"data":
-                        data_size = size
+                        # clamp to bytes actually present: a truncated
+                        # or corrupt header declaring a huge data chunk
+                        # must not report hours of phantom audio
+                        data_size = min(size, max(0, len(b) - (i + 8)))
                     i += 8 + size + (size & 1)  # chunks word-aligned
                 if rate and byte_rate and data_size is not None:
                     return (data_size / byte_rate, rate)

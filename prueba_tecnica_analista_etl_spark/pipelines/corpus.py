@@ -66,33 +66,70 @@ def near_dup_purge(
     ``doc_b`` only while its ``doc_a`` still survives. ``pairs`` must
     carry (doc_a < doc_b) columns.
 
-    The iteration runs over pair ENDPOINTS only, never the corpus: a
-    doc in no pair always survives, so the survivor recursion
-    (S = ids − {b : ∃(a,b) ∈ pairs, a ∈ S}) touches ≤ 2·|pairs| ids —
-    tiny next to ``docs`` at any scale — and ``docs`` itself is
-    anti-joined exactly once at the end. A chain A~B, B~C with A≁C
-    converges to {A, C} in two rounds instead of over-purging C.
-    Convergence needs rounds ≥ the longest alternating chain, so after
-    the cap a final enforcement pass greedy-drops ``doc_b`` of any
-    still-both-alive pair — the no-surviving-near-dup-pair invariant
-    holds unconditionally; only chains deeper than ``rounds`` can
-    still lose a non-duplicate doc. ``pairs`` is persisted for the
-    iteration (the standard Spark iterative-algorithm pattern: the
-    candidate-pair DAG — shingle, minhash, bucket, expand — must not
-    re-execute once per round).
+    Pairs are first restricted to those whose BOTH endpoints exist in
+    ``docs``: the pair generator may run over a wider frame (raw
+    corpus before quality gating / exact dedup), and an endpoint
+    absent from ``docs`` must impose no constraint — treating it as a
+    surviving competitor would purge its partner because of a doc
+    that is not even in the corpus.
+
+    The iteration then runs over pair ENDPOINTS only, never the
+    corpus: a doc in no pair always survives, so the survivor
+    recursion (S = ids − {b : ∃(a,b) ∈ pairs, a ∈ S}) touches
+    ≤ 2·|pairs| ids — tiny next to ``docs`` at any scale — and
+    ``docs`` itself is scanned only for the endpoint restriction and
+    the final anti-join. A chain A~B, B~C with A≁C converges to
+    {A, C} in two rounds instead of over-purging C. Convergence needs
+    rounds ≥ the longest alternating chain, so after the cap a final
+    enforcement pass greedy-drops ``doc_b`` of any still-both-alive
+    pair — the no-surviving-near-dup-pair invariant holds
+    unconditionally; only chains deeper than ``rounds`` can still
+    lose a non-duplicate doc.
+
+    Lineage is truncated with ``localCheckpoint`` at every iteration
+    boundary — persist alone is NOT enough: the cached data is
+    reused, but Catalyst re-optimizes the FULL logical plan (with the
+    giant candidate-pair expression tree in every round's lineage) on
+    every action, and plan-compile time alone grew 1.7 → 3.1 s per
+    round at sf0.1; checkpointed, a round is ~0.4 s. The checkpointed
+    frames are ≤ 2·|pairs| rows. Trade: localCheckpoint is
+    non-replayable on executor loss — at cluster scale swap for
+    ``checkpoint()`` with a reliable checkpoint dir.
     """
-    # Persist the loop-invariant pair set AND each round's survivor
-    # frontier: `alive` is referenced by the next round, the
-    # enforcement pass, and the final anti-join, so without a persist
-    # the lineage re-executes ~2× per round (measured: 3.1 → 5.0 →
-    # 12 s for rounds 1..3 at sf0.1; flat ~2 s persisted). All of
-    # these frames are ≤ 2·|pairs| rows.
-    pairs = pairs.select("doc_a", "doc_b").persist()
+    doc_ids = docs.select("doc_id")
+    # Materialize the INPUT pair frame before anything derives from
+    # it: the endpoint restriction references it three times, and the
+    # candidate-pair DAG behind it (shingle, minhash, bucket, expand)
+    # must execute exactly once and then leave the lineage.
+    pairs0 = pairs.select("doc_a", "doc_b").localCheckpoint()
+    raw_endpoints = F.broadcast(
+        pairs0.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs0.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # ids of pair endpoints actually present in the corpus (tiny:
+    # ≤ 2·|pairs| — the broadcast side of one semi-join over docs)
+    present = doc_ids.join(
+        raw_endpoints, "doc_id", "left_semi"
+    ).localCheckpoint()
+    pairs = (
+        pairs0.join(
+            F.broadcast(present.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(present.select(F.col("doc_id").alias("doc_b"))),
+            "doc_b",
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
     endpoints = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     alive = endpoints
     for _ in range(rounds):
@@ -105,7 +142,9 @@ def near_dup_purge(
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        alive = endpoints.join(losers, "doc_id", "left_anti").persist()
+        alive = endpoints.join(
+            losers, "doc_id", "left_anti"
+        ).localCheckpoint()
     both_live = pairs.join(
         alive.select(F.col("doc_id").alias("doc_a")),
         "doc_a",
@@ -130,14 +169,16 @@ def curate_corpus(
     """Full curation chain over the ``documents`` table; returns the
     surviving corpus and per-stage audit counts."""
     from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
-        q_minhash_dedup,
+        minhash_pairs,
     )
     from prueba_tecnica_analista_etl_spark.plans.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
     gated = quality_gate(docs, min_tokens=min_tokens)
     deduped = exact_dedup(gated)
-    pairs = q_minhash_dedup(spark, sf_dir)
+    # The UNCAPPED pair frame: the reporting query's top-100 limit
+    # must never bound what curation purges.
+    pairs = minhash_pairs(spark, sf_dir)
     survivors = near_dup_purge(deduped, pairs)
     stats = {
         "input_docs": docs.count(),

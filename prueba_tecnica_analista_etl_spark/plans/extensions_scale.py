@@ -64,6 +64,7 @@ def capped_pair_array(
     b_name: str,
     cap: int = BUCKET_CAP,
     seed: int = 7,
+    seed_col=None,
 ):
     """Ordered candidate pairs (``a < b``) from one LSH bucket's
     member array ``array<struct<{id_field}, {payload_field}>>``, with
@@ -76,9 +77,15 @@ def capped_pair_array(
     popular bucket still yields its intra-chunk pairs instead of
     silently vanishing (the round-2 guard refused whole buckets, which
     let near-dups survive curation with no signal). Cross-chunk pairs
-    are the residual loss; under multi-band LSH any such pair is still
-    found by every OTHER band it shares, and the secondary hash is
-    band-independent so chunk boundaries differ per band. Output
+    are the residual loss; under multi-band LSH any such pair can
+    still be found by another band it shares — PROVIDED chunk
+    boundaries differ per band, which is why banded callers must pass
+    ``seed_col`` (the band id): a near-identical-text family lands in
+    the same bucket in EVERY band, so a band-independent secondary
+    hash would chunk all bands identically and lose the same
+    cross-chunk pairs everywhere. Single-band callers (n-gram) keep
+    the constant ``seed``; their cross-chunk loss is the documented
+    trade. Output
     fields: ``{a_name}, {b_name}, pa, pb`` (payloads of each side).
     All expression-level (no extra shuffle, no UDF). Buckets at or
     under the cap — the overwhelmingly common case — take a direct
@@ -109,12 +116,13 @@ def capped_pair_array(
             m[id_field].alias("_id"), m[payload_field].alias("_p")
         ),
     )
+    chunk_seed = F.lit(seed) if seed_col is None else seed_col
     ordered = F.transform(
         F.array_sort(
             F.transform(
                 docs_col,
                 lambda m: F.struct(
-                    F.xxhash64(F.lit(seed), m[id_field]).alias("_h"),
+                    F.xxhash64(chunk_seed, m[id_field]).alias("_h"),
                     m[id_field].alias("_id"),
                     m[payload_field].alias("_p"),
                 ),
@@ -141,17 +149,12 @@ def capped_pair_array(
     )
 
 
-@query(
-    "q_minhash_dedup",
-    None,
-    doc="D6 (near-dup, MinHash+LSH): banded minhash over 3-token "
-    "shingles, pure DataFrame ops. Signature = 12 seeded xxhash64 "
-    "minima, grouped 4 bands × 3 rows; candidates share a band key "
-    "(one explode + one shuffle on the key), buckets capped at 64 "
-    "docs (skew guard), exact Jaccard re-rank on candidates only — "
-    "O(n·b) join input instead of O(n²) all-pairs.",
-)
-def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL near-dup pairs (jaccard ≥ 0.5) from banded minhash — the
+    UNCAPPED frame consumers like corpus curation must use. The
+    registry query ``q_minhash_dedup`` is this plus an order/limit for
+    reporting; feeding the limited top-100 into a purge would let
+    pairs 101+ silently survive curation at scale."""
     n_hashes = MINHASH_BANDS * MINHASH_ROWS
     # Shingle once, hash once: every downstream step (minhashes, band
     # keys, exact re-rank) works on the array<long> of shingle hashes,
@@ -204,7 +207,12 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.select(
             F.explode(
                 capped_pair_array(
-                    F.col("docs"), "doc_id", "hs", "doc_a", "doc_b"
+                    F.col("docs"),
+                    "doc_id",
+                    "hs",
+                    "doc_a",
+                    "doc_b",
+                    seed_col=F.col("band"),
                 )
             ).alias("p")
         )
@@ -217,6 +225,24 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_sim") >= 0.5)
+    )
+
+
+@query(
+    "q_minhash_dedup",
+    None,
+    doc="D6 (near-dup, MinHash+LSH): banded minhash over 3-token "
+    "shingles, pure DataFrame ops. Signature = 12 seeded xxhash64 "
+    "minima, grouped 4 bands × 3 rows; candidates share a band key "
+    "(one explode + one shuffle on the key), oversized buckets "
+    "sub-split with a band-dependent secondary hash (skew guard), "
+    "exact Jaccard re-rank on candidates only — O(n·b) join input "
+    "instead of O(n²) all-pairs. Reporting query = top-100 of "
+    "minhash_pairs; pipelines consume the uncapped frame.",
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        minhash_pairs(spark, sf_dir)
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )
@@ -335,7 +361,12 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.select(
             F.explode(
                 capped_pair_array(
-                    F.col("docs"), "doc_id", "sig", "doc_a", "doc_b"
+                    F.col("docs"),
+                    "doc_id",
+                    "sig",
+                    "doc_a",
+                    "doc_b",
+                    seed_col=F.col("band"),
                 )
             ).alias("p")
         )
@@ -518,7 +549,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.select(
             F.explode(
                 capped_pair_array(
-                    F.col("vecs"), "vec_id", "v", "vec_a", "vec_b"
+                    F.col("vecs"),
+                    "vec_id",
+                    "v",
+                    "vec_a",
+                    "vec_b",
+                    seed_col=F.col("band"),
                 )
             ).alias("p")
         )
@@ -539,7 +575,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT media_type,
            count(*) AS assets,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(n_bytes % 1920), 2) AS avg_width
     FROM (
       SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -20,16 +20,14 @@ import pytest
 
 from prueba_tecnica_analista_etl_spark.plans import REGISTRY
 
-SF = "/root/testdata/sf0.001"
 
-
-def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF)
+def _plan(spark, sf_dir: str, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_scan_project_prunes_columns_and_pushes_filter(spark):
-    plan = _plan(spark, "q_scan_project")
+def test_scan_project_prunes_columns_and_pushes_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_project")
     # P6 filter pushed into the scan
     assert "PushedFilters: [" in plan
     assert "l_linenumber" in plan.split("PushedFilters")[1].split("]")[0]
@@ -42,27 +40,27 @@ def test_scan_project_prunes_columns_and_pushes_filter(spark):
         assert col not in read_schema
 
 
-def test_inner_join_broadcasts_dimensions(spark):
+def test_inner_join_broadcasts_dimensions(spark, sf_dir):
     """The 4-table star join must broadcast the small dims, never
     shuffle lineitem-sized inputs into a sort-merge join."""
-    plan = _plan(spark, "q_inner_join")
+    plan = _plan(spark, sf_dir, "q_inner_join")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
-def test_semi_and_anti_joins_broadcast(spark):
+def test_semi_and_anti_joins_broadcast(spark, sf_dir):
     for q in ("q_semi_join", "q_anti_join"):
-        plan = _plan(spark, q)
+        plan = _plan(spark, sf_dir, q)
         assert "BroadcastHashJoin" in plan, q
         assert "CartesianProduct" not in plan, q
 
 
-def test_range_join_is_broadcast_equi_join_with_pushdown(spark):
+def test_range_join_is_broadcast_equi_join_with_pushdown(spark, sf_dir):
     """The scale-safe rewrite: literal date bounds pushed to BOTH
     parquet scans, pre-aggregated sides, broadcast equi-join on the
     day bin — never a nested-loop BETWEEN theta-join."""
-    plan = _plan(spark, "q_range_join")
+    plan = _plan(spark, sf_dir, "q_range_join")
     assert plan.count("PushedFilters: [IsNotNull") >= 2
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
@@ -71,23 +69,23 @@ def test_range_join_is_broadcast_equi_join_with_pushdown(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_no_nested_loop_joins_in_relational_registry(spark):
+def test_no_nested_loop_joins_in_relational_registry(spark, sf_dir):
     """Every oracle-backed query's physical plan is free of
     CartesianProduct; broadcast nested loops are allowed only where a
     1-row side makes them trivially safe (none today)."""
     from prueba_tecnica_analista_etl_spark.plans import oracle_sql
 
     for name in oracle_sql():
-        plan = _plan(spark, name)
+        plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 
 
-def test_asof_join_is_single_shuffle_window(spark):
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     """The as-of join must stay the interleave+window shape: one
     Exchange for the key partitioning and a Window, not a join at
     all (the quadratic theta-join it replaces would show up as a
     BroadcastNestedLoopJoin)."""
-    plan = _plan(spark, "q_asof_join")
+    plan = _plan(spark, sf_dir, "q_asof_join")
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

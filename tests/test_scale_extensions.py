@@ -429,6 +429,35 @@ def test_extract_metadata_real_wav_mp4_duration(spark):
     assert got[4] == (None, None)
 
 
+def test_extract_metadata_wav_truncated_data_chunk(spark):
+    """A WAV whose data chunk header declares far more bytes than the
+    payload carries must report the duration of the bytes actually
+    present, not hours of phantom audio."""
+    import struct
+
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_metadata,
+    )
+
+    rate, block = 8_000, 2
+    byte_rate = rate * block
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, byte_rate, block, 16)
+    # declares 4 GB of data, carries byte_rate bytes (1 s of audio)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * byte_rate
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assets = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(payload))],
+        "asset_id long, media_type string, content binary",
+    )
+    row = extract_metadata(assets).collect()[0]
+    assert row["duration_s"] == pytest.approx(1.0)
+    assert row["sample_rate"] == rate
+
+
 def test_ann_ivf_exact_when_probing_all_and_recall(spark, sf_dir):
     """IVF with nprobe == k degrades to exact brute force (same rows,
     same similarities as q_similarity_topk); at the query's nprobe=4
@@ -505,6 +534,15 @@ def test_near_dup_purge_fixpoint_keeps_chain_tail(spark):
         r["doc_id"] for r in near_dup_purge(docs, pairs).collect()
     }
     assert alive == {1, 3, 4, 5, 7, 8}  # C(=3) survives; 2 and 6 drop
+
+    # an endpoint ABSENT from docs imposes no constraint: pair (0, 7)
+    # where doc 0 was removed upstream (quality gate / exact dedup)
+    # must NOT purge 7 — the ghost competitor is not in the corpus.
+    ghost = spark.createDataFrame([(0, 7)], "doc_a long, doc_b long")
+    alive_g = {
+        r["doc_id"] for r in near_dup_purge(docs, ghost).collect()
+    }
+    assert 7 in alive_g and alive_g == {1, 2, 3, 4, 5, 6, 7, 8}
 
     # chain 1-2-3-4-5-6-7-8 is deeper than rounds=2: enforcement must
     # still leave no surviving pair, even if it over-purges the tail.
