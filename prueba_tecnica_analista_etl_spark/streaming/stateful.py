@@ -16,9 +16,10 @@ retention must be bounded: pass ``ttl_ms`` to expire idle buckets via
 ``GroupStateTimeout.ProcessingTimeTimeout`` — exactly-once then holds
 for any id re-delivered while its bucket stays warm (received data
 within the TTL), and an idle bucket's id set is dropped, trading
-re-admission of very-late replays for bounded state. The alternative
-bound (per-bucket Bloom filter, tunable false-drop instead of
-false-admit) slots into the same shape. Default stays the exact
+re-admission of very-late replays for bounded state. Pass
+``bloom_bits`` for the orthogonal bound — a fixed-size per-bucket
+Bloom filter (constant state bytes, tunable false-drop rate instead
+of late re-admission); the two compose. Default stays the exact
 unbounded set because replay streams in the harness are finite.
 """
 
@@ -38,12 +39,44 @@ _STATE_SCHEMA = T.StructType(
     [T.StructField("ids", T.ArrayType(T.LongType()), True)]
 )
 
+_BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("bits", T.ArrayType(T.LongType()), True)]
+)
+
+
+def _bloom_positions(ids, m: int, k: int):
+    """k double-hashed bit positions per id: shape (len(ids), k).
+
+    Pure-numpy splitmix64-style mixing — deterministic across
+    executors and restarts (no Python hash randomization), vectorized
+    over the whole Arrow batch.
+    """
+    import numpy as np
+
+    x = ids.astype(np.uint64)
+
+    def mix(v, seed):
+        v = (v + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        v ^= v >> np.uint64(30)
+        v *= np.uint64(0xBF58476D1CE4E5B9)
+        v ^= v >> np.uint64(27)
+        v *= np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+        return v
+
+    h1 = mix(x, 0x243F6A8885A308D3)
+    h2 = mix(x, 0x13198A2E03707344) | np.uint64(1)  # odd → full cycle
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
 
 def dedupe_stream(
     stream: DataFrame,
     id_col: str = "event_id",
     n_buckets: int = 64,
     ttl_ms: int | None = None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 4,
 ) -> DataFrame:
     """First-occurrence-wins streaming dedup on ``id_col`` (module doc).
 
@@ -62,6 +95,16 @@ def dedupe_stream(
     of every id ever seen. Dedup stays exact for ids re-delivered
     while their bucket is warm; an id replayed after its bucket went
     idle past the TTL is re-admitted (the documented trade).
+
+    ``bloom_bits`` is the orthogonal state bound: replace each
+    bucket's exact id set with a fixed-size Bloom filter
+    (``bloom_bits`` bits, ``bloom_hashes`` double-hashed probes,
+    vectorized numpy over the Arrow batch). State bytes per bucket
+    are then CONSTANT regardless of id cardinality — the trade flips
+    from late re-admission (TTL) to a tunable false-DROP rate
+    (≈ fill_ratio^k: a fresh id whose probe bits are all already set
+    is wrongly dropped; size m ≈ 14·n_expected/n_buckets bits for
+    ~1e-4). Composable with ``ttl_ms`` (expire idle filters too).
     """
     out_schema = stream.schema
     bucketed = stream.withColumn(
@@ -70,7 +113,7 @@ def dedupe_stream(
     )
     out_cols = [f.name for f in out_schema.fields]
 
-    def fn(
+    def fn_exact(
         key: Any,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
@@ -94,15 +137,48 @@ def dedupe_stream(
             # every batch that touches the bucket.
             state.setTimeoutDuration(ttl_ms)
 
+    m, k = bloom_bits, bloom_hashes
+    n_words = (m + 63) // 64 if m else 0
+
+    def fn_bloom(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            bits = np.array(state.get[0], dtype=np.int64).view(np.uint64)
+        else:
+            bits = np.zeros(n_words, dtype=np.uint64)
+        for pdf in pdfs:
+            batch = pdf.drop_duplicates(subset=[id_col])
+            ids = batch[id_col].to_numpy(dtype=np.int64)
+            pos = _bloom_positions(ids, m, k)  # (n, k)
+            word, off = pos >> np.uint64(6), pos & np.uint64(63)
+            probed = (bits[word] >> off) & np.uint64(1)
+            fresh_mask = ~(probed.all(axis=1))  # any probe bit unset
+            fresh = batch[fresh_mask]
+            fw, fo = word[fresh_mask].ravel(), off[fresh_mask].ravel()
+            np.bitwise_or.at(bits, fw, np.uint64(1) << fo)
+            if len(fresh):
+                yield fresh[out_cols]
+        state.update((bits.view(np.int64).tolist(),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
     return bucketed.groupBy("_dedup_bucket").applyInPandasWithState(
-        fn,
+        fn_bloom if bloom_bits else fn_exact,
         outputStructType=out_schema,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA if bloom_bits else _STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )

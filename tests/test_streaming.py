@@ -325,6 +325,93 @@ def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
     assert second == fresh  # re-delivered 1000..2000 dropped by state
 
 
+def test_bloom_positions_deterministic_and_spread():
+    """The Bloom probe math (no Spark needed): deterministic across
+    calls, k distinct probes per id in [0, m), and distinct ids hit
+    distinct probe sets (no systematic collision for sequential ids —
+    the failure mode of a weak mixer)."""
+    import numpy as np
+
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        _bloom_positions,
+    )
+
+    ids = np.arange(1000, dtype=np.int64)
+    m, k = 1 << 16, 4
+    pos = _bloom_positions(ids, m, k)
+    assert pos.shape == (1000, k)
+    assert (pos < m).all()
+    again = _bloom_positions(ids, m, k)
+    assert (pos == again).all()
+    # sequential ids must not share full probe sets
+    probe_sets = {tuple(sorted(row)) for row in pos.tolist()}
+    assert len(probe_sets) == 1000
+    # bits are well spread: 1000 ids × 4 probes over 65k bits should
+    # set close to 4000 distinct bits (birthday collisions only)
+    assert len(set(pos.ravel().tolist())) > 3800
+
+
+def test_stateful_dedupe_bloom_exactly_once(spark, sf_dir, tmp_path):
+    """Bloom-path stream dedup: re-delivered ids are dropped across
+    micro-batches AND across a checkpoint restart, exactly like the
+    exact-set path, while per-bucket state stays a fixed-size bit
+    array. At this fill ratio (~2k ids × 4 probes over 2^16 bits per
+    bucket across 8 buckets) the false-drop probability is ~1e-9, so
+    the emitted counts are deterministic and exact."""
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(df, name, mtime):
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = str(landing / f"{name}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        s = ensure_runtime_conf(spark.newSession())
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        stream = replay_as_stream(s, str(landing), ev.schema, 1)
+        emitted: list[int] = []
+        q = (
+            dedupe_stream(stream, n_buckets=8, bloom_bits=1 << 16)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.append(df.count())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(emitted)
+
+    ids = ev.filter(F.col("event_id") < 3000)
+    drop_file(ids.filter(F.col("event_id") < 2000), "f0", 1_700_000_000)
+    first = run_once()
+    assert first == ids.filter(F.col("event_id") < 2000).count()
+
+    # overlap re-delivered across a RESTART: bloom state must carry
+    drop_file(ids.filter(F.col("event_id") >= 1000), "f1", 1_700_000_001)
+    second = run_once()
+    assert second == ids.filter(F.col("event_id") >= 2000).count()
+
+
 def test_stateful_dedupe_ttl_bounds_state(spark, sf_dir, tmp_path):
     """TTL state bound (the 100 TB retention requirement): (a) dedup
     stays exact while buckets are warm, (b) buckets idle past the TTL
