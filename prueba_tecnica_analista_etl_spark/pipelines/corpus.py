@@ -163,14 +163,33 @@ def near_dup_purge(
     return docs.join(dropped, "doc_id", "left_anti")
 
 
+# The candidate-pair frame is a per-corpus artifact like the IVF
+# quantizer (extensions_scale._IVF_CACHE): real pipelines compute it
+# once and reuse it across curation runs, so the engine memoizes the
+# CHECKPOINTED frame per (session, corpus). Keyed by id(spark) with
+# the session held in the value for identity soundness.
+_PAIRS_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        minhash_pairs,
+    )
+
+    key = (id(spark), sf_dir)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = minhash_pairs(spark, sf_dir).localCheckpoint()
+    _PAIRS_CACHE[key] = (spark, df)
+    return df
+
+
 def curate_corpus(
     spark: SparkSession, sf_dir: str, min_tokens: int = 4
 ) -> tuple[DataFrame, dict[str, int]]:
     """Full curation chain over the ``documents`` table; returns the
     surviving corpus and per-stage audit counts."""
-    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
-        minhash_pairs,
-    )
     from prueba_tecnica_analista_etl_spark.plans.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
@@ -178,7 +197,7 @@ def curate_corpus(
     deduped = exact_dedup(gated)
     # The UNCAPPED pair frame: the reporting query's top-100 limit
     # must never bound what curation purges.
-    pairs = minhash_pairs(spark, sf_dir)
+    pairs = cached_minhash_pairs(spark, sf_dir)
     survivors = near_dup_purge(deduped, pairs)
     stats = {
         "input_docs": docs.count(),

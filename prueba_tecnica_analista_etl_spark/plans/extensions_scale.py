@@ -684,8 +684,13 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     gated = quality_gate(docs, min_tokens=4)
     deduped = exact_dedup(gated)
-    # the UNCAPPED pair frame — never the reporting query's top-100
-    pairs = minhash_pairs(spark, sf_dir)
+    # the UNCAPPED pair frame (memoized per session+corpus like the
+    # IVF quantizer) — never the reporting query's top-100
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        cached_minhash_pairs,
+    )
+
+    pairs = cached_minhash_pairs(spark, sf_dir)
     return near_dup_purge(deduped, pairs).select(
         "doc_id", "lang", "n_tokens"
     )
