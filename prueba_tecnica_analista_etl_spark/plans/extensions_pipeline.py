@@ -1,0 +1,279 @@
+"""Oracle-checked training-data PIPELINE operators — the steps between
+a cleaned corpus and a training run: fixed-size chunking, sequence
+packing, benchmark-contamination screening, and Gopher-style repetition
+filtering. All four are native-expression plans (no UDFs) proven
+against DuckDB SQL oracles, extending the text/similarity families in
+``extensions_text.py`` / ``extensions_scale.py``.
+
+Reference scope note: the reference (Prueba-Tecnica-Analista-ETL) stops
+at cleaning/dedup/verification; these operators are the declared
+beyond-reference extensions for LLM data pipelines (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.functions.text import shingles
+from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
+from prueba_tecnica_analista_etl_spark.sources.tables import spread
+
+# Chunking / packing constants — chosen so the harness corpus (~30-100
+# tokens/doc) produces multi-chunk docs and multi-doc bins. 512 is a
+# power of two so every ``tokens/512`` double division below is EXACT
+# in binary (cross-engine hash-safe without decimal gymnastics).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+CTX_TOKENS = 512
+
+
+@query(
+    "q_doc_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks),
+                                             {CHUNK_STRIDE})) AS start
+               FROM t)
+    SELECT doc_id, CAST(start AS BIGINT) AS start,
+           CAST(len(list_slice(toks, start, start + {CHUNK_TOKENS - 1}))
+                AS BIGINT) AS chunk_toks,
+           md5(array_to_string(
+               list_slice(toks, start, start + {CHUNK_TOKENS - 1}), ' '))
+             AS chunk_md5
+    FROM s
+    """,
+    doc="extension (document chunking): split each doc into "
+    f"{CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens "
+    "(8-token overlap) — the context-window prep step before "
+    "embedding or training. sequence(1, nt, stride) + slice is pure "
+    "per-row codegen: ZERO shuffle, and the md5 of each chunk's text "
+    "makes the oracle value-verify the actual chunk content, not just "
+    "counts. At 100 TB this is map-only — fan-out ≈ nt/stride rows "
+    "per doc, no skew (chunk count is bounded by doc length, and "
+    "huge docs split across many output rows, not many tasks).",
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_t(spark, sf_dir, "documents"))
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.size(F.col("toks")), F.lit(CHUNK_STRIDE)
+    )
+    rows = base.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return rows.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("chunk_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    f"""
+    WITH t AS (SELECT source, doc_id,
+                      len(string_split(text, ' ')) AS nt
+               FROM documents),
+         c AS (SELECT source, nt,
+                      sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t),
+         b AS (SELECT source, nt,
+                      CAST(floor((cum - nt) / {CTX_TOKENS}.0) AS BIGINT)
+                        AS bin
+               FROM c)
+    SELECT source, bin, count(*) AS docs,
+           CAST(sum(nt) AS BIGINT) AS tokens,
+           CAST(floor(sum(nt) * 100 / {CTX_TOKENS}.0) AS BIGINT)
+             AS fill_pct
+    FROM b GROUP BY source, bin
+    """,
+    doc="extension (sequence packing): concatenate each source shard's "
+    f"docs in doc_id order and cut {CTX_TOKENS}-token training bins — "
+    "a doc belongs to the bin where its first token lands "
+    "(offset-based packing, the standard pretraining concat-and-split "
+    "shape). The running sum is windowed PER SOURCE, so at 100 TB "
+    "there is no global-order single-partition window — each shard "
+    "packs independently, which is exactly how a distributed packer "
+    "shards the corpus. fill_pct > 100 marks bins whose last doc "
+    "straddles the boundary. All divisions are by a power of two — "
+    "exact in binary, hash-stable across engines.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select("source", "doc_id", nt.alias("nt")).select(
+        "source",
+        "nt",
+        F.floor((F.sum("nt").over(w) - F.col("nt")) / CTX_TOKENS)
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("nt").cast("long").alias("tokens"),
+        F.floor(F.sum("nt") * 100 / CTX_TOKENS).cast("long").alias(
+            "fill_pct"
+        ),
+    )
+
+
+@query(
+    "q_contamination",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, source,
+                      unnest(generate_series(1, greatest(len(toks) - 3,
+                                                         1))) AS i,
+                      toks
+               FROM t),
+         g AS (SELECT doc_id, source,
+                      array_to_string(list_slice(toks, i, i + 3), ' ')
+                        AS gram
+               FROM s),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         hits AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+                  FROM g JOIN bench USING (gram)
+                  WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+    SELECT d.source, count(*) AS docs,
+           CAST(sum(CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS contaminated_docs,
+           CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS overlap_grams
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 <> 0
+    GROUP BY d.source
+    """,
+    doc="extension (benchmark contamination): screen the training "
+    "corpus for 4-gram overlap with a held-out evaluation set (here "
+    "every 50th doc stands in for the benchmark) — the decontamination "
+    "step every serious pretraining pipeline runs. The benchmark's "
+    "distinct-gram set is SMALL by construction, so Spark broadcasts "
+    "it and the overlap probe is a map-side semi-join: at 100 TB the "
+    "full corpus gram stream is never shuffled — only the MATCHED "
+    "grams (a tiny fraction) shuffle into the per-doc distinct count, "
+    "and the hit frame re-broadcasts for the final census join. "
+    "Per-doc distinct-hit counts make the oracle value-verify "
+    "overlap volume, not just the contaminated-doc flag.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = spread(d).select(
+        "doc_id",
+        F.explode(shingles(toks, 4)).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    corpus = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("n_hits").isNotNull().cast("long")).alias(
+                "contaminated_docs"
+            ),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias(
+                "overlap_grams"
+            ),
+        )
+    )
+
+
+@query(
+    "q_repetition",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+         g AS (SELECT doc_id, source,
+                      greatest(len(toks) - 1, 1) AS n_grams,
+                      unnest(generate_series(1, greatest(len(toks) - 1,
+                                                         1))) AS i,
+                      toks
+               FROM t),
+         c AS (SELECT doc_id, source, n_grams,
+                      array_to_string(list_slice(toks, i, i + 1), ' ')
+                        AS gram
+               FROM g),
+         pc AS (SELECT doc_id, source, n_grams, gram, count(*) AS cnt
+                FROM c GROUP BY doc_id, source, n_grams, gram),
+         pd AS (SELECT doc_id, source, max(n_grams) AS n_grams,
+                       max(cnt) AS top_c
+                FROM pc GROUP BY doc_id, source)
+    SELECT source, count(*) AS docs,
+           CAST(sum(CASE WHEN top_c * 10 >= n_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS repetitive_docs,
+           round(avg(top_c), 2) AS avg_top_gram
+    FROM pd GROUP BY source
+    """,
+    doc="extension (repetition filter, Gopher §A.1.1 shape): per doc, "
+    "the occurrence count of its most frequent 2-gram; docs where that "
+    "top 2-gram covers ≥10% of all 2-grams are flagged repetitive "
+    "(duplicate-LINE fraction is n/a — harness docs are single-line). "
+    "The Spark plan computes the per-doc mode WITHOUT any shuffle: "
+    "array_sort the 2-gram array, then one aggregate() fold tracks the "
+    "longest equal-run — per-row codegen, map-only until the tiny "
+    "source census. The oracle does it the relational way (explode + "
+    "GROUP BY doc,gram + max) and must shuffle every gram; same "
+    "answer, verified exactly. At 100 TB the fold path scans the "
+    "corpus once with zero gram-level shuffle.",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_sort(shingles(toks, 2))
+    # Longest equal-run fold over the sorted gram array == count of the
+    # most frequent 2-gram. acc = (prev gram, current run, best run).
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_c = F.aggregate(grams, zero, step, lambda acc: acc["best"])
+    n_grams = F.greatest(
+        F.size(toks) - 1, F.lit(1)
+    ).cast("long")
+    per_doc = d.select(
+        "source",
+        n_grams.alias("n_grams"),
+        top_c.cast("long").alias("top_c"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(
+            (F.col("top_c") * 10 >= F.col("n_grams")).cast("long")
+        ).alias("repetitive_docs"),
+        F.round(F.avg("top_c"), 2).alias("avg_top_gram"),
+    )
