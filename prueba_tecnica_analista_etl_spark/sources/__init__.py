@@ -11,6 +11,12 @@ from prueba_tecnica_analista_etl_spark.sources.csv import (
     read_csv_repaired,
     write_csv,
 )
+from prueba_tecnica_analista_etl_spark.sources.files import (
+    read_json,
+    read_orc,
+    write_json,
+    write_orc,
+)
 
 __all__ = [
     "TABLES",
@@ -20,4 +26,8 @@ __all__ = [
     "flights_schema",
     "read_csv_repaired",
     "write_csv",
+    "read_json",
+    "read_orc",
+    "write_json",
+    "write_orc",
 ]

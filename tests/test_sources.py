@@ -168,3 +168,51 @@ def test_read_evolving_parquet_schema_union(spark, tmp_path):
     rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
     assert df.filter(F.col("score").isNull()).count() == 2
+
+
+def test_json_roundtrip_with_temporals(spark, sf_dir, tmp_path):
+    """JSON-lines sink → explicit-schema read reproduces orders
+    including its DATE column (ISO-8601 string round-trip)."""
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        read_json,
+        write_json,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    out = str(tmp_path / "orders_json")
+    write_json(orders, out)
+    back = read_json(spark, out, orders.schema)
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink → scan reproduces the data AND pushes filters into the
+    scan (PushedFilters in the physical plan) — the columnar-parity
+    guarantee that makes ORC a safe parquet stand-in at scale."""
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in orders.schema.fields
+    }
+    filtered = back.filter(F.col("o_totalprice") > 100000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    spark_rows = filtered.count()
+    assert (
+        spark_rows
+        == orders.filter(F.col("o_totalprice") > 100000.0).count()
+    )
