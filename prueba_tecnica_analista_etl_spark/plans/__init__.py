@@ -33,6 +33,8 @@ _BEYOND_WINDOW = [
     "q_pack_sequences",
     "q_contamination",
     "q_repetition",
+    "q_embed_centroids",
+    "q_zscore_outliers",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prueba_tecnica_analista_etl_spark.functions.text import shingles
+from prueba_tecnica_analista_etl_spark.functions.vectors import as_double
 from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
 from prueba_tecnica_analista_etl_spark.sources.tables import spread
 
@@ -276,4 +277,90 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_c") * 10 >= F.col("n_grams")).cast("long")
         ).alias("repetitive_docs"),
         F.round(F.avg("top_c"), 2).alias("avg_top_gram"),
+    )
+
+
+@query(
+    "q_embed_centroids",
+    """
+    WITH t AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         s AS (SELECT label, v,
+                      unnest(generate_series(1, len(v))) AS i
+               FROM t)
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           round(avg(v[i]), 4) + 0.0 AS centroid_val,
+           count(*) AS n_vecs
+    FROM s GROUP BY label, i
+    """,
+    doc="extension (grouped vector aggregation): per-label embedding "
+    "centroids, one scalar row per (label, dimension) — the class-"
+    "prototype / cluster-update primitive behind IVF training, "
+    "semantic dedup thresholds and label-drift monitoring. "
+    "posexplode fans each vector into dim rows MAP-SIDE, and "
+    "Tungsten's partial aggregation collapses them to labels×dim "
+    "partial sums per task before the shuffle — at 100 TB the "
+    "exchange carries O(tasks × labels × dim) rows, not O(vectors × "
+    "dim). round(4) absorbs partial-agg summation-order noise "
+    "(~1e-13 relative), far from any rounding boundary for N(0,1) "
+    "data.",
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(_t(spark, sf_dir, "embeddings"))
+    x = e.select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"),
+    )
+    return x.groupBy(
+        "label", F.col("pos").cast("long").alias("pos")
+    ).agg(
+        # ``+ 0.0`` normalizes IEEE negative zero: DuckDB rounds a tiny
+        # negative mean to -0.0 ("-0"), Spark to 0.0 ("0") — same
+        # value, different hash. Applied identically in the oracle.
+        (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
+    "q_zscore_outliers",
+    """
+    WITH s AS (SELECT event_type, value,
+                      avg(value) OVER (PARTITION BY event_type) AS mu,
+                      stddev_samp(value) OVER (PARTITION BY event_type)
+                        AS sigma
+               FROM events)
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN abs((value - mu) / sigma) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           round(min(mu), 2) AS mu, round(min(sigma), 2) AS sigma
+    FROM s GROUP BY event_type
+    """,
+    doc="extension (grouped anomaly flagging): per-event-type z-score "
+    "with |z| > 3 outlier census — the data-quality screen between "
+    "ingestion and training. One unbounded window per group computes "
+    "mu/sigma without a self-join; the final census collapses to "
+    "|event_type| rows. At 100 TB the window shuffle is keyed on "
+    "event_type — if one type dominates, pre-aggregate (count, sum, "
+    "sum of squares) per type instead (associative moments), which "
+    "this plan's groupBy twin would do; here the window form also "
+    "exercises W-family coverage on a non-cumulative frame.",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    s = d.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum((F.abs(z) > 3).cast("long")), F.lit(0)
+        ).cast("long").alias("outliers"),
+        F.round(F.min("mu"), 2).alias("mu"),
+        F.round(F.min("sigma"), 2).alias("sigma"),
     )
