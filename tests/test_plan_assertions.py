@@ -89,3 +89,57 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunk_is_map_only(spark, sf_dir):
+    """Chunking must stay sequence+slice codegen: the ONLY exchange is
+    the deliberate spread() repartition — no join, no aggregation, no
+    window anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_doc_chunk")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_repetition_mode_fold_has_no_gram_shuffle(spark, sf_dir):
+    """The per-doc 2-gram mode is computed by an array_sort +
+    aggregate() fold INSIDE each row — no explode (Generate) of the
+    gram stream and no gram-keyed exchange; the only shuffles are the
+    spread() repartition and the tiny per-source census."""
+    plan = _plan(spark, sf_dir, "q_repetition")
+    assert "Generate" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """Offset packing must never serialize through a global-order
+    window: the running sum partitions by source, so no SinglePartition
+    exchange may appear."""
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    """The corpus gram stream must probe the benchmark set via a
+    broadcast semi-join — shuffling the full gram stream into a
+    sort-merge join would be the 100 TB killer."""
+    plan = _plan(spark, sf_dir, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embed_centroids_aggregates_partially(spark, sf_dir):
+    """posexplode fan-out must collapse map-side: a partial_avg
+    HashAggregate below the exchange keeps the shuffle at
+    O(tasks × labels × dim) rows."""
+    plan = _plan(spark, sf_dir, "q_embed_centroids")
+    assert "partial_avg" in plan
+    assert "Generate" in plan  # the posexplode is real
+
+
+def test_zscore_window_is_sharded(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_zscore_outliers")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
