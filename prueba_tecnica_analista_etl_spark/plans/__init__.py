@@ -35,6 +35,7 @@ _BEYOND_WINDOW = [
     "q_repetition",
     "q_embed_centroids",
     "q_zscore_outliers",
+    "q_tfidf",
 ]
 
 

@@ -364,3 +364,63 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mu"), 2).alias("mu"),
         F.round(F.min("sigma"), 2).alias("sigma"),
     )
+
+
+@query(
+    "q_tfidf",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
+             AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20
+    """,
+    doc="extension (relevance scoring): smoothed TF-IDF over the "
+    "corpus — tf from one explode+groupBy, df from a second "
+    "aggregation of the (doc,term) frame (already collapsed, far "
+    "smaller than the token stream), N broadcast as a 1-row "
+    "aggregate. Spark broadcasts the df side when the vocabulary is "
+    "small (the general path shuffles on term — correct at any "
+    "vocabulary size). Scores are deterministic: equal (tf, df) "
+    "pairs give bit-equal scores within each engine, so the "
+    "total-ordered LIMIT picks the same rows; round(4) absorbs "
+    "libm-vs-JVM ln last-ulp drift.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("tfidf"), F.asc("doc_id"), F.asc("term")
+    ).limit(20)
