@@ -514,3 +514,84 @@ def test_stateful_dedupe_ttl_bounds_state(spark, sf_dir, tmp_path):
     )
     third, _ = run_until(lambda em, st: em >= 1)
     assert third == 1  # id 42 was seen in f0 but its state is gone
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The append-mode late-data contract, proven end-to-end: an event
+    arriving after the watermark has passed its window is refused and
+    cannot change the already-emitted aggregate (bounded state depends
+    on this — at 100 TB the state store only survives because
+    finalized windows are evicted and stragglers are dropped).
+
+    Two-watermark subtlety (verified against the micro-batch plan —
+    ``StateStoreSave ... Append, <lateWm>, <evictWm>``): since Spark
+    3.4, LATE-RECORD FILTERING uses the PREVIOUS batch's watermark
+    while STATE EVICTION uses the current one, so a straggler landing
+    in the very next batch after the advancing event is still
+    admitted. The drop is only observable one batch later — hence
+    three files here, with the straggler in the third."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land(rows, order):
+        tmp = str(tmp_path / f"stage_{order}")
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(landing, f"{order:04d}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1700000000 + order, 1700000000 + order))
+
+    # Batch 0: five 10:xx events + a 13:00 event. After this batch the
+    # watermark is 12:59; the [10:00,11:00) window is evicted+emitted
+    # during batch 1 (eviction uses the CURRENT watermark).
+    land([(ts(10, m), "x") for m in (5, 10, 20, 30, 40)]
+         + [(ts(13, 0), "x")], 0)
+    # Batch 1: an on-time 13:05 event. Its role: after this batch the
+    # PREVIOUS-batch watermark (the late-filter one) is 12:59.
+    land([(ts(13, 5), "x")], 1)
+    # Batch 2: the STRAGGLER — 10:10 sits far behind the late-filter
+    # watermark (12:59) and must be dropped, never re-opening the
+    # already-emitted 10:00 window.
+    land([(ts(10, 10), "x")], 2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    name = f"late_{os.getpid()}"
+    import tempfile as _tf
+
+    q = (
+        tumbling_counts(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_late_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["hour"], r["event_type"]): r["cnt"]
+        for r in spark.table(name).collect()
+    }
+    # Exactly the finalized 10:00 window with the on-time count only —
+    # the straggler neither re-opened it nor produced a second row.
+    assert rows == {("2024-01-01 10:00:00", "x"): 5}
+    # And the state operator actually counted the refusal.
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
