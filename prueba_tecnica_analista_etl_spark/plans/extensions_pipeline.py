@@ -386,9 +386,12 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus — tf from one explode+groupBy, df from a second "
     "aggregation of the (doc,term) frame (already collapsed, far "
     "smaller than the token stream), N broadcast as a 1-row "
-    "aggregate. Spark broadcasts the df side when the vocabulary is "
-    "small (the general path shuffles on term — correct at any "
-    "vocabulary size). Scores are deterministic: equal (tf, df) "
+    "aggregate. The tf⋈df join carries NO broadcast hint: df is one "
+    "row per distinct term — the corpus VOCABULARY, hundreds of "
+    "millions of rows at 100 TB of web text — so the join must be "
+    "free to shuffle on term at scale; at harness scale AQE picks "
+    "broadcast from runtime statistics on its own. Scores are "
+    "deterministic: equal (tf, df) "
     "pairs give bit-equal scores within each engine, so the "
     "total-ordered LIMIT picks the same rows; round(4) absorbs "
     "libm-vs-JVM ln last-ulp drift.",
@@ -407,7 +410,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # No broadcast hint on df_: the vocabulary frame is unbounded
+        # at corpus scale. AQE broadcasts it here from statistics.
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

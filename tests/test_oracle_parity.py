@@ -37,7 +37,7 @@ def test_oracle_parity(spark, oracle_sf_dir, con, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_nonempty(spark, oracle_sf_dir, name):
     df = REGISTRY[name].fn(spark, oracle_sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
 
 
