@@ -22,6 +22,8 @@ audit counts (``observe``-style, after the fact).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,49 +61,52 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return keep_first(docs, ["text"], [F.asc("doc_id")])
 
 
-def near_dup_purge(
-    docs: DataFrame, pairs: DataFrame, rounds: int = 3
-) -> DataFrame:
-    """Greedy min-id survivor purge, iterated to fixpoint: drop
-    ``doc_b`` only while its ``doc_a`` still survives. ``pairs`` must
-    carry (doc_a < doc_b) columns.
+def _materialize(df: DataFrame) -> DataFrame:
+    """EAGER ``localCheckpoint`` — the deliberate, measured choice.
 
-    Pairs are first restricted to those whose BOTH endpoints exist in
-    ``docs``: the pair generator may run over a wider frame (raw
-    corpus before quality gating / exact dedup), and an endpoint
-    absent from ``docs`` must impose no constraint — treating it as a
-    surviving competitor would purge its partner because of a doc
-    that is not even in the corpus.
+    Round-4 ADVICE asked to gate this behind execution
+    (``eager=False``). Measured at sf0.1, every lazy variant loses
+    badly: (a) with AQE on, ``toRdd`` inside ``localCheckpoint``
+    materializes every shuffle stage anyway (construction still runs
+    jobs) and the split execution took 26-70 s; (b) with AQE +
+    auto-broadcast disabled during planning, construction is truly
+    job-free but the first action then recomputes the SHARED minhash
+    candidate DAG once per consuming branch — Spark reuses persisted
+    blocks across jobs, not within one job's concurrently-computed
+    branches — and q_corpus_curate ran 10-31 s. The eager
+    materialize-once pipeline runs ~1.4 s. Staging the candidate-pair
+    artifact eagerly (like IVF quantizer training) is the design;
+    repeat constructions are cheap via the evictable pair cache
+    (:func:`cached_minhash_pairs` + :func:`clear_pairs_cache`)."""
+    return df.localCheckpoint()
 
-    The iteration then runs over pair ENDPOINTS only, never the
-    corpus: a doc in no pair always survives, so the survivor
-    recursion (S = ids − {b : ∃(a,b) ∈ pairs, a ∈ S}) touches
-    ≤ 2·|pairs| ids — tiny next to ``docs`` at any scale — and
-    ``docs`` itself is scanned only for the endpoint restriction and
-    the final anti-join. A chain A~B, B~C with A≁C converges to
-    {A, C} in two rounds instead of over-purging C. Convergence needs
-    rounds ≥ the longest alternating chain, so after the cap a final
-    enforcement pass greedy-drops ``doc_b`` of any still-both-alive
-    pair — the no-surviving-near-dup-pair invariant holds
-    unconditionally; only chains deeper than ``rounds`` can still
-    lose a non-duplicate doc.
 
-    Lineage is truncated with ``localCheckpoint`` at every iteration
-    boundary — persist alone is NOT enough: the cached data is
-    reused, but Catalyst re-optimizes the FULL logical plan (with the
-    giant candidate-pair expression tree in every round's lineage) on
-    every action, and plan-compile time alone grew 1.7 → 3.1 s per
-    round at sf0.1; checkpointed, a round is ~0.4 s. The checkpointed
-    frames are ≤ 2·|pairs| rows. Trade: localCheckpoint is
-    non-replayable on executor loss — at cluster scale swap for
-    ``checkpoint()`` with a reliable checkpoint dir.
+def _restricted_pairs(
+    docs: DataFrame, pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Restrict ``pairs`` to those whose BOTH endpoints exist in
+    ``docs`` and return ``(pairs, endpoints)``, both materialized and
+    lineage-truncated.
+
+    The pair generator may run over a wider frame (raw corpus before
+    quality gating / exact dedup), and an endpoint absent from
+    ``docs`` must impose no constraint — treating it as a surviving
+    competitor would purge its partner because of a doc that is not
+    even in the corpus.
+
+    Lineage is truncated with eager ``localCheckpoint`` — persist
+    alone is NOT enough: the cached data is reused, but Catalyst
+    re-optimizes the FULL logical plan (with the giant candidate-pair
+    expression tree in every round's lineage) on every action, and
+    plan-compile time alone grew 1.7 → 3.1 s per round at sf0.1;
+    checkpointed, a round is ~0.4 s (see :func:`_materialize` for the
+    measured lazy variants). The checkpointed frames are ≤ 2·|pairs|
+    rows. Trade: localCheckpoint is non-replayable on executor loss —
+    at cluster scale swap for ``checkpoint()`` with a reliable
+    checkpoint dir.
     """
     doc_ids = docs.select("doc_id")
-    # Materialize the INPUT pair frame before anything derives from
-    # it: the endpoint restriction references it three times, and the
-    # candidate-pair DAG behind it (shingle, minhash, bucket, expand)
-    # must execute exactly once and then leave the lineage.
-    pairs0 = pairs.select("doc_a", "doc_b").localCheckpoint()
+    pairs0 = _materialize(pairs.select("doc_a", "doc_b"))
     raw_endpoints = F.broadcast(
         pairs0.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs0.select(F.col("doc_b").alias("doc_id")))
@@ -109,42 +114,47 @@ def near_dup_purge(
     )
     # ids of pair endpoints actually present in the corpus (tiny:
     # ≤ 2·|pairs| — the broadcast side of one semi-join over docs)
-    present = doc_ids.join(
-        raw_endpoints, "doc_id", "left_semi"
-    ).localCheckpoint()
-    pairs = (
+    present = _materialize(
+        doc_ids.join(raw_endpoints, "doc_id", "left_semi")
+    )
+    restricted = _materialize(
         pairs0.join(
             F.broadcast(present.select(F.col("doc_id").alias("doc_a"))),
             "doc_a",
             "left_semi",
-        )
-        .join(
+        ).join(
             F.broadcast(present.select(F.col("doc_id").alias("doc_b"))),
             "doc_b",
             "left_semi",
         )
-        .localCheckpoint()
     )
-    endpoints = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+    endpoints = _materialize(
+        restricted.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(restricted.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
-    alive = endpoints
-    for _ in range(rounds):
-        losers = (
-            pairs.join(
-                alive.select(F.col("doc_id").alias("doc_a")),
-                "doc_a",
-                "left_semi",
-            )
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+    return restricted, endpoints
+
+
+def _losers(pairs: DataFrame, alive: DataFrame) -> DataFrame:
+    """doc_b ids whose doc_a currently survives."""
+    return (
+        pairs.join(
+            alive.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_semi",
         )
-        alive = endpoints.join(
-            losers, "doc_id", "left_anti"
-        ).localCheckpoint()
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _enforce_no_live_pair(
+    pairs: DataFrame, alive: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Greedy-drop ``doc_b`` of any still-both-alive pair; returns
+    ``(alive, enforcement_dropped)``. A no-op (empty second frame)
+    when the iteration already converged."""
     both_live = pairs.join(
         alive.select(F.col("doc_id").alias("doc_a")),
         "doc_a",
@@ -154,21 +164,114 @@ def near_dup_purge(
         "doc_b",
         "left_semi",
     )
-    alive = alive.join(
-        both_live.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    )
+    forced = both_live.select(F.col("doc_b").alias("doc_id")).distinct()
+    return alive.join(forced, "doc_id", "left_anti"), forced
+
+
+def near_dup_purge(
+    docs: DataFrame, pairs: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Greedy min-id survivor purge, iterated toward fixpoint: drop
+    ``doc_b`` only while its ``doc_a`` still survives. ``pairs`` must
+    carry (doc_a < doc_b) columns.
+
+    The iteration runs over pair ENDPOINTS only, never the corpus: a
+    doc in no pair always survives, so the survivor recursion
+    (S = ids − {b : ∃(a,b) ∈ pairs, a ∈ S}) touches ≤ 2·|pairs| ids —
+    tiny next to ``docs`` at any scale — and ``docs`` itself is
+    scanned only for the endpoint restriction and the final
+    anti-join. A chain A~B, B~C with A≁C converges to {A, C} in two
+    rounds instead of over-purging C.
+
+    This form runs a FIXED round count (no per-round driver checks):
+    convergence needs rounds ≥ the longest alternating chain, so
+    after the cap a final enforcement pass greedy-drops ``doc_b`` of
+    any still-both-alive pair — the no-surviving-near-dup-pair
+    invariant holds unconditionally; only chains deeper than
+    ``rounds`` can still lose a non-duplicate doc. Callers that can
+    afford per-round count actions should use
+    :func:`near_dup_purge_stable`, which iterates until the alive set
+    is provably stable (zero over-purge) and reports audit counts the
+    fixed-round form cannot observe.
+    """
+    pairs, endpoints = _restricted_pairs(docs, pairs)
+    alive = endpoints
+    for _ in range(rounds):
+        alive = _materialize(
+            endpoints.join(_losers(pairs, alive), "doc_id", "left_anti")
+        )
+    alive, _forced = _enforce_no_live_pair(pairs, alive)
     dropped = endpoints.join(alive, "doc_id", "left_anti")
     return docs.join(dropped, "doc_id", "left_anti")
+
+
+def near_dup_purge_stable(
+    docs: DataFrame, pairs: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, dict[str, int]]:
+    """Eager fixpoint variant of :func:`near_dup_purge`: iterate until
+    the alive set is STABLE, so no chain depth can trigger the
+    enforcement pass's over-purge. Returns ``(survivors, audit)`` with
+    ``audit = {"purge_rounds": n, "enforcement_over_purged": m}`` —
+    ``m`` is 0 whenever the loop converged before ``max_rounds``
+    (the enforcement pass still runs as a safety net, and its drop
+    count is surfaced so over-purging is observable, never silent).
+
+    Stability is checked on the tiny endpoint frame (≤ 2·|pairs|
+    rows): alive sets are subsets of ``endpoints``, so
+    A == B ⇔ |A| == |B| == |A ∪ B| — three cheap counts per round,
+    no exceptAll. Each round settles every doc whose alternating-chain
+    depth equals the round number, so the loop terminates in at most
+    (longest chain) rounds.
+    """
+    pairs, endpoints = _restricted_pairs(docs, pairs)
+    alive = endpoints
+    n_alive = alive.count()
+    rounds_run = 0
+    for _ in range(max_rounds):
+        nxt = _materialize(
+            endpoints.join(_losers(pairs, alive), "doc_id", "left_anti")
+        )
+        rounds_run += 1
+        n_nxt = nxt.count()
+        stable = (
+            n_nxt == n_alive
+            and alive.unionByName(nxt).distinct().count() == n_nxt
+        )
+        alive, n_alive = nxt, n_nxt
+        if stable:
+            break
+    alive, forced = _enforce_no_live_pair(pairs, alive)
+    over_purged = forced.count()
+    dropped = endpoints.join(alive, "doc_id", "left_anti")
+    audit = {
+        "purge_rounds": rounds_run,
+        "enforcement_over_purged": over_purged,
+    }
+    return docs.join(dropped, "doc_id", "left_anti"), audit
 
 
 # The candidate-pair frame is a per-corpus artifact like the IVF
 # quantizer (extensions_scale._IVF_CACHE): real pipelines compute it
 # once and reuse it across curation runs, so the engine memoizes the
-# CHECKPOINTED frame per (session, corpus). Keyed by id(spark) with
-# the session held in the value for identity soundness.
-_PAIRS_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+# lineage-truncated frame per (session, corpus). The session is held
+# by WEAK reference: a stopped/garbage-collected session must not be
+# pinned (nor its checkpointed RDD blocks) by the cache — dead
+# entries are swept on every lookup, and clear_pairs_cache() gives
+# callers an explicit invalidation path (e.g. after rewriting the
+# corpus under the same sf_dir).
+_PAIRS_CACHE: dict[
+    tuple[int, str], tuple["weakref.ref[SparkSession]", DataFrame]
+] = {}
+
+
+def clear_pairs_cache(spark: SparkSession | None = None) -> None:
+    """Drop memoized candidate-pair frames — all of them, or only the
+    given session's."""
+    if spark is None:
+        _PAIRS_CACHE.clear()
+        return
+    for key in [k for k in _PAIRS_CACHE if k[0] == id(spark)]:
+        del _PAIRS_CACHE[key]
 
 
 def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,12 +279,17 @@ def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_pairs,
     )
 
+    # Sweep entries whose session is gone (weakref died) — otherwise
+    # the cache would pin checkpointed blocks for the process lifetime.
+    for key in [k for k, (ref, _) in _PAIRS_CACHE.items() if ref() is None]:
+        del _PAIRS_CACHE[key]
+
     key = (id(spark), sf_dir)
     hit = _PAIRS_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
+    if hit is not None and hit[0]() is spark:
         return hit[1]
-    df = minhash_pairs(spark, sf_dir).localCheckpoint()
-    _PAIRS_CACHE[key] = (spark, df)
+    df = _materialize(minhash_pairs(spark, sf_dir))
+    _PAIRS_CACHE[key] = (weakref.ref(spark), df)
     return df
 
 
@@ -189,7 +297,12 @@ def curate_corpus(
     spark: SparkSession, sf_dir: str, min_tokens: int = 4
 ) -> tuple[DataFrame, dict[str, int]]:
     """Full curation chain over the ``documents`` table; returns the
-    surviving corpus and per-stage audit counts."""
+    surviving corpus and per-stage audit counts.
+
+    Uses the STABLE purge (eager fixpoint): curate_corpus computes
+    audit counts anyway, so the per-round actions cost nothing extra,
+    and the audit makes any enforcement over-purge observable
+    (``enforcement_over_purged`` is 0 on convergence)."""
     from prueba_tecnica_analista_etl_spark.plans.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
@@ -198,11 +311,12 @@ def curate_corpus(
     # The UNCAPPED pair frame: the reporting query's top-100 limit
     # must never bound what curation purges.
     pairs = cached_minhash_pairs(spark, sf_dir)
-    survivors = near_dup_purge(deduped, pairs)
+    survivors, purge_audit = near_dup_purge_stable(deduped, pairs)
     stats = {
         "input_docs": docs.count(),
         "after_quality": gated.count(),
         "after_exact_dedup": deduped.count(),
         "after_near_dup": survivors.count(),
+        **purge_audit,
     }
     return survivors, stats

@@ -585,3 +585,71 @@ def test_curate_corpus_stage_invariants(spark, sf_dir):
     for p in pairs:
         assert not (p["doc_a"] in alive and p["doc_b"] in alive)
         assert p["doc_b"] not in alive  # greedy min-id survivor
+
+
+def test_near_dup_purge_stable_converges_without_over_purge(spark):
+    """The eager fixpoint purge iterates past any chain depth: on an
+    8-deep chain it converges to the alternating set with ZERO
+    enforcement drops (the lazy fixed-round form would over-purge the
+    tail), and the audit reports the rounds it took."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        near_dup_purge_stable,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    survivors, audit = near_dup_purge_stable(docs, chain)
+    alive = {r["doc_id"] for r in survivors.collect()}
+    assert alive == {1, 3, 5, 7}  # exact alternating fixpoint
+    assert audit["enforcement_over_purged"] == 0
+    assert 1 <= audit["purge_rounds"] <= 10
+
+
+def test_corpus_curate_second_build_reuses_pair_artifact(spark, sf_dir):
+    """The candidate-pair DAG (the expensive stage) must execute at
+    most once per (session, corpus): a SECOND q_corpus_curate
+    construction reuses the memoized checkpointed frame, so its
+    construction launches far fewer jobs than the cold one. (The
+    eager materialize-once design is deliberate — see
+    pipelines/corpus.py:_materialize for the measured lazy variants
+    that lose 7-20x at sf0.1.)"""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        clear_pairs_cache,
+    )
+
+    sc = spark.sparkContext
+
+    def n_jobs(tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            df = REGISTRY["q_corpus_curate"].fn(spark, sf_dir)
+            return df, len(sc.statusTracker().getJobIdsForGroup(tag))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    clear_pairs_cache()
+    df_cold, cold = n_jobs("corpus-cold-build")
+    df_warm, warm = n_jobs("corpus-warm-build")
+    assert warm < cold
+    assert df_warm.count() == df_cold.count() > 0
+
+
+def test_pairs_cache_memoizes_and_clears(spark, sf_dir):
+    """cached_minhash_pairs memoizes per (session, corpus) and
+    clear_pairs_cache() actually invalidates."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        cached_minhash_pairs,
+        clear_pairs_cache,
+    )
+
+    a = cached_minhash_pairs(spark, sf_dir)
+    b = cached_minhash_pairs(spark, sf_dir)
+    assert a is b
+    clear_pairs_cache(spark)
+    c = cached_minhash_pairs(spark, sf_dir)
+    assert c is not a
+    clear_pairs_cache()
