@@ -105,6 +105,14 @@ def dedupe_stream(
     (≈ fill_ratio^k: a fresh id whose probe bits are all already set
     is wrongly dropped; size m ≈ 14·n_expected/n_buckets bits for
     ~1e-4). Composable with ``ttl_ms`` (expire idle filters too).
+
+    NULL ids have no identity to deduplicate on, so rows with a NULL
+    ``id_col`` PASS THROUGH unchanged in both modes (at-least-once
+    for such rows; they never enter state). Without this rule the
+    Arrow batch's null would poison the whole bucket: pandas lifts a
+    null long column to float64/NaN, and both ``int(nan)`` (exact
+    path) and ``to_numpy(dtype=int64)`` (bloom path) raise, killing
+    the streaming query at runtime.
     """
     out_schema = stream.schema
     bucketed = stream.withColumn(
@@ -125,6 +133,11 @@ def dedupe_stream(
             return
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
+            null_mask = pdf[id_col].isna()
+            if null_mask.any():
+                # No identity → no dedup: pass through, skip state.
+                yield pdf[null_mask][out_cols]
+                pdf = pdf[~null_mask]
             fresh = pdf[~pdf[id_col].isin(seen)].drop_duplicates(
                 subset=[id_col]
             )
@@ -155,7 +168,14 @@ def dedupe_stream(
         else:
             bits = np.zeros(n_words, dtype=np.uint64)
         for pdf in pdfs:
+            null_mask = pdf[id_col].isna()
+            if null_mask.any():
+                # No identity → no dedup: pass through, skip state.
+                yield pdf[null_mask][out_cols]
+                pdf = pdf[~null_mask]
             batch = pdf.drop_duplicates(subset=[id_col])
+            # Null-free now; a null-lifted float64 column converts
+            # cleanly back to int64 (values are integral longs).
             ids = batch[id_col].to_numpy(dtype=np.int64)
             pos = _bloom_positions(ids, m, k)  # (n, k)
             word, off = pos >> np.uint64(6), pos & np.uint64(63)

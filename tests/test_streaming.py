@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from prueba_tecnica_analista_etl_spark.plans import REGISTRY
@@ -595,3 +596,59 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+@pytest.mark.parametrize("bloom", [False, True])
+def test_stateful_dedupe_null_ids_pass_through(spark, tmp_path, bloom):
+    """A micro-batch containing NULL ids must not kill the query
+    (pandas lifts the long column to float64/NaN): null-id rows pass
+    through un-deduplicated in BOTH modes, non-null ids still dedup
+    exactly once."""
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream,
+    )
+
+    schema = "event_id long, user_id long"
+    rows = [(1, 10), (1, 11), (2, 12), (None, 13), (None, 14)]
+    df = spark.createDataFrame(rows, schema)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tmp = str(tmp_path / "w")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.rename(os.path.join(tmp, src), str(landing / "f0.parquet"))
+
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = replay_as_stream(s, str(landing), df.schema, 1)
+    out: list = []
+    kwargs = {"bloom_bits": 1 << 12} if bloom else {}
+    q = (
+        dedupe_stream(stream, n_buckets=4, **kwargs)
+        .writeStream.foreachBatch(
+            lambda b, bid: out.extend(b.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got_ids = sorted(
+        (r["event_id"] is None, r["event_id"] or 0, r["user_id"])
+        for r in out
+    )
+    # id=1 deduped to one row (either user 10 or 11), id=2 kept, both
+    # null-id rows pass through untouched.
+    assert len(out) == 4
+    assert [g[0] for g in got_ids] == [False, False, True, True]
+    assert {g[2] for g in got_ids if g[0]} == {13, 14}
+    assert {g[1] for g in got_ids if not g[0]} == {1, 2}
