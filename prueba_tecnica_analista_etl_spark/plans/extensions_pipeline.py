@@ -28,6 +28,12 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 CTX_TOKENS = 512
 
+# Contamination screen: ≥1 shared benchmark gram marks a doc as touched
+# (raw count, kept for trend monitoring), but the DECONTAMINATION
+# decision uses a threshold — single-gram overlap is mostly generic
+# phrases. CONTAM_MIN_HITS distinct shared grams flags a doc for drop.
+CONTAM_MIN_HITS = 3
+
 
 @query(
     "q_doc_chunk",
@@ -131,7 +137,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_contamination",
-    """
+    f"""
     WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
                FROM documents),
          s AS (SELECT doc_id, source,
@@ -146,12 +152,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
          bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
          hits AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
                   FROM g JOIN bench USING (gram)
-                  WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+                  WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id),
+         n AS (SELECT doc_id,
+                      greatest(len(toks) - 3, 1) AS n_grams FROM t)
     SELECT d.source, count(*) AS docs,
            CAST(sum(CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS contaminated_docs,
-           CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS overlap_grams
+           CAST(sum(CASE WHEN h.n_hits >= {CONTAM_MIN_HITS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+           CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS overlap_grams,
+           coalesce(max(CAST(h.n_hits AS DOUBLE) / n.n_grams), 0.0)
+             AS max_overlap_frac
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+                     JOIN n ON d.doc_id = n.doc_id
     WHERE d.doc_id % 50 <> 0
     GROUP BY d.source
     """,
@@ -183,8 +196,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_hits"))
     )
+    # Per-doc gram-count denominator is map-side arithmetic (array
+    # length), NOT a distinct over the gram stream — the overlap
+    # fraction costs nothing extra at 100 TB.
     corpus = d.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", "source"
+        "doc_id",
+        "source",
+        F.greatest(
+            F.size(toks) - 3, F.lit(1)
+        ).cast("long").alias("n_grams"),
     )
     return (
         corpus.join(hits, "doc_id", "left")
@@ -194,9 +214,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_hits").isNotNull().cast("long")).alias(
                 "contaminated_docs"
             ),
+            F.sum(
+                F.when(
+                    F.col("n_hits") >= CONTAM_MIN_HITS, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("flagged_docs"),
             F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias(
                 "overlap_grams"
             ),
+            F.coalesce(
+                F.max(
+                    F.col("n_hits").cast("double") / F.col("n_grams")
+                ),
+                F.lit(0.0),
+            ).alias("max_overlap_frac"),
         )
     )
 

@@ -34,22 +34,49 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to ``TimestampType`` regardless of
+    the parquet physical encoding it arrived in.
+
+    The harness testdata has shipped ``events.ts`` in two encodings so
+    far, and a third is plausible; all must converge on the µs-instant
+    ``timestamp`` type that ``withWatermark`` requires:
+
+    - ``TIMESTAMP(NANOS)``: Spark 4 cannot map ns to its µs
+      TimestampType; with ``nanosAsLong`` it arrives as epoch nanos
+      (long) and is truncated to µs — the same ns→µs truncation DuckDB
+      applies casting TIMESTAMP_NS, so both engines see the same
+      instants.
+    - ``TIMESTAMP_MICROS (isAdjustedToUTC=0)``: Spark 4 reads this as
+      ``TIMESTAMP_NTZ``, which ``withWatermark`` rejects
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Cast to ``timestamp`` —
+      under the pinned UTC session timezone the wall-clock
+      reinterpretation is the identity on instants, so batch oracle
+      hashes are unchanged.
+    - ``TIMESTAMP_MICROS (isAdjustedToUTC=1)``: already
+      ``TimestampType``; pass through untouched.
+    """
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+        )
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one canonical table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 cannot map
-    to its µs TimestampType; with ``nanosAsLong`` it arrives as epoch
-    nanos (long) and is truncated here to a µs timestamp — the same
-    ns→µs truncation DuckDB applies when casting TIMESTAMP_NS, so both
-    engines see identical instants.
+    ``events.ts`` is normalized to ``TimestampType`` whatever physical
+    encoding the file carries — see :func:`normalize_event_time`.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(
-        df.schema["ts"].dataType, T.LongType
-    ):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        df = normalize_event_time(df, "ts")
     return df
 
 

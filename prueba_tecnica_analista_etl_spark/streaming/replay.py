@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from prueba_tecnica_analista_etl_spark.session import ensure_runtime_conf
-from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+from prueba_tecnica_analista_etl_spark.sources.tables import (
+    load_table,
+    normalize_event_time,
+)
 
 
 # Landing dirs are pure functions of (sf_dir, table, n_files, time_col)
@@ -127,9 +130,16 @@ def replay_as_stream(
 ) -> DataFrame:
     """File stream over the landing dir; ``maxFilesPerTrigger`` slices
     the backlog into micro-batches so multi-batch behavior (state,
-    idempotency, watermark advance) is actually exercised."""
-    return (
+    idempotency, watermark advance) is actually exercised.
+
+    ``ts`` is re-normalized defensively: landing dirs written by
+    :func:`write_replay_files` already carry ``TimestampType`` (they are
+    rewritten from ``load_table`` output), but a future source pointed
+    at raw NTZ files would otherwise crash every watermark consumer.
+    """
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(data_dir)
     )
+    return normalize_event_time(stream, "ts")

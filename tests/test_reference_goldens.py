@@ -236,3 +236,121 @@ def test_sql_post_merge_verification(ep2):
         F.countDistinct("Col_1").alias("uniq"),
     ).collect()[0]
     assert audit["total"] == audit["uniq"] == 5_423
+
+
+# ---------------------------------------------------------------------------
+# Workbook cell-parity (EP0): diff the engine's pivot / top-20 frames
+# cell-for-cell against the DELIVERED Excel artifact — not recomputed
+# numbers, the reference's own cells. Parsed with stdlib zipfile +
+# xml.etree only (no openpyxl in the container).
+# Reference: Seccion_1_Excel/Seccion1_Excel_PruebaTecnica.xlsx
+# sheets Tabla_Dinamica_Col2 and Duplicados_Col1.
+# ---------------------------------------------------------------------------
+
+XLSX = f"{REF}/Seccion_1_Excel/Seccion1_Excel_PruebaTecnica.xlsx"
+_SS_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _read_sheet_cells(sheet_file: str) -> dict[str, str]:
+    """{'A5': 'TK', 'B5': '2068', ...} for one worksheet; inlineStr and
+    numeric cells only (the workbook uses no shared-string table)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(XLSX) as z:
+        root = ET.fromstring(z.read(sheet_file))
+    cells: dict[str, str] = {}
+    for c in root.iter(_SS_NS + "c"):
+        inline = c.find(_SS_NS + "is")
+        if inline is not None:
+            txt = "".join(t.text or "" for t in inline.iter(_SS_NS + "t"))
+        else:
+            v = c.find(_SS_NS + "v")
+            txt = v.text if v is not None else None
+        if txt is not None:
+            cells[c.get("r")] = txt
+    return cells
+
+
+def test_pivot_matches_workbook(ep1):
+    """Every one of the 54 carrier rows + TOTAL in xlsx!Tabla_Dinamica_Col2
+    (A5:C59) must equal the engine's rollup, including the workbook's
+    count-desc ordering."""
+    cells = _read_sheet_cells("xl/worksheets/sheet2.xml")
+    # header sanity: we are reading the sheet we think we are
+    assert cells["A4"] == "Col_2 (Aerolinea)"
+    wb_rows = []
+    r = 5
+    while f"A{r}" in cells:
+        wb_rows.append(
+            (cells[f"A{r}"], int(cells[f"B{r}"]), float(cells[f"C{r}"]))
+        )
+        r += 1
+    assert len(wb_rows) == 55  # 54 carriers + TOTAL
+    assert wb_rows[-1][0] == "TOTAL"
+
+    typed = ep1["union"].withColumn(
+        "Col_10_num", try_double_or_zero(F.col("Col_10"))
+    )
+    eng = {
+        row["Col_2"]: (row["cnt"], row["total"])
+        for row in count_sum_rollup(
+            typed, "Col_2", "Col_10_num"
+        ).collect()
+    }
+    assert len(eng) == len(wb_rows)
+    for carrier, wb_cnt, wb_total in wb_rows:
+        cnt, total = eng[carrier]
+        assert cnt == wb_cnt, carrier
+        assert total == pytest.approx(wb_total, abs=0.011), carrier
+    # the workbook lists carriers count-desc (ties: first-seen); at
+    # minimum the count sequence must be non-increasing and match ours
+    wb_counts = [c for _, c, _ in wb_rows[:-1]]
+    assert wb_counts == sorted(wb_counts, reverse=True)
+
+
+def test_top20_matches_workbook(ep1):
+    """xlsx!Duplicados_Col1: headline answer (A6/A7) and the top-20
+    table (A11:B30) cell-for-cell against top_duplicates(k=20)."""
+    cells = _read_sheet_cells("xl/worksheets/sheet3.xml")
+    assert cells["A6"] == "45233075"
+    assert "32" in cells["A7"]
+    wb = []
+    for r in range(11, 31):
+        wb.append((cells[f"A{r}"], int(cells[f"B{r}"])))
+    eng = [
+        (row["Col_1"], row["cnt"])
+        for row in top_duplicates(ep1["union"], "Col_1", k=20).collect()
+    ]
+    assert eng[0] == ("45233075", 32)
+    # counts sequence must match exactly
+    assert [c for _, c in eng] == [c for _, c in wb]
+    # within each count level, the same set of values (the workbook's
+    # intra-tie order is pandas first-seen; ours is lexicographic — both
+    # are the same multiset per count)
+    from collections import defaultdict
+
+    wb_lvl, eng_lvl = defaultdict(set), defaultdict(set)
+    for v, c in wb:
+        wb_lvl[c].add(v)
+    for v, c in eng:
+        eng_lvl[c].add(v)
+    # non-boundary count levels must agree exactly; the lowest level is
+    # clipped by the k=20 cut among equal counts, and the workbook's
+    # intra-tie pick (pandas first-seen) differs from ours
+    # (lexicographic) — both are valid truncations, so the check there
+    # is that every workbook pick genuinely has that count in the data
+    min_cnt = min(c for _, c in wb)
+    for c in wb_lvl:
+        if c != min_cnt:
+            assert eng_lvl[c] == wb_lvl[c], c
+    full_tie = {
+        row["Col_1"]
+        for row in ep1["union"]
+        .groupBy("Col_1")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == min_cnt)
+        .collect()
+    }
+    assert wb_lvl[min_cnt] <= full_tie
+    assert eng_lvl[min_cnt] <= full_tie

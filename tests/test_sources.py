@@ -216,3 +216,60 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         spark_rows
         == orders.filter(F.col("o_totalprice") > 100000.0).count()
     )
+
+
+def test_normalize_event_time_all_encodings(spark, tmp_path):
+    """events.ts must arrive as TimestampType whatever physical parquet
+    encoding the harness ships: TIMESTAMP(NANOS) (read as long under
+    nanosAsLong), TIMESTAMP_MICROS isAdjustedToUTC=0 (Spark 4 reads as
+    TIMESTAMP_NTZ), and TIMESTAMP_MICROS isAdjustedToUTC=1 (already
+    TimestampType). All three must decode to the same instants, and the
+    normalized frame must accept withWatermark (the round-4 break)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        normalize_event_time,
+    )
+
+    instants = [
+        dt.datetime(2024, 3, 1, 12, 0, 0, 123456),
+        dt.datetime(2024, 3, 2, 0, 30, 15, 654321),
+    ]
+    micros = [
+        int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        for t in instants
+    ]
+    variants = {
+        "ns": pa.table(
+            {"event_id": [1, 2],
+             "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}
+        ),
+        "us_ntz": pa.table(
+            {"event_id": [1, 2],
+             "ts": pa.array(micros, pa.timestamp("us"))}
+        ),
+        "us_utc": pa.table(
+            {"event_id": [1, 2],
+             "ts": pa.array(micros, pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    results = {}
+    for name, table in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), name
+        # the round-4 failure mode: watermark assignment must not raise
+        df.withWatermark("ts", "1 minute")
+        results[name] = [
+            r.ts for r in df.orderBy("event_id").select("ts").collect()
+        ]
+    assert results["ns"] == results["us_ntz"] == results["us_utc"] == instants
+    # no-op on frames without the column
+    plain = spark.range(3)
+    assert normalize_event_time(plain, "ts") is plain
