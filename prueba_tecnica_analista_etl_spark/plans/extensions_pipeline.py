@@ -398,6 +398,136 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_zscore_moments",
+    """
+    WITH st AS (SELECT event_type, avg(value) AS mu,
+                       stddev_samp(value) AS sigma
+                FROM events GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN abs((e.value - st.mu) / st.sigma) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+           round(min(st.mu), 2) AS mu, round(min(st.sigma), 2) AS sigma
+    FROM events e JOIN st USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="extension (grouped anomaly flagging, moments form): the "
+    "groupBy twin of q_zscore_outliers — per-type mu/sigma from ONE "
+    "partial-aggregated groupBy (Spark's avg/stddev_samp aggregates "
+    "merge associative moments map-side, so the shuffle carries "
+    "|event_type| partial states, not rows), broadcast-joined back for "
+    "the outlier census. This is the plan to run on a skewed 100 TB "
+    "event table: the window form shuffles EVERY row of a hot "
+    "event_type into one partition; this form never shuffles the fact "
+    "rows at all (map-side partials + broadcast stats + partial-agged "
+    "census). Property-tested frame-equal to the window form.",
+)
+def q_zscore_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "events")
+    stats = d.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        d.select("event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum((F.abs(z) > 3).cast("long")), F.lit(0)
+            ).cast("long").alias("outliers"),
+            F.round(F.min("mu"), 2).alias("mu"),
+            F.round(F.min("sigma"), 2).alias("sigma"),
+        )
+    )
+
+
+@query(
+    "q_pack_summary",
+    f"""
+    WITH t AS (SELECT source, doc_id,
+                      len(string_split(text, ' ')) AS nt
+               FROM documents),
+         c AS (SELECT source, nt,
+                      sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t),
+         d AS (SELECT source, nt,
+                      CAST(floor((cum - nt) / {CTX_TOKENS}.0) AS BIGINT)
+                        <> CAST(floor((cum - 1) / {CTX_TOKENS}.0)
+                                AS BIGINT) AS straddles
+               FROM c),
+         s AS (SELECT source, count(*) AS docs,
+                      CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END)
+                           AS BIGINT) AS straddlers,
+                      CAST(sum(nt) AS BIGINT) AS tokens,
+                      CAST(ceil(sum(nt) / {CTX_TOKENS}.0) AS BIGINT)
+                        AS bins
+               FROM d GROUP BY source)
+    SELECT CAST(count(*) AS BIGINT) AS sources,
+           CAST(sum(docs) AS BIGINT) AS docs,
+           CAST(sum(straddlers) AS BIGINT) AS straddlers,
+           round(sum(straddlers) * 100.0 / sum(docs), 4)
+             AS straddler_pct,
+           CAST(sum(tokens) AS BIGINT) AS tokens,
+           CAST(sum(bins) * {CTX_TOKENS} - sum(tokens) AS BIGINT)
+             AS wasted_tokens,
+           round(sum(tokens) * 100.0 / (sum(bins) * {CTX_TOKENS}), 4)
+             AS mean_fill_pct
+    FROM s
+    """,
+    doc="extension (packing efficiency census): the corpus-level "
+    "summary of q_pack_sequences — how efficient is offset packing at "
+    f"{CTX_TOKENS} tokens: straddler % (docs crossing a bin boundary, "
+    "i.e. truncation/continuation candidates), wasted tokens (padding "
+    "in each shard's final partial bin) and mean fill %. The per-doc "
+    "straddle flag is map-side arithmetic over the same per-source "
+    "running sum the packer uses; the census collapses to one row per "
+    "source then one global row — at 100 TB nothing but O(|sources|) "
+    "crosses the final shuffle.",
+)
+def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("nt").over(w)
+    doc = d.select("source", "doc_id", nt.alias("nt")).select(
+        "source",
+        "nt",
+        (
+            F.floor((cum - F.col("nt")) / CTX_TOKENS)
+            != F.floor((cum - 1) / CTX_TOKENS)
+        ).alias("straddles"),
+    )
+    per_source = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("straddles").cast("long")).alias("straddlers"),
+        F.sum("nt").alias("tokens"),
+        F.ceil(F.sum("nt") / CTX_TOKENS).alias("bins"),
+    )
+    return per_source.agg(
+        F.count(F.lit(1)).cast("long").alias("sources"),
+        F.sum("docs").cast("long").alias("docs"),
+        F.sum("straddlers").cast("long").alias("straddlers"),
+        F.round(
+            F.sum("straddlers") * 100.0 / F.sum("docs"), 4
+        ).alias("straddler_pct"),
+        F.sum("tokens").cast("long").alias("tokens"),
+        (F.sum("bins") * CTX_TOKENS - F.sum("tokens"))
+        .cast("long")
+        .alias("wasted_tokens"),
+        F.round(
+            F.sum("tokens") * 100.0 / (F.sum("bins") * CTX_TOKENS), 4
+        ).alias("mean_fill_pct"),
+    )
+
+
+@query(
     "q_tfidf",
     """
     WITH toks AS (SELECT doc_id,

@@ -175,3 +175,47 @@ def test_salted_join_matches_plain(spark, big, small):
             for r in salted_join(b, s, ["k"], how=how, n_salts=4).collect()
         )
         assert got == want, how
+
+
+def test_zscore_moments_equals_window_form(spark, sf_dir):
+    """The moments (groupBy + broadcast-join) z-score plan must produce
+    the exact frame the window form does — same census, radically
+    different shuffle shape (partial-agged moments vs full row shuffle
+    per event_type). This is the equivalence that licenses swapping in
+    the moments plan on a skewed 100 TB table."""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+
+    q = queries()
+    win = {
+        r["event_type"]: r.asDict()
+        for r in q["q_zscore_outliers"](spark, sf_dir).collect()
+    }
+    mom = {
+        r["event_type"]: r.asDict()
+        for r in q["q_zscore_moments"](spark, sf_dir).collect()
+    }
+    assert win == mom and len(win) > 0
+
+
+def test_pack_summary_consistent_with_pack_sequences(spark, sf_dir):
+    """q_pack_summary's corpus totals must be derivable from
+    q_pack_sequences' per-bin census: same doc/token/source totals, and
+    the straddler count is bracketed by the bin census — every
+    over-full bin's (start-assigned) last doc necessarily crosses the
+    boundary, and a straddler is always the last doc starting in its
+    bin, so #overfull-bins <= straddlers <= #bins. (Equality with
+    overfull bins does NOT hold: a straddler's spill shifts the next
+    bin's first start deep into that bin, so an under-full start-sum
+    can still end in a straddle.)"""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+
+    q = queries()
+    bins = q["q_pack_sequences"](spark, sf_dir).collect()
+    s = q["q_pack_summary"](spark, sf_dir).collect()[0]
+    assert s["docs"] == sum(r["docs"] for r in bins)
+    assert s["tokens"] == sum(r["tokens"] for r in bins)
+    assert s["sources"] == len({r["source"] for r in bins})
+    overfull = sum(1 for r in bins if r["fill_pct"] > 100)
+    assert overfull <= s["straddlers"] <= len(bins)
+    assert 0 < s["mean_fill_pct"] <= 100
+    assert s["wasted_tokens"] >= 0
