@@ -143,3 +143,27 @@ def test_zscore_window_is_sharded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_zscore_outliers")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_zscore_moments_broadcasts_stats(spark, sf_dir):
+    """The moments twin must never shuffle fact rows by event_type:
+    mu/sigma come from a partial-aggregated groupBy (map-side moment
+    merge) and rejoin the facts via broadcast — no SortMergeJoin, no
+    Window. This is precisely why it is the skew-safe 100 TB plan."""
+    plan = _plan(spark, sf_dir, "q_zscore_moments")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_avg" in plan or "partial_stddev" in plan
+
+
+def test_pack_summary_window_is_sharded(spark, sf_dir):
+    """Same invariant as the packer itself: the straddle flag rides the
+    per-source running sum, so the Window must partition by source
+    (a global-order window would serialize the corpus). A
+    SinglePartition exchange DOES legitimately appear here — it feeds
+    the final one-row corpus census, whose input is the per-source
+    partial-agg states (O(|sources|) rows), never the doc frame."""
+    plan = _plan(spark, sf_dir, "q_pack_summary")
+    assert "windowspecdefinition(source" in plan
+    assert "Exchange hashpartitioning(source" in plan
