@@ -273,3 +273,55 @@ def test_normalize_event_time_all_encodings(spark, tmp_path):
     # no-op on frames without the column
     plain = spark.range(3)
     assert normalize_event_time(plain, "ts") is plain
+
+
+EXPECTED_SCHEMAS = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp_ntz"),
+               ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp_ntz")],
+    # ts MUST be plain timestamp whatever the parquet encoding —
+    # normalize_event_time's invariant; watermarks depend on it.
+    "events": [("event_id", "bigint"), ("ts", "timestamp"),
+               ("user_id", "bigint"), ("event_type", "string"),
+               ("value", "double"), ("props", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
+}
+
+
+def test_testdata_schema_sentinel(spark, sf_dir):
+    """Pin the LOADED schema of every canonical table. The harness has
+    regenerated the testdata with a different physical encoding once
+    already (events.ts ns -> us-NTZ between rounds 3 and 4, which
+    silently broke every watermark consumer); this sentinel makes the
+    next drift fail HERE, by name, instead of deep inside a streaming
+    query. If it fires: update normalize_event_time / the loaders to
+    re-establish the logical contract, then update this table."""
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_all
+
+    got = {
+        name: [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        for name, df in load_all(spark, sf_dir).items()
+    }
+    assert got == EXPECTED_SCHEMAS

@@ -56,11 +56,17 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     data_dir, schema = write_replay_files(spark, sf_dir, "events", 4)
     stream = replay_as_stream(spark, data_dir, schema, 2)
+    # NOT a vacuous rule: null_user alone matches zero rows at
+    # sf0.001, which would leave the DLQ branch untested; the modulus
+    # rule deterministically rejects ~10% so the DLQ MUST materialize.
     process = foreach_batch_upsert(
         spark,
         target,
         ["event_id"],
-        rules={"null_user": F.col("user_id").isNull()},
+        rules={
+            "null_user": F.col("user_id").isNull(),
+            "mod10": F.col("event_id") % 10 == 0,
+        },
     )
     q = (
         stream.writeStream.foreachBatch(process)
@@ -70,8 +76,26 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
 
+    bad = ev.filter(
+        F.col("user_id").isNull() | (F.col("event_id") % 10 == 0)
+    )
     merged = spark.read.parquet(os.path.join(target, "data"))
-    assert merged.count() == ev.select("event_id").distinct().count()
+    assert (
+        merged.count()
+        == ev.select("event_id").distinct().count()
+        - bad.select("event_id").distinct().count()
+    )
+    # DLQ: every rejected row landed in quarantine with its reason,
+    # and accept ∪ reject covers the stream (streaming form of the
+    # split_rejects completeness property)
+    dlq = spark.read.parquet(os.path.join(target, "_rejects"))
+    assert dlq.count() == bad.count()
+    assert set(
+        r["reject_reason"] for r in dlq.select("reject_reason").distinct().collect()
+    ) <= {"null_user", "mod10"}
+    assert merged.join(
+        dlq.select("event_id"), "event_id", "left_semi"
+    ).count() == 0
 
     ctrl = read_control(spark, target)
     assert ctrl is not None
