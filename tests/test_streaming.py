@@ -676,3 +676,65 @@ def test_stateful_dedupe_null_ids_pass_through(spark, tmp_path, bloom):
     assert [g[0] for g in got_ids] == [False, False, True, True]
     assert {g[2] for g in got_ids if g[0]} == {13, 14}
     assert {g[1] for g in got_ids if not g[0]} == {1, 2}
+
+
+def test_incremental_etl_end_to_end_resume(spark, sf_dir, tmp_path):
+    """The composed §4 pipeline (T1-T8 in one callable): drain a
+    landing dir in two OPERATIONAL RUNS sharing a checkpoint — run 1
+    sees only half the files (then 'crashes' by finishing), run 2
+    starts after more files land. Asserts the full contract: exactly
+    the union of distinct accepted keys in the target (no re-merge of
+    run-1 files), DLQ holds every rejected row with its reason, and
+    the control ledger recorded batches from both runs."""
+    import shutil
+
+    from prueba_tecnica_analista_etl_spark.pipelines.incremental import (
+        incremental_etl,
+        target_frame,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        read_control,
+    )
+
+    full_dir, schema = write_replay_files(spark, sf_dir, "events", 4)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    parts = sorted(
+        f for f in os.listdir(full_dir) if f.startswith("part-")
+    )
+    assert len(parts) == 4
+    rules = {"mod7": F.col("event_id") % 7 == 0}
+
+    # run 1: two files have landed
+    for f in parts[:2]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(landing, f))
+    incremental_etl(
+        spark, landing, schema, target, ["event_id"], ckpt, rules=rules
+    )
+    n_run1 = target_frame(spark, target).count()
+    ctrl_run1 = read_control(spark, target).count()
+    assert n_run1 > 0 and ctrl_run1 >= 2  # maxFilesPerTrigger=1
+
+    # crash/restart boundary: two more files land, same checkpoint
+    for f in parts[2:]:
+        shutil.copy(os.path.join(full_dir, f), os.path.join(landing, f))
+    incremental_etl(
+        spark, landing, schema, target, ["event_id"], ckpt, rules=rules
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    accepted = ev.filter(~(F.col("event_id") % 7 == 0))
+    merged = target_frame(spark, target)
+    assert (
+        merged.count() == accepted.select("event_id").distinct().count()
+    )
+    assert merged.filter(F.col("event_id") % 7 == 0).count() == 0
+    dlq = spark.read.parquet(os.path.join(target, "_rejects"))
+    assert dlq.count() == ev.filter(F.col("event_id") % 7 == 0).count()
+    assert dlq.filter(F.col("reject_reason") != "mod7").count() == 0
+    # ledger grew in run 2 and every batch_id is unique (idempotency)
+    ctrl = read_control(spark, target)
+    assert ctrl.count() > ctrl_run1
+    assert ctrl.count() == ctrl.select("batch_id").distinct().count()
