@@ -167,3 +167,39 @@ def test_pack_summary_window_is_sharded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_pack_summary")
     assert "windowspecdefinition(source" in plan
     assert "Exchange hashpartitioning(source" in plan
+
+
+def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
+    """Registry-wide Python lint: BatchEvalPython (row-at-a-time
+    Python UDF — the 10-100x slow path) must never appear in ANY
+    declared query's physical plan, and Arrow-vectorized Python
+    (ArrowEvalPython / MapInPandas) may appear only in the operators
+    declared to need it (numpy sliding-window mins, signature bit
+    census, IVF/LSH re-rank, binary metadata parsing). Everything
+    else must be whole-stage-codegen JVM expressions. The streaming
+    trio is excluded only because building their plans executes the
+    streams; their Python usage (applyInPandasWithState) is asserted
+    by the streaming tests."""
+    ARROW_ALLOWED = {
+        "q_winnow_fingerprint",
+        "q_multimodal_meta",
+        "q_simhash_dedup",
+        "q_ann_lsh",
+        "q_ann_ivf",
+        "q_embed_neardup",
+    }
+    SKIP = {"q_corpus_curate", "q_stream_dedupe", "q_stream_sessionize"}
+    for name in REGISTRY:
+        if name in SKIP:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        has_arrow = any(
+            t in plan
+            for t in ("ArrowEvalPython", "MapInPandas",
+                      "FlatMapGroupsInPandas")
+        )
+        if name in ARROW_ALLOWED:
+            assert has_arrow, f"{name}: expected Arrow node vanished"
+        else:
+            assert not has_arrow, f"{name}: unexpected Python in plan"
