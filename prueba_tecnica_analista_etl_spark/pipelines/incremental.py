@@ -26,7 +26,7 @@ foreachBatch at-least-once window).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -50,6 +50,7 @@ def incremental_etl(
     partition_col: str | None = None,
     max_files_per_trigger: int = 1,
     time_col: str = "ts",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """Drain the landing dir into ``target`` and return when caught up.
 
@@ -62,7 +63,11 @@ def incremental_etl(
 
     ``partition_col`` selects the partition-scoped sink (rewrites only
     touched partitions — the at-scale default); ``None`` uses the
-    whole-target merge (fine for small targets).
+    whole-target merge (fine for small targets). ``transform`` is the
+    §4 enrichment/standardization stage (nb:280) — a narrow
+    DataFrame→DataFrame step applied before validation, e.g. deriving
+    the partition column from event time; it must be map-side
+    (deterministic, no aggregation) to keep replay idempotent.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -70,6 +75,8 @@ def incremental_etl(
         .parquet(landing_dir)
     )
     stream = normalize_event_time(stream, time_col)
+    if transform is not None:
+        stream = transform(stream)
     if partition_col is not None:
         process = foreach_batch_upsert_partitioned(
             spark, target, keys, partition_col, rules=rules

@@ -678,14 +678,19 @@ def test_stateful_dedupe_null_ids_pass_through(spark, tmp_path, bloom):
     assert {g[1] for g in got_ids if not g[0]} == {1, 2}
 
 
-def test_incremental_etl_end_to_end_resume(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_incremental_etl_end_to_end_resume(
+    spark, sf_dir, tmp_path, partitioned
+):
     """The composed §4 pipeline (T1-T8 in one callable): drain a
     landing dir in two OPERATIONAL RUNS sharing a checkpoint — run 1
     sees only half the files (then 'crashes' by finishing), run 2
     starts after more files land. Asserts the full contract: exactly
     the union of distinct accepted keys in the target (no re-merge of
     run-1 files), DLQ holds every rejected row with its reason, and
-    the control ledger recorded batches from both runs."""
+    the control ledger recorded batches from both runs. Runs both
+    sink shapes: whole-target merge and the at-scale partition-scoped
+    sink (transform derives the day partition from event time)."""
     import shutil
 
     from prueba_tecnica_analista_etl_spark.pipelines.incremental import (
@@ -706,12 +711,18 @@ def test_incremental_etl_end_to_end_resume(spark, sf_dir, tmp_path):
     )
     assert len(parts) == 4
     rules = {"mod7": F.col("event_id") % 7 == 0}
+    kw = dict(rules=rules)
+    if partitioned:
+        kw["partition_col"] = "day"
+        kw["transform"] = lambda df: df.withColumn(
+            "day", F.to_date("ts")
+        )
 
     # run 1: two files have landed
     for f in parts[:2]:
         shutil.copy(os.path.join(full_dir, f), os.path.join(landing, f))
     incremental_etl(
-        spark, landing, schema, target, ["event_id"], ckpt, rules=rules
+        spark, landing, schema, target, ["event_id"], ckpt, **kw
     )
     n_run1 = target_frame(spark, target).count()
     ctrl_run1 = read_control(spark, target).count()
@@ -721,7 +732,7 @@ def test_incremental_etl_end_to_end_resume(spark, sf_dir, tmp_path):
     for f in parts[2:]:
         shutil.copy(os.path.join(full_dir, f), os.path.join(landing, f))
     incremental_etl(
-        spark, landing, schema, target, ["event_id"], ckpt, rules=rules
+        spark, landing, schema, target, ["event_id"], ckpt, **kw
     )
 
     ev = load_table(spark, sf_dir, "events")
