@@ -398,6 +398,73 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, source,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         t AS (SELECT doc_id, source, term FROM toks WHERE term <> ''),
+         vocab AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         n AS (SELECT count(*) AS total FROM t),
+         scored AS (SELECT t.doc_id, t.source,
+                           avg(ln(vocab.cnt / (n.total * 1.0)))
+                             AS logprob
+                    FROM t JOIN vocab USING (term) CROSS JOIN n
+                    GROUP BY t.doc_id, t.source)
+    SELECT source, count(*) AS docs,
+           round(avg(logprob), 4) AS avg_logprob,
+           round(min(logprob), 4) AS min_logprob,
+           round(max(logprob), 4) AS max_logprob
+    FROM scored GROUP BY source
+    """,
+    doc="extension (CCNet-style LM quality proxy): score each doc by "
+    "its mean unigram log-probability under the corpus's own unigram "
+    "model — the native-expression stand-in for the perplexity "
+    "bucketing CCNet/fastText pipelines run before training (low "
+    "mean logprob = rare-token gibberish, high = common-token "
+    "boilerplate; both tails get inspected). Plan: one explode+"
+    "groupBy builds the vocabulary census (partial-agged; bounded by "
+    "|vocab|, not corpus size), the token stream joins it (AQE "
+    "broadcasts at harness scale; at 100 TB the vocab frame exceeds "
+    "broadcast and this becomes a shuffle join on term — which is "
+    "still O(tokens), the floor for any LM scoring), per-doc avg, "
+    "then a per-source census. ln + round(4) is the q_tfidf "
+    "cross-engine-stable pattern.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        spread(d)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    vocab = t.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = t.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        t.join(vocab, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                F.log(F.col("cnt") / (F.col("total") * 1.0))
+            ).alias("logprob")
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+        F.round(F.min("logprob"), 4).alias("min_logprob"),
+        F.round(F.max("logprob"), 4).alias("max_logprob"),
+    )
+
+
+@query(
     "q_zscore_moments",
     """
     WITH st AS (SELECT event_type, avg(value) AS mu,
