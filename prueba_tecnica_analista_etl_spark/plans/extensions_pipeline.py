@@ -404,13 +404,16 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                          unnest(string_split(lower(text), ' ')) AS term
                   FROM documents),
          t AS (SELECT doc_id, source, term FROM toks WHERE term <> ''),
-         vocab AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
-         n AS (SELECT count(*) AS total FROM t),
-         scored AS (SELECT t.doc_id, t.source,
-                           avg(ln(vocab.cnt / (n.total * 1.0)))
-                             AS logprob
-                    FROM t JOIN vocab USING (term) CROSS JOIN n
-                    GROUP BY t.doc_id, t.source)
+         tf AS (SELECT doc_id, source, term, count(*) AS tf
+                FROM t GROUP BY doc_id, source, term),
+         vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+                   FROM tf GROUP BY term),
+         n AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+         scored AS (SELECT tf.doc_id, tf.source,
+                           sum(tf.tf * ln(vocab.cnt / (n.total * 1.0)))
+                             / sum(tf.tf) AS logprob
+                    FROM tf JOIN vocab USING (term) CROSS JOIN n
+                    GROUP BY tf.doc_id, tf.source)
     SELECT source, count(*) AS docs,
            round(avg(logprob), 4) AS avg_logprob,
            round(min(logprob), 4) AS min_logprob,
@@ -423,17 +426,18 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketing CCNet/fastText pipelines run before training (low "
     "mean logprob = rare-token gibberish, high = common-token "
     "boilerplate; both tails get inspected). Plan: one explode+"
-    "groupBy builds the vocabulary census (partial-agged; bounded by "
-    "|vocab|, not corpus size), the token stream joins it (AQE "
-    "broadcasts at harness scale; at 100 TB the vocab frame exceeds "
-    "broadcast and this becomes a shuffle join on term — which is "
-    "still O(tokens), the floor for any LM scoring), per-doc avg, "
-    "then a per-source census. ln + round(4) is the q_tfidf "
-    "cross-engine-stable pattern.",
+    "groupBy collapses the token stream to (doc, term, tf); the vocab "
+    "census and the scoring join both run on THAT frame, so the join "
+    "carries |distinct doc-term pairs| rows, not |tokens| — the "
+    "weighted mean sum(tf*ln p)/sum(tf) is algebraically the token "
+    "average. At 100 TB the vocab frame exceeds broadcast and the "
+    "scoring join shuffles on term — O(doc-term pairs), strictly "
+    "below the O(tokens) floor a naive token join pays. ln + "
+    "round(4) is the q_tfidf cross-engine-stable pattern.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    t = (
+    tf = (
         spread(d)
         .select(
             "doc_id",
@@ -443,16 +447,24 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("term") != "")
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = t.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    n = t.agg(F.count(F.lit(1)).alias("total"))
+    vocab = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cnt")
+    )
+    n = tf.agg(F.sum("tf").cast("long").alias("total"))
     scored = (
-        t.join(vocab, "term")
+        tf.join(vocab, "term")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id", "source")
         .agg(
-            F.avg(
-                F.log(F.col("cnt") / (F.col("total") * 1.0))
+            (
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cnt") / (F.col("total") * 1.0))
+                )
+                / F.sum("tf")
             ).alias("logprob")
         )
     )
