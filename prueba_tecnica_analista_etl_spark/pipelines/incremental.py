@@ -58,8 +58,10 @@ def incremental_etl(
     one (availableNow trigger) — the batch-cadence operational mode the
     reference's §4 describes (a scheduled run that picks up new files).
     Re-invoking after a crash resumes from ``checkpoint_dir``:
-    already-ingested files are not re-read, and a replayed in-flight
-    batch is skipped by the control ledger.
+    already-ingested files are not re-read; a replayed batch that
+    COMPLETED (ledger row present) is skipped outright, and a replayed
+    in-flight batch re-runs idempotently — the merge by the J4
+    join-rewrite, the DLQ by the batch-scoped overwrite write.
 
     ``partition_col`` selects the partition-scoped sink (rewrites only
     touched partitions — the at-scale default); ``None`` uses the

@@ -11,7 +11,12 @@ at-least-once delivery becomes effectively-once in the sink.
 
 DLQ (T6): rows failing the caller's rules are routed to
 ``{target}/_rejects`` with a ``reject_reason`` column instead of
-poisoning the merge.
+poisoning the merge. Reject writes are scoped to a
+``batch_id=<n>`` partition dir and OVERWRITE it, so a replayed
+in-flight batch (crash after the reject write but before the ledger
+row committed) replaces its own partial output instead of appending a
+duplicate — the DLQ is idempotent under replay, same as the merge.
+Readers get the batch id back as a partition column for free.
 """
 
 from __future__ import annotations
@@ -113,6 +118,17 @@ def _recover(data_path: str) -> None:
         shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
 
 
+def _write_rejects(rejected: DataFrame, rej_path: str, batch_id: int) -> None:
+    """Idempotent DLQ write: each batch owns ``{rej}/batch_id=<n>`` and
+    OVERWRITES it, so a replayed in-flight batch (crash between the
+    reject write and the ledger commit) replaces its own partial dir
+    rather than appending duplicates. ``spark.read.parquet(rej_path)``
+    surfaces ``batch_id`` as a partition column."""
+    rejected.write.mode("overwrite").parquet(
+        os.path.join(rej_path, f"batch_id={batch_id}")
+    )
+
+
 def read_control(spark: SparkSession, target: str) -> DataFrame | None:
     ctrl = _paths(target)[1]
     if not os.path.exists(ctrl):
@@ -150,7 +166,7 @@ def foreach_batch_upsert(
         if rules:
             batch, rejected = split_rejects(batch, rules)
             if rejected.limit(1).count() > 0:
-                rejected.write.mode("append").parquet(rej_path)
+                _write_rejects(rejected, rej_path, batch_id)
 
         _recover(data_path)
         if os.path.exists(data_path):
@@ -232,7 +248,7 @@ def foreach_batch_upsert_partitioned(
         if rules:
             batch, rejected = split_rejects(batch, rules)
             if rejected.limit(1).count() > 0:
-                rejected.write.mode("append").parquet(rej_path)
+                _write_rejects(rejected, rej_path, batch_id)
 
         _recover_partitioned(data_path, target)
         vals = [

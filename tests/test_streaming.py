@@ -749,3 +749,43 @@ def test_incremental_etl_end_to_end_resume(
     ctrl = read_control(spark, target)
     assert ctrl.count() > ctrl_run1
     assert ctrl.count() == ctrl.select("batch_id").distinct().count()
+
+
+def test_dlq_idempotent_under_inflight_replay(spark, sf_dir, tmp_path):
+    """Crash window the ledger does NOT cover: the reject write landed
+    but the batch's ledger row never committed. The replayed batch must
+    not duplicate DLQ rows — each batch overwrites its own
+    ``batch_id=<n>`` partition dir, so re-running the same (batch,
+    batch_id) pair leaves the quarantine byte-identical instead of
+    doubled (the failure mode of the old append write)."""
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        CONTROL,
+        foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "target")
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    process = foreach_batch_upsert(
+        spark,
+        target,
+        ["event_id"],
+        rules={"mod10": F.col("event_id") % 10 == 0},
+    )
+    process(ev, 0)
+    rej_path = os.path.join(target, "_rejects")
+    dlq1 = spark.read.parquet(rej_path).count()
+    assert dlq1 > 0
+    data1 = spark.read.parquet(os.path.join(target, "data")).count()
+
+    # simulate the crash: ledger row vanishes, DLQ + merge survived
+    import shutil
+
+    shutil.rmtree(os.path.join(target, CONTROL))
+    process(ev, 0)  # replayed in-flight batch
+
+    dlq2 = spark.read.parquet(rej_path)
+    assert dlq2.count() == dlq1  # NOT doubled
+    assert "batch_id" in dlq2.columns  # partition col surfaced
+    assert (
+        spark.read.parquet(os.path.join(target, "data")).count() == data1
+    )
