@@ -55,6 +55,13 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
       hashes are unchanged.
     - ``TIMESTAMP_MICROS (isAdjustedToUTC=1)``: already
       ``TimestampType``; pass through untouched.
+
+    Contract: an int64 event-time column is epoch NANOS — there is no
+    in-band way to tell ns/µs/ms apart within the same physical type,
+    so the unit is pinned by contract and guarded out-of-band by
+    ``test_event_time_magnitude_sentinel`` (decoded instants must land
+    in a plausible year range; a mis-scaled unit lands in 1970 or past
+    2100 and fails the sentinel by name).
     """
     if col not in df.columns:
         return df

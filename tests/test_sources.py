@@ -325,3 +325,21 @@ def test_testdata_schema_sentinel(spark, sf_dir):
         for name, df in load_all(spark, sf_dir).items()
     }
     assert got == EXPECTED_SCHEMAS
+
+
+def test_event_time_magnitude_sentinel(spark, sf_dir):
+    """Unit-drift guard for normalize_event_time: the schema sentinel
+    catches a physical TYPE change, but an int64 column that switched
+    meaning from epoch-nanos to epoch-micros/millis would keep the same
+    type and be silently mis-scaled 1000x by the `div 1000` branch.
+    Pin the decoded instants to a plausible window — a ms-encoded long
+    read as nanos lands in 1970 and an s-encoded one far past 2100, so
+    either drift fails HERE by name. int64 event time is contractually
+    epoch NANOS (see normalize_event_time's docstring)."""
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    lo, hi = load_table(spark, sf_dir, "events").agg(
+        F.min("ts"), F.max("ts")
+    ).first()
+    assert 1990 <= lo.year <= 2100, lo
+    assert 1990 <= hi.year <= 2100, hi
