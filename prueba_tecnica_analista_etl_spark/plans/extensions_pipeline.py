@@ -397,9 +397,49 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_unigram_logprob",
-    """
+def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability frame: (doc_id, source,
+    logprob). Shared by q_unigram_logprob (corpus census) and
+    q_perplexity_buckets (CCNet-style head/middle/tail split). One
+    explode+groupBy collapses the token stream to (doc, term, tf);
+    the vocab census and the scoring join both run on THAT frame —
+    O(doc-term pairs), not O(tokens), crosses the term shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        spread(d)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cnt")
+    )
+    n = tf.agg(F.sum("tf").cast("long").alias("total"))
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cnt") / (F.col("total") * 1.0))
+                )
+                / F.sum("tf")
+            ).alias("logprob")
+        )
+    )
+
+
+# The shared scored-frame CTE prefix for the two unigram-LM oracles.
+_UNIGRAM_SCORED_SQL = """
     WITH toks AS (SELECT doc_id, source,
                          unnest(string_split(lower(text), ' ')) AS term
                   FROM documents),
@@ -414,6 +454,13 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / sum(tf.tf) AS logprob
                     FROM tf JOIN vocab USING (term) CROSS JOIN n
                     GROUP BY tf.doc_id, tf.source)
+"""
+
+
+@query(
+    "q_unigram_logprob",
+    _UNIGRAM_SCORED_SQL
+    + """
     SELECT source, count(*) AS docs,
            round(avg(logprob), 4) AS avg_logprob,
            round(min(logprob), 4) AS min_logprob,
@@ -436,43 +483,80 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round(4) is the q_tfidf cross-engine-stable pattern.",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    tf = (
-        spread(d)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
-                "term"
-            ),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "source", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    vocab = tf.groupBy("term").agg(
-        F.sum("tf").cast("long").alias("cnt")
-    )
-    n = tf.agg(F.sum("tf").cast("long").alias("total"))
-    scored = (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id", "source")
-        .agg(
-            (
-                F.sum(
-                    F.col("tf")
-                    * F.log(F.col("cnt") / (F.col("total") * 1.0))
-                )
-                / F.sum("tf")
-            ).alias("logprob")
-        )
-    )
-    return scored.groupBy("source").agg(
+    return _unigram_scored(spark, sf_dir).groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
         F.round(F.avg("logprob"), 4).alias("avg_logprob"),
         F.round(F.min("logprob"), 4).alias("min_logprob"),
         F.round(F.max("logprob"), 4).alias("max_logprob"),
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    _UNIGRAM_SCORED_SQL
+    + """
+       , lp AS (SELECT doc_id, source, round(logprob, 4) AS lp
+                FROM scored),
+         b AS (SELECT source, lp,
+                      ntile(3) OVER (PARTITION BY source
+                                     ORDER BY lp DESC, doc_id) AS nb
+               FROM lp)
+    SELECT source,
+           CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           count(*) AS docs,
+           sum(CAST(lp AS DECIMAL(18,4))) AS sum_logprob,
+           round(min(lp), 4) AS lo_logprob,
+           round(max(lp), 4) AS hi_logprob
+    FROM b GROUP BY source, bucket
+    """,
+    doc="extension (CCNet perplexity buckets): CCNet's actual USE of "
+    "the LM score is not a census but a split — rank each source's "
+    "docs by LM likelihood and cut into head/middle/tail tertiles "
+    "(head = most in-domain, tail = gibberish candidates; training "
+    "recipes keep head+middle or reweight by bucket). Per-doc scores "
+    "come from the shared unigram frame (_unigram_scored); bucketing "
+    "is ntile(3) per source over (round(logprob,4) DESC, doc_id) — "
+    "rounding first makes the sort key cross-engine bit-stable and "
+    "doc_id makes it total, so both engines cut identical tertiles. "
+    "The census reports per-bucket doc counts and logprob ranges — "
+    "the lo/hi bounds ARE the bucket thresholds a filtering pass "
+    "would apply. Scale shape: the window shuffles one row per DOC "
+    "(never tokens) partitioned by source — the packer's proven "
+    "shape; for a single unbounded source swap the exact tertile for "
+    "approx_percentile thresholds + a broadcast map-side bucket "
+    "assignment (the zscore moments-twin pattern).",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = _unigram_scored(spark, sf_dir).select(
+        "doc_id", "source", F.round("logprob", 4).alias("lp")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lp"), F.asc("doc_id")
+    )
+    b = lp.withColumn("nb", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("nb") == 1, "head")
+        .when(F.col("nb") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.select("source", bucket.alias("bucket"), "lp")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            # exact decimal sum, not round(avg(...)): an averaged
+            # quotient of 1e-4-grid values lands ON the .00005 round
+            # boundary for ~1/8 of buckets and the engines' half-up
+            # vs float-ulp behavior disagrees there; the decimal sum
+            # is exact integer arithmetic in both engines (the
+            # DECIMAL(18,2) money-aggregate pattern, scale 4).
+            F.sum(F.col("lp").cast("decimal(18,4)")).alias(
+                "sum_logprob"
+            ),
+            F.round(F.min("lp"), 4).alias("lo_logprob"),
+            F.round(F.max("lp"), 4).alias("hi_logprob"),
+        )
     )
 
 

@@ -1,0 +1,61 @@
+"""Count-drift guard: the registry size is documented in three places
+(the rotation module docstring, README.md, SURVEY.md §2.11) and has
+drifted twice when a new q_* landed (r4: 63→65 noted late; r5: the
+rotation comment shipped saying 65/56 while the registry held 66/57 —
+an ADVICE finding both rounds). This test derives the true counts from
+the imported registry and greps each document for the exact literal
+phrase, so adding a query without updating all three docs fails HERE
+by file name. No Spark session needed — pure import + file reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+import prueba_tecnica_analista_etl_spark.plans as plans
+from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _counts() -> tuple[int, int, int]:
+    total = len(REGISTRY)
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    return total, n_oracle, total - n_oracle
+
+
+def test_rotation_module_docstring_counts():
+    total, n_oracle, n_rows = _counts()
+    doc = plans.__doc__ or ""
+    assert (
+        f"{total} queries ({n_oracle} oracle-backed + {n_rows}\nrows-only)"
+        in doc
+        or f"{total} queries ({n_oracle} oracle-backed + {n_rows} rows-only)"
+        in doc.replace("\n", " ")
+    ), f"rotation docstring counts != computed {total}/{n_oracle}/{n_rows}"
+    outside = total - plans.WINDOW
+    assert f"{outside} must sit outside" in doc.replace("\n", " "), (
+        f"rotation docstring outside-window count != computed {outside}"
+    )
+
+
+def test_readme_counts():
+    total, n_oracle, _ = _counts()
+    text = open(os.path.join(ROOT, "README.md")).read().replace("\n", " ")
+    assert f"{total} declared queries, {n_oracle} proven value-exact" in text
+
+
+def test_survey_counts():
+    total, n_oracle, _ = _counts()
+    text = open(os.path.join(ROOT, "SURVEY.md")).read()
+    assert f"**{total} queries ({n_oracle} oracle-backed)**" in text
+
+
+def test_window_arithmetic():
+    """The recorded window is exactly WINDOW entries and every
+    rows-only query promised a record this round is inside it."""
+    names = list(REGISTRY)
+    window = set(names[: plans.WINDOW])
+    for n in plans._ROWS_ONLY_PRIORITY + plans._R6_ROWS_ONLY_IN:
+        assert n in window, n
+    assert len(names) >= plans.WINDOW
