@@ -169,6 +169,33 @@ def test_pack_summary_window_is_sharded(spark, sf_dir):
     assert "Exchange hashpartitioning(source" in plan
 
 
+def test_no_single_partition_over_fact_rows_anywhere(spark, sf_dir):
+    """Registry-wide serialization lint (generalizes the hand-audited
+    q_pack_summary check): an ``Exchange SinglePartition`` collapses
+    the whole plan onto one task, so the ONLY thing allowed to flow
+    into one is pre-aggregated state — its immediate child must be a
+    partial/merge HashAggregate (an O(groups) census), never a scan,
+    project, join or window over fact rows. A contributed query that
+    sneaks in a global sort/window or a collect-like funnel fails
+    here by name. Streaming trio excluded as in the UDF lint (building
+    their plans executes the streams)."""
+    SKIP = {"q_corpus_curate", "q_stream_dedupe", "q_stream_sessionize"}
+    for name in REGISTRY:
+        if name in SKIP:
+            continue
+        lines = _plan(spark, sf_dir, name).splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1].strip() if i + 1 < len(lines) else ""
+            assert "HashAggregate" in child and (
+                "partial_" in child or "merge_" in child
+            ), (
+                f"{name}: Exchange SinglePartition fed by non-census "
+                f"child: {child[:120]}"
+            )
+
+
 def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     """Registry-wide Python lint: BatchEvalPython (row-at-a-time
     Python UDF — the 10-100x slow path) must never appear in ANY
