@@ -397,6 +397,93 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_source_overlap",
+    """
+    WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         s AS (SELECT source, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 7,
+                                                         1))) AS i
+               FROM t),
+         fp AS (SELECT DISTINCT source,
+                       md5(array_to_string(list_slice(toks, i, i + 7),
+                                           ' ')) AS fp
+                FROM s),
+         sz AS (SELECT source, count(*) AS n FROM fp GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(min(sa.n) AS BIGINT) AS n_a,
+           CAST(min(sb.n) AS BIGINT) AS n_b,
+           count(*) AS shared
+    FROM fp a
+    JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    JOIN sz sa ON sa.source = a.source
+    JOIN sz sb ON sb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="extension (cross-source overlap census): which datasets "
+    "duplicate each other's CONTENT — the standard pre-mixing "
+    "analysis before weighting corpus sources (two crawls of the "
+    "same site, a dataset re-released inside another, boilerplate "
+    "shared between collections). Doc-level md5 identity is too "
+    "blunt (this corpus has zero cross-source full-doc dupes at "
+    "sf0.01 yet thousands of shared passages), so the unit is the "
+    "8-token shingle: each source collapses to its distinct set of "
+    "md5 shingle fingerprints; a self-equi-join on fingerprint with "
+    "src_a < src_b counts shared shingles per source pair alongside "
+    "each source's distinct-shingle size (Jaccard's numerator and "
+    "denominator terms, derivable by the user). All-integer output — "
+    "no float parity risk. Scale shape: the self-join shuffles on "
+    "the 16-byte fingerprint key; per-fp fan-out is |sources "
+    "containing fp| choose 2 — quadratic in SOURCES sharing a "
+    "shingle (bounded: source count is a catalog property, never "
+    "O(corpus)), linear in shingles; the size frames are "
+    "O(|sources|) and broadcast. A shingle present in k sources "
+    "contributes k(k-1)/2 pair rows pre-aggregation — universal "
+    "boilerplate is the skew case; at 100 TB cap it by dropping "
+    "fingerprints above a source-count ceiling (they carry no "
+    "pair-discriminating signal), the LSH family's sub-split policy.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    fp = (
+        spread(d)
+        .select(
+            "source",
+            F.explode(shingles(toks, 8)).alias("gram"),
+        )
+        .select("source", F.md5("gram").alias("fp"))
+        .distinct()
+    )
+    sz = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = a.join(b, "fp").filter(F.col("a.source") < F.col("b.source"))
+    return (
+        pairs.select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"),
+                                  F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"),
+                                  F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.count(F.lit(1)).alias("shared"),
+        )
+    )
+
+
 def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability frame: (doc_id, source,
     logprob). Shared by q_unigram_logprob (corpus census) and
