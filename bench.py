@@ -3,10 +3,19 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with total and
 per-query wall-clock seconds.
 
-Results are executed via the ``noop`` sink (full pipeline runs, nothing
-collected to the driver) so timings measure the engine, not result
-transfer. One warm-up query absorbs JVM/codegen startup — totals, not
-cold starts, are the metric (BASELINE.md).
+Trial protocol (round-6 bench discipline): JVM JIT/GC variance between
+process invocations is ±1-2 s — the same order as round-over-round
+deltas — so a single invocation cannot support a regression claim.
+The default entrypoint therefore runs $SPARK_GRAFT_BENCH_TRIALS (=3)
+FULL process invocations (fresh JVM each) of itself with ``--single``
+and reports the MEDIAN wall alongside best and the raw trials; BASELINE
+comparisons quote the median. ``--single`` preserves the old one-process
+behavior (used by the orchestrator and for quick iteration).
+
+Within one trial, results are executed via the ``noop`` sink (full
+pipeline runs, nothing collected to the driver) so timings measure the
+engine, not result transfer. One warm-up pass absorbs JVM/codegen
+startup — totals, not cold starts, are the metric (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -14,21 +23,23 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from prueba_tecnica_analista_etl_spark.plans import REGISTRY
-from prueba_tecnica_analista_etl_spark.session import get_spark
-
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+def single() -> None:
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+    from prueba_tecnica_analista_etl_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
     spark = get_spark(app_name="bench")
@@ -124,5 +135,70 @@ def main() -> None:
     spark.stop()
 
 
+def orchestrate() -> None:
+    """Run N full process invocations of ``--single`` (fresh JVM each)
+    and report the median wall: one invocation's JIT/GC draw is ±1-2 s
+    noise, the median of three is a supportable number. stdout carries
+    exactly ONE JSON line (the driver contract); trial progress goes to
+    stderr."""
+    trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    trials: list[dict] = []
+    for i in range(trials_n):
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        if proc.returncode != 0:
+            print(
+                f"bench trial {i + 1}/{trials_n} failed "
+                f"(rc={proc.returncode})",
+                file=sys.stderr,
+            )
+            sys.exit(proc.returncode)
+        line = next(
+            l
+            for l in reversed(proc.stdout.splitlines())
+            if l.startswith("{")
+        )
+        trials.append(json.loads(line))
+        print(
+            f"bench trial {i + 1}/{trials_n}: "
+            f"total={trials[-1]['value']} "
+            f"oracle={trials[-1]['oracle_subset_wall']} "
+            f"({round(time.perf_counter() - t0, 1)} s incl. startup)",
+            file=sys.stderr,
+        )
+
+    walls = [t["value"] for t in trials]
+    median_wall = statistics.median(walls)
+    # per-query dict and subset walls come from the median-wall trial
+    # (a real invocation, not a per-key mix of incomparable JVMs)
+    median_trial = min(trials, key=lambda t: abs(t["value"] - median_wall))
+    out = dict(median_trial)
+    out.update(
+        {
+            "value": median_wall,
+            "best": min(walls),
+            "median": median_wall,
+            "trials": trials_n,
+            "trial_walls": walls,
+            "oracle_subset_wall": statistics.median(
+                t["oracle_subset_wall"] for t in trials
+            ),
+            "oracle_subset_walls": [
+                t["oracle_subset_wall"] for t in trials
+            ],
+            "mode": f"median-of-{trials_n}-process-invocations"
+            "(concurrent-16-threads-best-of-2 within each)",
+        }
+    )
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--single" in sys.argv[1:]:
+        single()
+    else:
+        orchestrate()

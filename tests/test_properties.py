@@ -251,3 +251,78 @@ def test_pack_summary_consistent_with_pack_sequences(spark, sf_dir):
     assert overfull <= s["straddlers"] <= len(bins)
     assert 0 < s["mean_fill_pct"] <= 100
     assert s["wasted_tokens"] >= 0
+
+
+def test_perplexity_buckets_consistent_with_unigram_census(spark, sf_dir):
+    """The bucket census must tile each source's docs exactly: per
+    source the three buckets' doc counts sum to the source's census
+    total and differ pairwise by at most one (the ntile guarantee),
+    and the score RANGES are ordered and non-overlapping —
+    head.lo >= middle.hi and middle.lo >= tail.hi (head holds the
+    highest log-probabilities), with the global min/max of the
+    unigram census bounding the tail/head extremes."""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+
+    q = queries()
+    census = {
+        r["source"]: r.asDict()
+        for r in q["q_unigram_logprob"](spark, sf_dir).collect()
+    }
+    buckets: dict = {}
+    for r in q["q_perplexity_buckets"](spark, sf_dir).collect():
+        buckets.setdefault(r["source"], {})[r["bucket"]] = r.asDict()
+    assert set(buckets) == set(census)
+    for src, bk in buckets.items():
+        assert set(bk) == {"head", "middle", "tail"}, src
+        counts = [bk[b]["docs"] for b in ("head", "middle", "tail")]
+        assert sum(counts) == census[src]["docs"], src
+        assert max(counts) - min(counts) <= 1, src
+        for b in bk.values():
+            assert b["lo_logprob"] <= b["hi_logprob"], src
+        assert bk["head"]["lo_logprob"] >= bk["middle"]["hi_logprob"], src
+        assert bk["middle"]["lo_logprob"] >= bk["tail"]["hi_logprob"], src
+        # round-4 buckets vs round-4 census extremes: equal up to 1e-4
+        assert (
+            abs(bk["tail"]["lo_logprob"] - census[src]["min_logprob"])
+            <= 1e-4
+        ), src
+        assert (
+            abs(bk["head"]["hi_logprob"] - census[src]["max_logprob"])
+            <= 1e-4
+        ), src
+
+
+def test_source_overlap_bounds(spark, sf_dir):
+    """Overlap census sanity: pairs are canonical (src_a < src_b,
+    each pair once), shared is positive and bounded by the smaller
+    side's distinct-shingle size, and the per-source sizes agree with
+    an independently computed distinct-shingle count."""
+    from prueba_tecnica_analista_etl_spark.functions.text import shingles
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    rows = queries()["q_source_overlap"](spark, sf_dir).collect()
+    assert rows, "corpus has cross-source shingle overlap by design"
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert 0 < r["shared"] <= min(r["n_a"], r["n_b"])
+
+    d = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in d.select(
+            "source",
+            F.explode(
+                shingles(F.split(F.lower(F.col("text")), " "), 8)
+            ).alias("g"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("g").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_a"] == sizes[r["src_a"]], r["src_a"]
+        assert r["n_b"] == sizes[r["src_b"]], r["src_b"]
