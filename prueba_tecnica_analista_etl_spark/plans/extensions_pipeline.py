@@ -442,7 +442,17 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contributes k(k-1)/2 pair rows pre-aggregation — universal "
     "boilerplate is the skew case; at 100 TB cap it by dropping "
     "fingerprints above a source-count ceiling (they carry no "
-    "pair-discriminating signal), the LSH family's sub-split policy.",
+    "pair-discriminating signal), the LSH family's sub-split policy. "
+    "Plan shape note: the naive self-equi-join evaluates the heavy "
+    "explode+md5+distinct subtree four times (both join sides + two "
+    "size joins; Spark's exchange reuse does not fire across the "
+    "aliased sides). Instead ONE groupBy(fp) collects each "
+    "fingerprint's sorted source set and the src_a<src_b "
+    "combinations are generated inline from that array (k sources → "
+    "k(k-1)/2 structs, pure codegen, ordering guaranteed by the "
+    "sorted set); the per-source sizes ride a 1-row broadcast map "
+    "(O(|sources|) entries — the unigram total-N pattern). Heavy "
+    "subtree runs twice (pairs + sizes), not four times.",
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -456,31 +466,45 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.md5("gram").alias("fp"))
         .distinct()
     )
-    sz = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = fp.alias("a")
-    b = fp.alias("b")
-    pairs = a.join(b, "fp").filter(F.col("a.source") < F.col("b.source"))
-    return (
-        pairs.select(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
+    # one row per fingerprint, sources sorted ascending
+    g = fp.groupBy("fp").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("srcs"), i + F.lit(2), F.size(F.col("srcs"))
+                ),
+                lambda y: F.struct(
+                    x.alias("src_a"), y.alias("src_b")
+                ),
+            ),
         )
-        .join(
-            F.broadcast(sz.select(F.col("source").alias("src_a"),
-                                  F.col("n").alias("na"))),
-            "src_a",
-        )
-        .join(
-            F.broadcast(sz.select(F.col("source").alias("src_b"),
-                                  F.col("n").alias("nb"))),
-            "src_b",
-        )
+    )
+    pairs = (
+        g.filter(F.size("srcs") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = (
+        fp.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.min("na").cast("long").alias("n_a"),
-            F.min("nb").cast("long").alias("n_b"),
-            F.count(F.lit(1)).alias("shared"),
+            F.map_from_entries(
+                F.collect_list(F.struct("source", "n"))
+            ).alias("m")
         )
+    )
+    return pairs.crossJoin(F.broadcast(sizes)).select(
+        "src_a",
+        "src_b",
+        F.col("m")[F.col("src_a")].cast("long").alias("n_a"),
+        F.col("m")[F.col("src_b")].cast("long").alias("n_b"),
+        "shared",
     )
 
 
