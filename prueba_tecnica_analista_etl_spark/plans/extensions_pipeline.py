@@ -671,6 +671,53 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assign_quantile_buckets(
+    scored: DataFrame,
+    by: str = "source",
+    col: str = "logprob",
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The at-scale twin of q_perplexity_buckets' exact ntile split
+    (the zscore moments-twin pattern, applied to quantile bucketing).
+
+    ntile is rank-exact but shuffles every row of a group into its
+    window partition — on a single unbounded source that is the hot-key
+    funnel. This form never shuffles the scored rows at all: per-group
+    bucket EDGES come from ONE partial-aggregated groupBy
+    (``approx_percentile``'s sketch merges associatively map-side, so
+    the exchange carries |groups| sketch states, not rows), broadcast
+    back onto the frame, and bucket assignment is map-side arithmetic
+    (count of edges below the score). Rank ties that ntile splits by
+    position land wholly on one side of a value edge here — bucket
+    sizes are value-exact rather than count-exact, the standard
+    approx-quantile trade; the property test pins ≥90% per-doc label
+    agreement with the exact form on harness data.
+
+    Returns ``scored`` plus ``bucket_idx`` (1 = lowest scores) and,
+    for ``n_buckets=3``, the CCNet ``bucket`` label (tail/middle/head
+    — head holds the HIGHEST log-probabilities, matching
+    q_perplexity_buckets).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = scored.groupBy(by).agg(
+        F.percentile_approx(col, probs, accuracy).alias("_edges")
+    )
+    out = scored.join(F.broadcast(edges), by)
+    idx = (
+        F.size(F.filter("_edges", lambda e: e < F.col(col))) + 1
+    ).alias("bucket_idx")
+    out = out.withColumn("bucket_idx", idx)
+    if n_buckets == 3:
+        out = out.withColumn(
+            "bucket",
+            F.when(F.col("bucket_idx") == 1, "tail")
+            .when(F.col("bucket_idx") == 2, "middle")
+            .otherwise("head"),
+        )
+    return out.drop("_edges")
+
+
 @query(
     "q_zscore_moments",
     """

@@ -55,3 +55,64 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     tests/test_sources.py by grepping the physical plan for
     ``PushedFilters`` on a filtered read)."""
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    balance: bool = False,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files and return the new file
+    count.
+
+    The table-maintenance operator every streaming/incremental sink
+    eventually needs: micro-batch appends and partition-scoped merges
+    accrete files far smaller than an efficient scan split, and at
+    100 TB the resulting per-file open/footer overhead (plus the
+    driver's file-listing memory) dominates scan setup. Target ~128 MB
+    — the parquet row-group/HDFS-block sweet spot Spark's own
+    ``maxPartitionBytes`` default assumes.
+
+    ``balance=False`` (default) uses ``coalesce`` — a NARROW merge of
+    input splits, zero shuffle: the right call when small files are
+    roughly uniform (the sink-accretion case). ``balance=True`` pays
+    one round-robin shuffle to equalize output sizes — the call when
+    input files are wildly skewed and a straggler output file would
+    recreate the problem.
+
+    The rewrite is crash-safe via the upsert sink's swap discipline:
+    write to ``<path>._tmp_compact``, rename the live dir aside,
+    rename the tmp in, delete the old — every crash point leaves
+    either the old or the new dir recoverable by ``_recover`` (shared
+    with the streaming sink, which uses the same suffix convention).
+
+    Partitioned layouts: compact each leaf partition dir (the caller
+    iterates — partition boundaries must not be merged away).
+    """
+    import math
+    import os
+
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        _recover,
+        _swap_in,
+    )
+
+    _recover(path)
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(path)
+        if e.is_file() and not e.name.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    df = df.repartition(n_files) if balance else df.coalesce(n_files)
+    tmp = path + "._tmp_compact"
+    df.write.mode("overwrite").parquet(tmp)
+    _swap_in(path, tmp, "compact")
+    return sum(
+        1
+        for e in os.scandir(path)
+        if e.is_file() and e.name.endswith(".parquet")
+    )

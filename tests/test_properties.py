@@ -326,3 +326,43 @@ def test_source_overlap_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_a"] == sizes[r["src_a"]], r["src_a"]
         assert r["n_b"] == sizes[r["src_b"]], r["src_b"]
+
+
+def test_quantile_buckets_agree_with_exact_ntile(spark, sf_dir):
+    """The approx-threshold bucket twin must (a) carry no Window and
+    join its edges by broadcast — the whole point is never shuffling
+    the scored rows — and (b) agree with the exact ntile split on at
+    least 90% of per-doc labels (value-edges vs rank-cuts differ only
+    at ties/edge collisions; at t-digest accuracy 10k over harness
+    group sizes the split is near-exact)."""
+    from pyspark.sql import Window
+
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        _unigram_scored,
+        assign_quantile_buckets,
+    )
+
+    scored = _unigram_scored(spark, sf_dir).select(
+        "doc_id", "source", F.round("logprob", 4).alias("lp")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lp"), F.asc("doc_id"))
+    exact_nb = {
+        r["doc_id"]: r["nb"]
+        for r in scored.withColumn("nb", F.ntile(3).over(w)).collect()
+    }
+
+    approx = assign_quantile_buckets(scored, col="lp")
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    rows = approx.collect()
+    assert len(rows) == len(exact_nb)
+    label_of_idx = {1: "tail", 2: "middle", 3: "head"}
+    for r in rows:
+        assert r["bucket"] == label_of_idx[r["bucket_idx"]]
+    # ntile nb: 1=head (highest lp); bucket_idx: 1=tail (lowest lp)
+    agree = sum(
+        1 for r in rows if (4 - r["bucket_idx"]) == exact_nb[r["doc_id"]]
+    )
+    assert agree / len(rows) >= 0.9, agree / len(rows)

@@ -343,3 +343,39 @@ def test_event_time_magnitude_sentinel(spark, sf_dir):
     ).first()
     assert 1990 <= lo.year <= 2100, lo
     assert 1990 <= hi.year <= 2100, hi
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """Compaction contract: many small files become few ~target-size
+    files with byte-identical content; a leftover tmp dir from a
+    crashed previous compaction is swept before the rewrite; the
+    shuffle-free default and the balancing variant agree on content."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        compact_parquet,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "t")
+    ev.repartition(64).write.parquet(path)
+    small = [
+        e for e in os.scandir(path)
+        if e.is_file() and e.name.endswith(".parquet")
+    ]
+    assert len(small) == 64
+    total = sum(e.stat().st_size for e in small)
+    want = sorted(map(tuple, ev.collect()))
+
+    # simulate a crashed earlier compaction attempt
+    os.makedirs(path + "._tmp_compact", exist_ok=True)
+
+    n = compact_parquet(spark, path, target_bytes=total // 4 + 1)
+    assert 1 <= n <= 5
+    assert not os.path.exists(path + "._tmp_compact")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    n2 = compact_parquet(spark, path, target_bytes=total * 2, balance=True)
+    assert n2 == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
