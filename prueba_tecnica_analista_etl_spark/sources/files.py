@@ -116,3 +116,45 @@ def compact_parquet(
         for e in os.scandir(path)
         if e.is_file() and e.name.endswith(".parquet")
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    data_path: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+    balance: bool = False,
+) -> dict[str, int]:
+    """Compact every leaf partition dir of a ``key=value``-layout
+    table; returns {partition dir name: new file count} for the
+    partitions actually rewritten.
+
+    This is the maintenance pass for
+    ``foreach_batch_upsert_partitioned`` targets: each micro-batch
+    rewrites only touched partitions, so hot partitions accrete one
+    file set per batch. Partitions with fewer than ``min_files`` data
+    files are skipped (nothing to merge — skipping keeps the pass
+    O(fragmented partitions), not O(table)). Partition boundaries are
+    never merged across; each leaf compacts independently with the
+    same crash-safe swap as :func:`compact_parquet`, so a crash
+    mid-pass leaves every partition either old or new, never mixed.
+    """
+    import os
+
+    done: dict[str, int] = {}
+    if not os.path.isdir(data_path):
+        return done
+    for e in sorted(os.scandir(data_path), key=lambda x: x.name):
+        if not e.is_dir() or "=" not in e.name or e.name.startswith("."):
+            continue
+        n_data = sum(
+            1
+            for f in os.scandir(e.path)
+            if f.is_file() and f.name.endswith(".parquet")
+        )
+        if n_data < min_files:
+            continue
+        done[e.name] = compact_parquet(
+            spark, e.path, target_bytes=target_bytes, balance=balance
+        )
+    return done

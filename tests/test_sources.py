@@ -379,3 +379,41 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     n2 = compact_parquet(spark, path, target_bytes=total * 2, balance=True)
     assert n2 == 1
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+
+def test_compact_partitioned_respects_boundaries(spark, sf_dir, tmp_path):
+    """Partitioned compaction merges files only WITHIN each leaf dir:
+    fragmented partitions collapse to one file, already-compact ones
+    are untouched (skip threshold), partition values and content
+    survive exactly."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        compact_partitioned,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .limit(2000)
+    )
+    path = str(tmp_path / "t")
+    # two appends -> every partition holds >= 2 file sets
+    ev.repartition(4).write.partitionBy("day").mode("append").parquet(path)
+    ev.repartition(4).write.partitionBy("day").mode("append").parquet(path)
+    want = sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    )
+    parts = [
+        e.name
+        for e in os.scandir(path)
+        if e.is_dir() and e.name.startswith("day=")
+    ]
+    assert parts
+    done = compact_partitioned(spark, path, target_bytes=1 << 30)
+    assert set(done) == set(parts)  # all were fragmented
+    assert all(n == 1 for n in done.values())
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    # second pass: everything is one file per partition -> all skipped
+    assert compact_partitioned(spark, path, target_bytes=1 << 30) == {}
