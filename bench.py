@@ -158,10 +158,20 @@ def orchestrate() -> None:
             )
             sys.exit(proc.returncode)
         line = next(
-            l
-            for l in reversed(proc.stdout.splitlines())
-            if l.startswith("{")
+            (
+                l
+                for l in reversed(proc.stdout.splitlines())
+                if l.startswith("{")
+            ),
+            None,
         )
+        if line is None:
+            print(
+                f"bench trial {i + 1}/{trials_n}: rc=0 but no JSON "
+                f"line on stdout; tail: {proc.stdout[-500:]!r}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         trials.append(json.loads(line))
         print(
             f"bench trial {i + 1}/{trials_n}: "
@@ -190,7 +200,7 @@ def orchestrate() -> None:
             "oracle_subset_walls": [
                 t["oracle_subset_wall"] for t in trials
             ],
-            "mode": f"median-of-{trials_n}-process-invocations"
+            "mode": f"median-of-{trials_n}-process-invocations "
             "(concurrent-16-threads-best-of-2 within each)",
         }
     )

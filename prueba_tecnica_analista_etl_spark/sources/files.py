@@ -87,9 +87,22 @@ def compact_parquet(
     rename the tmp in, delete the old — every crash point leaves
     either the old or the new dir recoverable by ``_recover`` (shared
     with the streaming sink, which uses the same suffix convention).
+    The swap dirs are SIBLINGS of ``path`` — safe for a standalone
+    table dir, but NEVER call this directly on a leaf inside a
+    partitioned table root (``.../data/day=X``): the siblings would
+    land inside the table root, contain ``=``, and be discovered as
+    bogus partitions by concurrent readers. Use
+    :func:`compact_partitioned` there — it swaps through dot-prefixed
+    dirs Spark's path filter ignores.
 
-    Partitioned layouts: compact each leaf partition dir (the caller
-    iterates — partition boundaries must not be merged away).
+    SINGLE-WRITER DISCIPLINE: never run while a writer (streaming sink,
+    merge job) is active on ``path``. The compactor snapshots the file
+    list lazily; a merge that commits between that snapshot and the
+    swap would be silently overwritten by the rewrite of the pre-merge
+    state — a lost update the control ledger cannot detect. Plain
+    parquet dirs have no transaction log to arbitrate concurrent
+    writers (that is what Delta/Iceberg add); run compaction in the
+    sink's idle window, same as any file-format maintenance.
     """
     import math
     import os
@@ -118,6 +131,30 @@ def compact_parquet(
     )
 
 
+_CMP_TMP = ".cmp_tmp_"
+_CMP_OLD = ".cmp_old_"
+
+
+def _recover_compaction(data_path: str) -> None:
+    """Sweep a partitioned table root for leftovers of a crashed
+    leaf-compaction pass. A ``.cmp_old_<leaf>`` whose live leaf is
+    missing (crash between rename-aside and rename-in) IS the data —
+    restore it; one whose leaf exists is a stale copy of a completed
+    swap — remove it. ``.cmp_tmp_*`` write dirs are always stale."""
+    import os
+    import shutil
+
+    for e in sorted(os.scandir(data_path), key=lambda x: x.name):
+        if e.name.startswith(_CMP_OLD):
+            live = os.path.join(data_path, e.name[len(_CMP_OLD):])
+            if os.path.exists(live):
+                shutil.rmtree(e.path, ignore_errors=True)
+            else:
+                os.rename(e.path, live)
+        elif e.name.startswith(_CMP_TMP):
+            shutil.rmtree(e.path, ignore_errors=True)
+
+
 def compact_partitioned(
     spark: SparkSession,
     data_path: str,
@@ -135,26 +172,53 @@ def compact_partitioned(
     file set per batch. Partitions with fewer than ``min_files`` data
     files are skipped (nothing to merge — skipping keeps the pass
     O(fragmented partitions), not O(table)). Partition boundaries are
-    never merged across; each leaf compacts independently with the
-    same crash-safe swap as :func:`compact_parquet`, so a crash
+    never merged across, and each leaf swaps independently, so a crash
     mid-pass leaves every partition either old or new, never mixed.
+
+    Swap hygiene, distinct from :func:`compact_parquet`: the tmp and
+    rename-aside dirs live INSIDE the table root, so they use
+    dot-prefixed names (``.cmp_tmp_day=X`` / ``.cmp_old_day=X``) that
+    Spark's path filter ignores — a concurrent reader of the table
+    never discovers them as bogus partitions, and the entry sweep
+    (:func:`_recover_compaction`) restores a leaf stranded mid-swap
+    before the dir scan can misread it as data.
+
+    SINGLE-WRITER DISCIPLINE: same as :func:`compact_parquet` — never
+    run concurrently with an active writer on the same leaves; a merge
+    committing between the leaf snapshot and its swap would be lost.
+    Run in the sink's idle window.
     """
+    import math
     import os
+    import shutil
 
     done: dict[str, int] = {}
     if not os.path.isdir(data_path):
         return done
+    _recover_compaction(data_path)
     for e in sorted(os.scandir(data_path), key=lambda x: x.name):
         if not e.is_dir() or "=" not in e.name or e.name.startswith("."):
             continue
-        n_data = sum(
+        files = [
+            f
+            for f in os.scandir(e.path)
+            if f.is_file() and f.name.endswith(".parquet")
+        ]
+        if len(files) < min_files:
+            continue
+        total = sum(f.stat().st_size for f in files)
+        n_files = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(e.path)
+        df = df.repartition(n_files) if balance else df.coalesce(n_files)
+        tmp = os.path.join(data_path, _CMP_TMP + e.name)
+        df.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(data_path, _CMP_OLD + e.name)
+        os.rename(e.path, old)
+        os.rename(tmp, e.path)
+        shutil.rmtree(old, ignore_errors=True)
+        done[e.name] = sum(
             1
             for f in os.scandir(e.path)
             if f.is_file() and f.name.endswith(".parquet")
-        )
-        if n_data < min_files:
-            continue
-        done[e.name] = compact_parquet(
-            spark, e.path, target_bytes=target_bytes, balance=balance
         )
     return done

@@ -414,6 +414,24 @@ def test_compact_partitioned_respects_boundaries(spark, sf_dir, tmp_path):
     done = compact_partitioned(spark, path, target_bytes=1 << 30)
     assert set(done) == set(parts)  # all were fragmented
     assert all(n == 1 for n in done.values())
-    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.collect())) == want
+    # swap dirs never leaked into partition discovery
+    days = {str(r["day"]) for r in after.select("day").distinct().collect()}
+    assert not any("cmp" in d or "tmp" in d for d in days)
     # second pass: everything is one file per partition -> all skipped
     assert compact_partitioned(spark, path, target_bytes=1 << 30) == {}
+
+    # crash recovery: a leaf stranded mid-swap (renamed aside, tmp
+    # never renamed in) is restored by the entry sweep; a stale tmp
+    # dir is removed; content is intact afterwards
+    leaf = parts[0]
+    os.rename(
+        os.path.join(path, leaf), os.path.join(path, ".cmp_old_" + leaf)
+    )
+    os.makedirs(os.path.join(path, ".cmp_tmp_" + leaf), exist_ok=True)
+    compact_partitioned(spark, path, target_bytes=1 << 30)
+    assert os.path.isdir(os.path.join(path, leaf))
+    assert not os.path.exists(os.path.join(path, ".cmp_old_" + leaf))
+    assert not os.path.exists(os.path.join(path, ".cmp_tmp_" + leaf))
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
