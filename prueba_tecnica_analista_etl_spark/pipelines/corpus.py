@@ -307,6 +307,13 @@ def curate_corpus(
 
     docs = _t(spark, sf_dir, "documents")
     gated = quality_gate(docs, min_tokens=min_tokens)
+    # NOT checkpointed, by measurement: the audit counts do re-run the
+    # gate expressions and the dedup window per consumer, but
+    # _materialize(deduped) was tried and is SLOWER here (1.5-1.8 s →
+    # 2.0-3.0 s isolated at sf0.1) — the checkpoint write/read costs
+    # more than recomputing a cheap map+window over this corpus. At a
+    # scale where the gate/dedup lineage is expensive, checkpoint the
+    # frontier; the pair frame's _materialize shows the pattern.
     deduped = exact_dedup(gated)
     # The UNCAPPED pair frame: the reporting query's top-100 limit
     # must never bound what curation purges.

@@ -34,8 +34,10 @@ from prueba_tecnica_analista_etl_spark.sources.tables import (
     normalize_event_time,
 )
 from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+    DATA,
     foreach_batch_upsert,
     foreach_batch_upsert_partitioned,
+    run_with_retry,
 )
 
 
@@ -51,6 +53,7 @@ def incremental_etl(
     max_files_per_trigger: int = 1,
     time_col: str = "ts",
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    retry_attempts: int = 3,
 ) -> None:
     """Drain the landing dir into ``target`` and return when caught up.
 
@@ -65,7 +68,9 @@ def incremental_etl(
 
     ``partition_col`` selects the partition-scoped sink (rewrites only
     touched partitions — the at-scale default); ``None`` uses the
-    whole-target merge (fine for small targets). ``transform`` is the
+    whole-target merge (fine for small targets). ``retry_attempts``
+    wraps each micro-batch in :func:`run_with_retry` (T8): transient
+    failures back off 1x/2x/4x… before failing the query. ``transform`` is the
     §4 enrichment/standardization stage (nb:280) — a narrow
     DataFrame→DataFrame step applied before validation, e.g. deriving
     the partition column from event time; it must be map-side
@@ -85,6 +90,19 @@ def incremental_etl(
         )
     else:
         process = foreach_batch_upsert(spark, target, keys, rules=rules)
+    if retry_attempts > 1:
+        # T8 wired into the running pipeline, not just exported: a
+        # transient per-batch failure gets 1x/2x/4x... backoff retries
+        # INSIDE the foreachBatch call (safe — the ledger makes an
+        # already-committed attempt a no-op); the last failure
+        # re-raises and fails the query, as before.
+        inner = process
+
+        def process(b: DataFrame, bid: int) -> None:
+            run_with_retry(
+                lambda: inner(b, bid), attempts=retry_attempts
+            )
+
     q = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -95,7 +113,8 @@ def incremental_etl(
 
 
 def target_frame(spark: SparkSession, target: str) -> DataFrame:
-    """The merged target as a batch frame (reads ``{target}/data``)."""
+    """The merged target as a batch frame (reads ``{target}/{DATA}``,
+    the sink's single source of truth for the layout)."""
     import os
 
-    return spark.read.parquet(os.path.join(target, "data"))
+    return spark.read.parquet(os.path.join(target, DATA))

@@ -102,8 +102,11 @@ def write_overlapping_replay(
     out = tempfile.mkdtemp(prefix=f"replay_overlap_{table}_")
     data_dir = os.path.join(out, "data")
     os.makedirs(data_dir)
+    # NULL ids satisfy neither range predicate (three-valued logic),
+    # so they ride the first half explicitly — the documented "union
+    # covers every row" invariant must include identity-less rows.
     halves = [
-        df.filter(F.col(id_col) <= hi),
+        df.filter((F.col(id_col) <= hi) | F.col(id_col).isNull()),
         df.filter(F.col(id_col) > lo),
     ]
     base_ts = None

@@ -108,14 +108,20 @@ def dedupe_stream(
 
     NULL ids have no identity to deduplicate on, so rows with a NULL
     ``id_col`` PASS THROUGH unchanged in both modes (at-least-once
-    for such rows; they never enter state). Without this rule the
-    Arrow batch's null would poison the whole bucket: pandas lifts a
-    null long column to float64/NaN, and both ``int(nan)`` (exact
-    path) and ``to_numpy(dtype=int64)`` (bloom path) raise, killing
-    the streaming query at runtime.
+    for such rows; they never enter state). The split happens at the
+    PLAN level — null rows are filtered around the stateful operator
+    and unioned back — not inside the pandas UDF: one null in an
+    Arrow chunk lifts the whole int64 id column to float64, which
+    silently CORRUPTS ids above 2^53 (adjacent longs collapse onto
+    one float, so two distinct snowflake-scale ids would dedupe as
+    equal). Keeping the stateful input null-free keeps the column
+    int64 end-to-end and the dedup decisions exact at any id
+    magnitude; the in-UDF null handling remains only as a dead-path
+    guard.
     """
     out_schema = stream.schema
-    bucketed = stream.withColumn(
+    null_rows = stream.filter(F.col(id_col).isNull())
+    bucketed = stream.filter(F.col(id_col).isNotNull()).withColumn(
         "_dedup_bucket",
         F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
     )
@@ -195,10 +201,11 @@ def dedupe_stream(
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return bucketed.groupBy("_dedup_bucket").applyInPandasWithState(
+    deduped = bucketed.groupBy("_dedup_bucket").applyInPandasWithState(
         fn_bloom if bloom_bits else fn_exact,
         outputStructType=out_schema,
         stateStructType=_BLOOM_STATE_SCHEMA if bloom_bits else _STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )
+    return deduped.unionByName(null_rows)

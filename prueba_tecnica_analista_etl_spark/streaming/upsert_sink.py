@@ -180,29 +180,47 @@ def foreach_batch_upsert(
         ):
             return  # replayed batch → already merged (idempotent)
 
-        if rules:
-            batch, rejected = split_rejects(batch, rules)
-            if rejected.limit(1).count() > 0:
-                _write_rejects(rejected, rej_path, batch_id)
+        # the batch feeds the reject split, the DLQ write and the
+        # merge — persist once instead of re-evaluating the source
+        # (and the rules) for each action
+        src = batch.persist()
+        batch = src
+        try:
+            if rules:
+                batch, rejected = split_rejects(batch, rules)
+                if rejected.limit(1).count() > 0:
+                    _write_rejects(rejected, rej_path, batch_id)
 
-        _recover(data_path)
-        if os.path.exists(data_path):
-            base = spark.read.parquet(data_path)
-            merged = upsert(base, batch.select(*base.columns), keys)
-        else:
-            merged = batch
+            # upsert() requires the incoming side unique on the keys
+            # (an at-least-once source can double a key WITHIN one
+            # batch — e.g. overlapping landing files); survivor pick
+            # is arbitrary among intra-batch duplicates, which is
+            # sound because at-least-once duplicates are redeliveries
+            # of the same row. Callers needing a domain-ordered pick
+            # pre-dedupe in `transform` with keep_first.
+            batch = batch.dropDuplicates(list(keys))
 
-        # write-then-swap: the target is never half-written and never
-        # lost (rename-aside, rename-in, then delete — see _swap_in)
-        tmp = data_path + f"._tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        _swap_in(data_path, tmp, batch_id)
+            _recover(data_path)
+            if os.path.exists(data_path):
+                base = spark.read.parquet(data_path)
+                merged = upsert(base, batch.select(*base.columns), keys)
+            else:
+                merged = batch
 
-        n = spark.read.parquet(data_path).count()
-        spark.createDataFrame(
-            [(int(batch_id), "OK", int(n))],
-            "batch_id long, estado string, filas long",
-        ).write.mode("append").parquet(ctrl_path)
+            # write-then-swap: the target is never half-written and
+            # never lost (rename-aside, rename-in, delete — _swap_in)
+            tmp = data_path + f"._tmp_{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            _swap_in(data_path, tmp, batch_id)
+
+            # metadata-only count (parquet footers), not a data scan
+            n = spark.read.parquet(data_path).count()
+            spark.createDataFrame(
+                [(int(batch_id), "OK", int(n))],
+                "batch_id long, estado string, filas long",
+            ).write.mode("append").parquet(ctrl_path)
+        finally:
+            src.unpersist()
 
     return process
 
@@ -262,58 +280,80 @@ def foreach_batch_upsert_partitioned(
         ):
             return
 
-        if rules:
-            batch, rejected = split_rejects(batch, rules)
-            if rejected.limit(1).count() > 0:
-                _write_rejects(rejected, rej_path, batch_id)
+        src = batch.persist()
+        batch = src
+        try:
+            if rules:
+                batch, rejected = split_rejects(batch, rules)
+                if rejected.limit(1).count() > 0:
+                    _write_rejects(rejected, rej_path, batch_id)
 
-        _recover_partitioned(data_path, target)
-        vals = [
-            r[0]
-            for r in batch.select(partition_col).distinct().collect()
-        ]
-        if os.path.exists(data_path):
-            base_slice = (
+            # intra-batch key uniqueness — upsert()'s precondition;
+            # see the whole-target variant for the rationale
+            batch = batch.dropDuplicates(list(keys))
+
+            _recover_partitioned(data_path, target)
+            vals = [
+                r[0]
+                for r in batch.select(partition_col).distinct().collect()
+            ]
+            # isin() never matches NULL (SQL three-valued logic), but a
+            # NULL partition value lands in __HIVE_DEFAULT_PARTITION__
+            # and its dir IS swapped below — without the explicit
+            # isNull branch the base rows of that partition would be
+            # excluded from the merge and silently dropped by the swap.
+            nonnull = [v for v in vals if v is not None]
+            touched = (
+                F.col(partition_col).isin(nonnull)
+                if nonnull
+                else F.lit(False)
+            )
+            if len(nonnull) < len(vals):
+                touched = touched | F.col(partition_col).isNull()
+            if os.path.exists(data_path):
+                base_slice = (
+                    spark.read.option("basePath", data_path)
+                    .parquet(data_path)
+                    .filter(touched)
+                )
+                merged = upsert(
+                    base_slice, batch.select(*base_slice.columns), keys
+                )
+            else:
+                merged = batch
+
+            tmp = data_path + f"._tmp_{batch_id}"
+            merged.write.partitionBy(partition_col).mode(
+                "overwrite"
+            ).parquet(tmp)
+
+            part_dirs = [
+                d
+                for d in os.listdir(tmp)
+                if d.startswith(f"{partition_col}=")
+            ]
+            old_root = os.path.join(target, f"._old_{batch_id}")
+            os.makedirs(old_root, exist_ok=True)
+            os.makedirs(data_path, exist_ok=True)
+            for d in sorted(part_dirs):
+                live = os.path.join(data_path, d)
+                if os.path.exists(live):
+                    os.rename(live, os.path.join(old_root, d))
+                os.rename(os.path.join(tmp, d), live)
+            shutil.rmtree(old_root, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+            n_slice = (
                 spark.read.option("basePath", data_path)
                 .parquet(data_path)
-                .filter(F.col(partition_col).isin(vals))
+                .filter(touched)
+                .count()
             )
-            merged = upsert(
-                base_slice, batch.select(*base_slice.columns), keys
-            )
-        else:
-            merged = batch
-
-        tmp = data_path + f"._tmp_{batch_id}"
-        merged.write.partitionBy(partition_col).mode("overwrite").parquet(
-            tmp
-        )
-
-        part_dirs = [
-            d
-            for d in os.listdir(tmp)
-            if d.startswith(f"{partition_col}=")
-        ]
-        old_root = os.path.join(target, f"._old_{batch_id}")
-        os.makedirs(old_root, exist_ok=True)
-        os.makedirs(data_path, exist_ok=True)
-        for d in sorted(part_dirs):
-            live = os.path.join(data_path, d)
-            if os.path.exists(live):
-                os.rename(live, os.path.join(old_root, d))
-            os.rename(os.path.join(tmp, d), live)
-        shutil.rmtree(old_root, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
-
-        n_slice = (
-            spark.read.option("basePath", data_path)
-            .parquet(data_path)
-            .filter(F.col(partition_col).isin(vals))
-            .count()
-        )
-        spark.createDataFrame(
-            [(int(batch_id), "OK", int(n_slice))],
-            "batch_id long, estado string, filas long",
-        ).write.mode("append").parquet(ctrl_path)
+            spark.createDataFrame(
+                [(int(batch_id), "OK", int(n_slice))],
+                "batch_id long, estado string, filas long",
+            ).write.mode("append").parquet(ctrl_path)
+        finally:
+            src.unpersist()
 
     return process

@@ -819,3 +819,99 @@ def test_dlq_migrates_legacy_flat_layout(spark, sf_dir, tmp_path):
         .collect()
     }
     assert by_batch == {-1: 30, 5: 10}
+
+
+def test_partitioned_upsert_preserves_null_partition(spark, tmp_path):
+    """isin() never matches NULL, but the NULL-partition dir
+    (__HIVE_DEFAULT_PARTITION__) IS swapped by the sink — the base
+    slice must include it explicitly or batch 2 silently erases
+    batch 1's NULL-partition rows."""
+    target = str(tmp_path / "t")
+    process = foreach_batch_upsert_partitioned(
+        spark, target, ["event_id"], "day"
+    )
+    schema = "event_id long, day date, value double"
+    b1 = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0)], schema
+    )
+    b2 = spark.createDataFrame([(3, None, 3.0)], schema)
+    process(b1, 0)
+    process(b2, 1)
+    merged = spark.read.parquet(os.path.join(target, "data"))
+    assert {r["event_id"] for r in merged.collect()} == {1, 2, 3}
+    # ledger counted the whole rewritten (NULL) slice
+    ctrl = read_control(spark, target)
+    assert ctrl.filter(F.col("batch_id") == 1).first()["filas"] == 3
+
+
+def test_upsert_sink_dedupes_intra_batch_keys(spark, tmp_path):
+    """An at-least-once source can double a key WITHIN one micro-batch
+    (overlapping landing files batched together); the sink must enforce
+    upsert()'s incoming-side uniqueness or the duplicate becomes a
+    permanent double row in the target."""
+    target = str(tmp_path / "t")
+    process = foreach_batch_upsert(spark, target, ["event_id"])
+    b = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 20.0)], "event_id long, value double"
+    )
+    process(b, 0)
+    merged = spark.read.parquet(os.path.join(target, "data"))
+    assert merged.count() == 2
+    assert merged.select("event_id").distinct().count() == 2
+    # partitioned variant, same invariant
+    target2 = str(tmp_path / "t2")
+    p2 = foreach_batch_upsert_partitioned(
+        spark, target2, ["event_id"], "day"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (1, "2024-01-01", 1.0)],
+        "event_id long, day string, value double",
+    )
+    p2(b2, 0)
+    assert spark.read.parquet(os.path.join(target2, "data")).count() == 1
+
+
+def test_dedupe_stream_exact_above_2_53_with_nulls(spark, tmp_path):
+    """Ids above 2^53 are not float64-representable; a NULL sharing an
+    Arrow chunk with them used to lift the id column to float64 and
+    collapse adjacent longs. The plan-level null split keeps the
+    stateful input int64, so 2^53 and 2^53+1 both survive as distinct
+    and the NULL row still passes through."""
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream,
+    )
+
+    big = 1 << 53
+    schema = "event_id long, user_id long"
+    df = spark.createDataFrame(
+        [(big, 1), (big + 1, 2), (None, 3), (big, 4)], schema
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tmp = str(tmp_path / "w")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+    os.rename(os.path.join(tmp, src), str(landing / "f0.parquet"))
+
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = replay_as_stream(s, str(landing), df.schema, 1)
+    out: list = []
+    q = (
+        dedupe_stream(stream, n_buckets=4)
+        .writeStream.foreachBatch(lambda b, bid: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(
+        (r["event_id"] is None, r["event_id"] or 0) for r in out
+    )
+    # big and big+1 BOTH survive (distinct), the replay of big is
+    # dropped, the null row passes through
+    assert ids == [(False, big), (False, big + 1), (True, 0)]
