@@ -29,7 +29,16 @@ STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (U4: explode(split()) — no UDTF)."""
+    """Whitespace tokenization (U4: explode(split()) — no UDTF).
+
+    Deliberately splits on a SINGLE literal space, not ``\\s+``: every
+    DuckDB oracle tokenizes with ``string_split(text, ' ')`` and the
+    two sides must agree token-for-token for the value hashes to
+    match. On text with runs of whitespace both engines would emit the
+    same empty-string tokens (consistent, if inflated — the harness
+    corpus is single-spaced); switching to a regex split is a
+    BOTH-SIDES change to every oracle, not a one-line fix here.
+    """
     return F.split(F.lower(text), " ")
 
 
@@ -113,6 +122,11 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
 
         out = []
         for arr, parr in zip(strs, prefs):
+            if arr is None or parr is None:
+                # NULL text → null shingle/prefix arrays: propagate
+                # null instead of crashing the task in np.asarray
+                out.append(None)
+                continue
             a = np.asarray(arr, dtype=object)
             p = np.asarray(parr, dtype=np.int64)
             if len(p) <= win:
@@ -149,19 +163,17 @@ def simhash64(feature_hashes: Column) -> Column:
     evaluation of 64 conditionals per feature — measured ~10× slower.
     """
 
-    @F.pandas_udf(T.LongType())
-    def _sig(hs: pd.Series) -> pd.Series:
+    def _core(hs: pd.Series) -> np.ndarray:
         # Whole-batch vectorization — no per-row Python loop. All rows'
         # feature arrays are concatenated once; the bit matrix comes
         # from np.unpackbits over the little-endian byte view (bit i of
         # each uint64 lands in column i on x86), and the per-row bit
         # census is one segment-sum (np.add.reduceat at row offsets,
         # accumulated in int64 so uint8 bits can't overflow).
-        # Precondition: every feature array is non-empty (shingles()
-        # guarantees >=1 shingle per doc).
+        # Precondition: every feature array is non-empty and non-null
+        # (shingles() guarantees >=1 shingle per non-null doc; nulls
+        # are masked out by the wrapper below).
         n = len(hs)
-        if n == 0:
-            return pd.Series(np.empty(0, dtype=np.int64))
         lens = np.fromiter((len(a) for a in hs), count=n, dtype=np.int64)
         if lens.min() <= 0:
             raise ValueError("simhash64 requires non-empty feature arrays")
@@ -176,7 +188,22 @@ def simhash64(feature_hashes: Column) -> Column:
         ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
         maj = (2 * ones > lens[:, None]).astype(np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        out = (maj << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
+        return (maj << shifts).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _sig(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        mask = np.asarray([a is not None for a in hs])
+        if mask.all():
+            return pd.Series(_core(hs))
+        # NULL feature arrays (NULL text upstream): compute the
+        # non-null rows, propagate null for the rest
+        out = np.empty(n, dtype=object)
+        if mask.any():
+            out[mask] = _core(hs[mask].reset_index(drop=True))
+        out[~mask] = None
         return pd.Series(out)
 
     return _sig(feature_hashes)

@@ -72,6 +72,8 @@ def assign_clusters(v: Column, centroids: np.ndarray) -> Column:
 
     @F.pandas_udf(T.IntegerType())
     def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: (0,) @ (k,dim).T raises
+            return pd.Series(np.empty(0, dtype=np.int32))
         M = np.asarray(vs.tolist(), dtype=np.float64)
         Mn = M / np.maximum(
             np.linalg.norm(M, axis=1, keepdims=True), 1e-12
@@ -113,10 +115,8 @@ def ivf_fit(
             .collect()
         )
         C2 = C.copy()
-        touched = set()
         for r in rows:
             C2[r["_c"], r["pos"]] = r["m"]
-            touched.add(r["_c"])
         C = np.round(C2, 6)  # empty clusters keep their old centroid
     return C
 
@@ -136,7 +136,15 @@ def sign_bits(v: Column, planes: list[list[float]]) -> Column:
 
     @F.pandas_udf(T.LongType())
     def _sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: (0,) @ P raises
+            return pd.Series(np.empty(0, dtype=np.int64))
         M = np.asarray(vs.tolist(), dtype=np.float64)  # batch × dim
+        if M.shape[1] != P.shape[0]:
+            raise ValueError(
+                f"sign_bits: embedding dim {M.shape[1]} != plane dim "
+                f"{P.shape[0]} — regenerate the hyperplanes for this "
+                "corpus's dimension"
+            )
         bits = (M @ P) >= 0.0
         return pd.Series(bits @ weights)
 

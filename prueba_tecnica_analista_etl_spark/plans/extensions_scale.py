@@ -219,12 +219,18 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p.doc_a",
             "p.doc_b",
-            F.round(jaccard(F.col("p.pa"), F.col("p.pb")), 4).alias(
-                "jaccard_sim"
-            ),
+            jaccard(F.col("p.pa"), F.col("p.pb")).alias("_j"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("jaccard_sim") >= 0.5)
+        # gate on the UNROUNDED similarity: rounding first would admit
+        # pairs with true jaccard in [0.49995, 0.5) through the >= 0.5
+        # contract; round only the reported column
+        .filter(F.col("_j") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_j"), 4).alias("jaccard_sim"),
+        )
     )
 
 
@@ -393,7 +399,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one broadcast + one filter instead of full brute force per query.",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings").select(
+    # spread() before the signature matmul: a one-file embeddings
+    # table arrives as ONE partition and the Arrow UDF would run the
+    # whole corpus serially (every sibling embedding query spreads)
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     planes = random_hyperplanes(16, 64, seed=42)
@@ -423,10 +432,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fitted coarse quantizer is a MODEL (k×dim floats), not data:
 # real IVF systems train it once per corpus and amortize it across
 # every query, so the engine memoizes it per (session, corpus, k,
-# iters) exactly like the replay-file landing dirs. Keyed by id(spark)
-# with the session held in the value (same soundness scheme as
-# queries._TABLE_CACHE).
-_IVF_CACHE: dict[tuple, tuple[SparkSession, object]] = {}
+# iters). The session is held by WEAKREF and dead entries are swept on
+# access (the _PAIRS_CACHE scheme from pipelines/corpus.py) — a strong
+# reference would pin every stopped SparkSession, and its centroids,
+# for the process lifetime in a loop that creates sessions.
+_IVF_CACHE: dict = {}
 
 
 def ann_ivf(
@@ -450,13 +460,19 @@ def ann_ivf(
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    import weakref
+
+    for key in [
+        key for key, (ref, _) in _IVF_CACHE.items() if ref() is None
+    ]:
+        del _IVF_CACHE[key]
     ckey = (id(spark), sf_dir, k, iters)
     hit = _IVF_CACHE.get(ckey)
-    if hit is not None and hit[0] is spark:
+    if hit is not None and hit[0]() is spark:
         centroids = hit[1]
     else:
         centroids = ivf_fit(e, "v", "vec_id", k=k, iters=iters)
-        _IVF_CACHE[ckey] = (spark, centroids)
+        _IVF_CACHE[ckey] = (weakref.ref(spark), centroids)
     assigned = e.withColumn(
         "cluster", assign_clusters(F.col("v"), centroids)
     )
@@ -622,9 +638,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="U3/T custom stateful operator (applyInPandasWithState): "
     "exactly-once projection of an at-least-once stream — two "
     "overlapping landing files (middle 20% of ids delivered twice, in "
-    "different micro-batches) pass through a per-user seen-id state "
-    "filter; every event_id is emitted exactly once. State partitioned "
-    "by user (one shuffle), checkpointed with the query.",
+    "different micro-batches) pass through a seen-id state filter; "
+    "every event_id is emitted exactly once. State is keyed by a "
+    "DERIVED id-hash bucket (64 buckets, one shuffle) — a tunable "
+    "constant group count instead of per-user natural keys, which "
+    "cost 1,500 tiny Arrow chunks per micro-batch; NULL-id rows "
+    "bypass the stateful operator at the plan level. Checkpointed "
+    "with the query; TTL and Bloom state bounds available.",
 )
 def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")

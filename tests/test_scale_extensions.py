@@ -653,3 +653,74 @@ def test_pairs_cache_memoizes_and_clears(spark, sf_dir):
     c = cached_minhash_pairs(spark, sf_dir)
     assert c is not a
     clear_pairs_cache()
+
+
+def test_fingerprint_udfs_null_and_empty_safe(spark):
+    """NULL text flows through the Arrow fingerprint UDFs as NULL
+    output instead of crashing the task (np.asarray(None) / len(None)
+    raised before), and an empty Arrow batch (possible after a
+    selective filter) yields an empty result rather than a shape
+    error in the matmul paths."""
+    import numpy as np
+
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        shingle_hashes,
+        simhash64,
+        tokens,
+        winnow_fingerprints,
+    )
+    from prueba_tecnica_analista_etl_spark.functions.vectors import (
+        assign_clusters,
+        random_hyperplanes,
+        sign_bits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, None), (3, "x y z")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["w"], r["s"])
+        for r in df.select(
+            "id",
+            winnow_fingerprints(F.col("text")).alias("w"),
+            simhash64(shingle_hashes(tokens(F.col("text")), 2)).alias("s"),
+        ).collect()
+    }
+    # NULL text never reaches the UDFs as a null array: concat_ws
+    # swallows the null token array, so the shingle set degenerates to
+    # [md5("")] — a deterministic sentinel row, not a crash
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert got[2][0] == [empty_md5] and got[2][1] is not None
+    assert got[1][0] and got[1][1] is not None
+    assert got[3][0] and got[3][1] is not None
+
+    # a DIRECT null feature array (simhash64's public input type) must
+    # propagate null, not crash in len(None)
+    arrs = spark.createDataFrame(
+        [(1, [7, 8, 9]), (2, None)], "id long, hs array<long>"
+    )
+    sim = {
+        r["id"]: r["s"]
+        for r in arrs.select(
+            "id", simhash64(F.col("hs")).alias("s")
+        ).collect()
+    }
+    assert sim[2] is None and sim[1] is not None
+
+    vecs = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        "id long, v array<double>",
+    )
+    planes = random_hyperplanes(8, 64, seed=1)
+    C = np.eye(4, 64)
+    empty = vecs.filter(F.col("id") < 0)  # empty frame -> empty batches
+    assert empty.select(sign_bits(F.col("v"), planes)).count() == 0
+    assert empty.select(assign_clusters(F.col("v"), C)).count() == 0
+    assert (
+        vecs.select(sign_bits(F.col("v"), planes).alias("s"))
+        .first()["s"]
+        is not None
+    )
