@@ -84,11 +84,18 @@ def keep_first(
     deduped frame and overwrite — ``seccion3_sql.sql:184-189``).
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return (
+    out = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", SRC_COL, ROW_COL)
+        .drop("_rn")
     )
+    # Drop the tag_source_order bookkeeping columns only when BOTH are
+    # present (the tagger's signature) — a caller's own column that
+    # happens to share one of the names must not be silently deleted.
+    # The pair of names is reserved for the tagger by contract.
+    if SRC_COL in out.columns and ROW_COL in out.columns:
+        out = out.drop(SRC_COL, ROW_COL)
+    return out
 
 
 def keep_first_agg(

@@ -26,16 +26,23 @@ def count_sum_rollup(
     df: DataFrame, group_col: str, sum_col: str, total_label: str = "TOTAL"
 ) -> DataFrame:
     """Pivot + grand-total row in one pass via ``rollup`` (A5): the
-    NULL super-aggregate row is relabeled ``total_label``, matching the
-    Excel TOTAL row."""
+    super-aggregate row is relabeled ``total_label``, matching the
+    Excel TOTAL row. Identified via ``grouping()``, NOT by coalescing
+    NULL: a genuine NULL group value would otherwise collide with the
+    TOTAL row (two 'TOTAL' rows, the real NULL-group counts mislabeled
+    as the grand total); with grouping() the NULL-group data row stays
+    NULL and only the rollup row gets the label."""
     return (
         df.rollup(group_col)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum(sum_col), 2).alias("total"),
+            F.grouping(group_col).alias("_g"),  # only legal in agg()
         )
         .select(
-            F.coalesce(F.col(group_col), F.lit(total_label)).alias(group_col),
+            F.when(F.col("_g") == 1, F.lit(total_label))
+            .otherwise(F.col(group_col))
+            .alias(group_col),
             "cnt",
             "total",
         )
@@ -46,7 +53,12 @@ def top_duplicates(df: DataFrame, key: str, k: int = 20) -> DataFrame:
     """Top-k most-frequent keys, deterministic tiebreak (O2/W2; the
     "most duplicated value" question). Physical plan is
     ``TakeOrderedAndProject`` after the aggregation — only k rows leave
-    each partition, no global sort materialization."""
+    each partition, no global sort materialization.
+
+    Reference-faithful and deliberately UNFILTERED: the reference's
+    ``value_counts().head(k)`` includes cnt=1 keys when fewer than k
+    keys are duplicated; callers wanting only true duplicates compose
+    ``.filter(F.col('cnt') > 1)`` (dup_census does exactly that)."""
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -19,8 +19,17 @@ from pyspark.sql import functions as F
 
 
 def count_if(cond: Column, name: str) -> Column:
-    """BIGINT conditional count (A7; ``sum(CASE WHEN …)``)."""
-    return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+    """BIGINT conditional count (A7; ``sum(CASE WHEN …)``).
+
+    Coalesced to 0 on zero input rows — SQL ``sum`` over an empty
+    group is NULL, and a violations census over an empty frame must
+    report zero violations, not null (a ``== 0`` gate on None would
+    misfire)."""
+    return (
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
+    )
 
 
 def violations_census(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -69,7 +78,9 @@ def approx_quantiles(df: DataFrame, col: str, probs: Sequence[float]) -> list:
     row = df.agg(
         F.percentile_approx(col, list(probs), 10000).alias("q")
     ).first()
-    return list(row["q"])
+    # empty frame / all-NULL column: the sketch returns NULL — report
+    # an empty profile instead of raising on list(None)
+    return [] if row["q"] is None else list(row["q"])
 
 
 def checksum(df: DataFrame, col: str) -> DataFrame:

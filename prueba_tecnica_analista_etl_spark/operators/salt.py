@@ -47,8 +47,20 @@ def salted_join(
             "input; rename it before salting"
         )
     key_list = list(on)
-    salt = F.pmod(
-        F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    # Salt from a row hash so one hot key's rows spread across salts.
+    # MapType columns are unhashable (F.hash rejects them) — exclude
+    # them; if nothing hashable remains, fall back to a row-id mod.
+    from pyspark.sql import types as T
+
+    hashable = [
+        f.name
+        for f in big.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    salt = (
+        F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(n_salts))
+        if hashable
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     b = big.withColumn(_SALT, salt)
     s = small.withColumn(

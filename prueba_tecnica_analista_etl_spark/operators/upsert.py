@@ -84,6 +84,10 @@ def upsert_with_metrics(
     n_new = new_d.count()
     updates = base.join(new_d, on=list(keys), how="left_semi").count()
     result = upsert(base, new_d, keys)
+    # the cache exists for the three counts above; release it rather
+    # than leak one cached frame per audited merge for the session
+    # lifetime (the lazy result simply recomputes new_d when executed)
+    new_d.unpersist()
     metrics = {
         "base_rows": n_base,
         "new_rows": n_new,

@@ -229,12 +229,16 @@ def q_groupby_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_groupby_rollup",
     """
-    SELECT coalesce(o_orderpriority, 'TOTAL') AS o_orderpriority,
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'TOTAL'
+                ELSE o_orderpriority END AS o_orderpriority,
            count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY ROLLUP(o_orderpriority)
     """,
-    doc="A5: pivot + grand-TOTAL row in one pass (grouping sets).",
+    doc="A5: pivot + grand-TOTAL row in one pass (grouping sets). The "
+    "TOTAL row is identified by GROUPING(), not by coalescing NULL — "
+    "a genuine NULL group value must not collide with the grand total "
+    "(both engines agree on the distinction).",
 )
 def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -243,11 +247,12 @@ def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             money_sum(F.col("o_totalprice")).alias("total"),
+            F.grouping("o_orderpriority").alias("_g"),
         )
         .select(
-            F.coalesce(F.col("o_orderpriority"), F.lit("TOTAL")).alias(
-                "o_orderpriority"
-            ),
+            F.when(F.col("_g") == 1, F.lit("TOTAL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
             "cnt",
             "total",
         )

@@ -113,6 +113,20 @@ def compact_parquet(
     )
 
     _recover(path)
+    part_dirs = [
+        e.name
+        for e in os.scandir(path)
+        if e.is_dir() and "=" in e.name and not e.name.startswith(".")
+    ]
+    if part_dirs:
+        # a partitioned root has no top-level data files: total would
+        # be 0, n_files 1, and the rewrite would FLATTEN the partition
+        # layout (partition columns demoted to data, pruning lost)
+        raise ValueError(
+            f"compact_parquet: {path} is a partitioned table root "
+            f"(found {part_dirs[0]}, ...); use compact_partitioned, "
+            "which compacts each leaf without merging boundaries"
+        )
     total = sum(
         e.stat().st_size
         for e in os.scandir(path)

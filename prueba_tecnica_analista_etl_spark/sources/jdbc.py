@@ -32,6 +32,14 @@ def read_jdbc(
     if user is not None:
         reader = reader.option("user", user).option("password", password or "")
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark as the literal 'None' and die
+            # in a NumberFormatException deep inside the JDBC relation
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound (the range Spark splits into "
+                f"{num_partitions} parallel queries)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

@@ -40,6 +40,14 @@ def kafka_source(
             .load()
         )
     except Exception as ex:  # pragma: no cover - depends on classpath
+        # Only translate the actual missing-connector failure; any
+        # other plan-time error (bad options, etc.) must surface as
+        # itself, not as a misleading classpath diagnosis.
+        msg = str(ex)
+        if "Failed to find data source" not in msg and (
+            "DATA_SOURCE_NOT_FOUND" not in msg
+        ):
+            raise
         raise RuntimeError(
             "Kafka connector not on the classpath. Launch with "
             "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"

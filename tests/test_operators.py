@@ -428,3 +428,80 @@ def test_salted_join_equivalence(spark):
         .count()
     )
     assert salts == 8  # the hot key spreads over every salt bucket
+
+
+def test_rollup_distinguishes_null_group_from_total(spark):
+    """A genuine NULL group value must survive as its own row, not be
+    relabeled into (and collide with) the grand-TOTAL row — the
+    grouping() distinction."""
+    from prueba_tecnica_analista_etl_spark.operators.pivot import (
+        count_sum_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 10.0)], "g string, v double"
+    )
+    rows = {r["g"]: (r["cnt"], r["total"])
+            for r in count_sum_rollup(df, "g", "v").collect()}
+    assert rows["TOTAL"] == (3, 13.0)   # the one true grand total
+    assert rows[None] == (1, 10.0)      # NULL group kept distinct
+    assert rows["a"] == (2, 3.0)
+
+
+def test_quality_helpers_empty_input(spark):
+    """Zero-row audits report zeros/empty, not None/crash."""
+    from prueba_tecnica_analista_etl_spark.operators.quality import (
+        approx_quantiles,
+        violations_census,
+    )
+
+    empty = spark.createDataFrame([], "x long")
+    row = violations_census(empty, {"neg": F.col("x") < 0}).first()
+    assert row["neg"] == 0
+    assert approx_quantiles(empty, "x", [0.5]) == []
+
+
+def test_keep_first_preserves_caller_row_id_column(spark):
+    """Only the tagger's column PAIR is reserved: a caller's lone
+    _row_id business column must survive keep_first."""
+    from prueba_tecnica_analista_etl_spark.operators.dedupe import (
+        keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 5), (1, 200, 3)], "k long, _row_id long, v long"
+    )
+    out = keep_first(df, ["k"], [F.asc("v")])
+    assert out.columns == ["k", "_row_id", "v"]
+    assert out.first()["_row_id"] == 200
+
+
+def test_read_jdbc_requires_bounds_with_partition_column(spark):
+    import pytest
+
+    from prueba_tecnica_analista_etl_spark.sources.jdbc import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound and"):
+        read_jdbc(
+            spark, "jdbc:postgresql://h/db", "t", partition_column="id"
+        )
+
+
+def test_compact_parquet_refuses_partitioned_root(spark, sf_dir, tmp_path):
+    import pytest
+
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        compact_parquet,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    path = str(tmp_path / "t")
+    (
+        load_table(spark, sf_dir, "events")
+        .limit(100)
+        .withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    with pytest.raises(ValueError, match="partitioned table root"):
+        compact_parquet(spark, path)
