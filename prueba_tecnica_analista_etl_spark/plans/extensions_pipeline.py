@@ -911,3 +911,131 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("tfidf"), F.asc("doc_id"), F.asc("term")
     ).limit(20)
+
+
+# Duplicate-cluster edges: two docs are near-dups when they share at
+# least this many distinct 8-token shingle fingerprints (the
+# q_source_overlap unit, applied doc-level).
+CLUSTER_MIN_SHARED = 3
+
+
+def shingle_edges(
+    docs: DataFrame,
+    k: int = 8,
+    min_shared: int = CLUSTER_MIN_SHARED,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Doc-pair edges ``(doc_a < doc_b, shared)`` where the pair shares
+    ≥ ``min_shared`` distinct k-token shingle fingerprints.
+
+    Same inline-pair shape as q_source_overlap (one groupBy(fp)
+    collects each fingerprint's sorted member ids; a<b combinations
+    are generated from that array in codegen — the heavy
+    explode+md5+distinct subtree runs ONCE, not twice per join side).
+    ``max_df`` is the 100 TB skew guard: a fingerprint present in more
+    than ``max_df`` docs is corpus boilerplate — it contributes
+    O(df²) pair rows and no near-dup signal (any genuine duplicate
+    family also shares its rarer shingles) — so production callers cap
+    it; the oracle-checked query leaves it None for exactness against
+    the uncapped SQL."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    fp = (
+        spread(docs)
+        .select(
+            "doc_id", F.explode(shingles(toks, k)).alias("gram")
+        )
+        .select("doc_id", F.md5("gram").alias("fp"))
+        .distinct()
+    )
+    g = fp.groupBy("fp").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    if max_df is not None:
+        g = g.filter(F.size("ids") <= max_df)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
+                ),
+                lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b")
+                ),
+            ),
+        )
+    )
+    return (
+        g.filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+@query(
+    "q_dup_clusters",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 7,
+                                                         1))) AS i
+               FROM t),
+         fp AS (SELECT DISTINCT doc_id,
+                       md5(array_to_string(list_slice(toks, i, i + 7),
+                                           ' ')) AS fp
+                FROM s),
+         e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+               FROM fp a
+               JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         sym AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+         nodes AS (SELECT DISTINCT ea AS node FROM sym),
+         lab AS (WITH RECURSIVE r(node, m) AS (
+                   SELECT node, node FROM nodes
+                   UNION
+                   SELECT s.ea, r.m FROM sym s JOIN r ON r.node = s.eb)
+                 SELECT node, min(m) AS comp FROM r GROUP BY node)
+    SELECT comp AS cluster_id, count(*) AS n_docs
+    FROM lab GROUP BY comp
+    """,
+    doc="extension (duplicate clustering): CONNECTED COMPONENTS over "
+    "the shared-shingle near-dup graph — pairs are not enough for "
+    "curation (a chain A~B, B~C is ONE duplicate family even when "
+    "A≁C directly; survivor choice and family statistics are "
+    "per-component decisions), and pipelines/corpus.py's greedy "
+    "pairwise purge explicitly defers transitive-closure cliques to "
+    "a components pass. Edges: docs sharing ≥3 distinct 8-token "
+    "shingle fingerprints (shingle_edges — the q_source_overlap "
+    "inline-pair shape at doc granularity); labeling: iterative "
+    "min-label propagation (operators/components.py, the "
+    "hash-to-min scheme from public MapReduce-CC literature), "
+    "component id = min doc_id — the same deterministic labeling "
+    "the oracle's recursive-CTE transitive closure computes, so the "
+    "whole iterative algorithm is value-hash-checked against SQL, "
+    "not just rows-counted. Output: one row per duplicate family "
+    "(cluster_id, n_docs) — all-integer, no float parity risk. "
+    "Scale shape: edge building shuffles on the 16-byte fingerprint "
+    "(boilerplate fingerprints capped via shingle_edges(max_df=...) "
+    "at scale; None here for oracle exactness — harness buckets are "
+    "duplicate-family-sized); each propagation round is one "
+    "O(|E|)-message join + groupBy over ENDPOINT-sized frames, "
+    "round count = component diameter (duplicate families are "
+    "shallow; large-star/small-star swaps in for O(log n) on "
+    "pathological chains). Eager note: like q_corpus_curate, "
+    "constructing this plan RUNS Spark jobs (the fixpoint's "
+    "per-round convergence counts + localCheckpoint rounds).",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    labels = connected_components(shingle_edges(d))
+    return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -505,3 +505,76 @@ def test_compact_parquet_refuses_partitioned_root(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned table root"):
         compact_parquet(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# connected_components (operators/components.py)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, pairs, **kw):
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return _rows(connected_components(edges, **kw), "node", "comp")
+
+
+def test_cc_chain_is_one_component(spark):
+    """A~B, B~C, C~D: one family labeled by its min id — the exact
+    transitive case the pairwise purge docstring defers to CC."""
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == [
+        (1, 1), (2, 1), (3, 1), (4, 1)
+    ]
+
+
+def test_cc_disjoint_components_and_cycle(spark):
+    """Two separate families (one a triangle — cycles must not loop
+    forever) keep separate min-id labels."""
+    got = _cc(spark, [(10, 20), (20, 30), (10, 30), (7, 8)])
+    assert got == [(7, 7), (8, 7), (10, 10), (20, 10), (30, 10)]
+
+
+def test_cc_long_chain_converges(spark):
+    """A 12-node path needs diameter-many rounds — exercises the
+    fixpoint loop well past one propagation step."""
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == [(i, 0) for i in range(n + 1)]
+
+
+def test_cc_raises_rather_than_mislabeling(spark):
+    """Hitting max_rounds must raise, never return a half-propagated
+    labeling (silent truncation would split one family into two)."""
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(8)], max_rounds=2)
+
+
+def test_shingle_edges_max_df_drops_boilerplate_fp_only(spark):
+    """The 100 TB skew guard: max_df removes pairs that ONLY share
+    ubiquitous fingerprints, but a family also sharing rarer shingles
+    keeps its edge (the docstring's claim, pinned)."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        shingle_edges,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rare = "zeta omega kappa sigma delta gamma alpha beta nine"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {rare}"),
+            (2, f"{boiler} {rare}"),
+            (3, boiler),
+            (4, boiler),
+            (5, "unrelated words entirely distinct from every other doc"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = _rows(shingle_edges(docs, k=8), "doc_a", "doc_b")
+    assert (1, 2) in uncapped and (3, 4) in uncapped
+    # every 8-shingle of the bare boilerplate doc appears in 4 docs;
+    # cap at 3 → the (3,4) pair (boilerplate-only overlap) vanishes,
+    # while (1,2) survives on its rare-tail shingles.
+    capped = _rows(shingle_edges(docs, k=8, max_df=3), "doc_a", "doc_b")
+    assert (1, 2) in capped and (3, 4) not in capped
