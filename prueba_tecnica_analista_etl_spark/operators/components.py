@@ -62,12 +62,27 @@ def connected_components(
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Seed with the FIRST propagation folded into node discovery:
+    # comp₀ = min(self, direct neighbors) comes out of the same
+    # groupBy that enumerates the nodes — one round fewer for free.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("src"), F.min("dst")).alias("comp"))
         .localCheckpoint()
     )
+
+    # Labels are pointwise non-increasing (each update takes a min
+    # that includes the current label), so Σcomp strictly decreases
+    # until the fixpoint and is then constant: ONE cheap aggregate on
+    # the just-materialized frame detects convergence — no
+    # old-vs-new join needed. decimal(38,0) keeps the total exact
+    # for arbitrary 64-bit ids at any node count.
+    def total(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev = total(labels)
     for _ in range(max_rounds):
         neighbor = sym.join(
             labels, sym["dst"] == labels["node"]
@@ -78,15 +93,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            upd.alias("u")
-            .join(labels.select("node", F.col("comp").alias("old")), "node")
-            .filter(F.col("comp") < F.col("old"))
-            .count()
-        )
+        cur = total(upd)
         labels = upd
-        if changed == 0:
+        if cur == prev:
             return labels
+        prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds the cap); raise max_rounds or use "

@@ -13,8 +13,10 @@ fixpoint iteration — a doc is dropped only while some SURVIVING
 smaller near-dup of it exists. One-shot "drop every doc_b" would
 over-purge chains (A~B, B~C, A≁C kills C even though its only
 near-dup B is itself dead); the iteration re-admits such docs. Still
-the cheap-and-deterministic alternative to full connected components
-(at 100 TB run GraphFrames CC if transitive-closure cliques matter).
+the cheap-and-deterministic alternative to full connected components;
+:func:`near_dup_purge_components` (operators/components.py, native
+DataFrame CC — no GraphFrames needed) gives the stricter
+one-survivor-per-family semantics when transitive closure matters.
 
 Each stage is one shuffle; nothing collects to the driver except the
 audit counts (``observe``-style, after the fact).
@@ -248,6 +250,35 @@ def near_dup_purge_stable(
         "enforcement_over_purged": over_purged,
     }
     return docs.join(dropped, "doc_id", "left_anti"), audit
+
+
+def near_dup_purge_components(
+    docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Component-exact purge: survivors = the min-id doc of every
+    duplicate FAMILY (connected component of the pair graph), plus
+    every doc in no pair.
+
+    Trade vs :func:`near_dup_purge_stable`: the greedy form keeps a
+    maximal independent set (a chain A~B, B~C with A≁C keeps A AND C),
+    treating only DIRECT near-dups as exclusive; this form treats
+    transitive connection as family identity and keeps exactly one per
+    family — the standard cluster-then-keep-one semantics of
+    production near-dup dedup (MinHash families are usually true
+    rewrites chained through intermediate revisions). Stricter, so it
+    never keeps a pair the greedy form would purge. Cost: the CC
+    fixpoint's diameter-many endpoint-sized rounds instead of the
+    alternating-chain rounds — same O(|pairs|) frames throughout."""
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs, _endpoints = _restricted_pairs(docs, pairs)
+    labels = connected_components(pairs, a="doc_a", b="doc_b")
+    dropped = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 # The candidate-pair frame is a per-corpus artifact like the IVF

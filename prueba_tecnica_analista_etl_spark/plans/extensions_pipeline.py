@@ -941,12 +941,14 @@ def shingle_edges(
     toks = F.split(F.lower(F.col("text")), " ")
     fp = (
         spread(docs)
-        .select(
-            "doc_id", F.explode(shingles(toks, k)).alias("gram")
-        )
+        .select("doc_id", F.explode(shingles(toks, k)).alias("gram"))
         .select("doc_id", F.md5("gram").alias("fp"))
-        .distinct()
     )
+    # No .distinct() before the groupBy: collect_set dedups doc_ids
+    # per fingerprint map-side, so a separate distinct would be a
+    # second full shuffle of the gram frame for nothing (unlike
+    # q_source_overlap, whose per-source SIZE census genuinely needs
+    # the deduped (fp, source) frame).
     g = fp.groupBy("fp").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )

@@ -609,6 +609,38 @@ def test_near_dup_purge_stable_converges_without_over_purge(spark):
     assert 1 <= audit["purge_rounds"] <= 10
 
 
+def test_near_dup_purge_components_one_survivor_per_family(spark):
+    """Component-exact purge semantics vs the greedy MIS: on the chain
+    A~B, B~C the greedy form keeps {A, C}; the CC form treats the
+    chain as ONE family and keeps only its min id. Ghost endpoints
+    (pair members absent from docs) still impose no constraint, and
+    docs in no pair are untouched."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        near_dup_purge_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    # chain 1-2-3 (one family), isolated pair (5,6); 4,7,8 pair-free
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    alive = {
+        r["doc_id"]
+        for r in near_dup_purge_components(docs, pairs).collect()
+    }
+    assert alive == {1, 4, 5, 7, 8}  # 3 drops too: family {1,2,3}
+
+    # ghost endpoint: (0, 7) with 0 gone upstream must not purge 7
+    ghost = spark.createDataFrame([(0, 7)], "doc_a long, doc_b long")
+    alive_g = {
+        r["doc_id"]
+        for r in near_dup_purge_components(docs, ghost).collect()
+    }
+    assert alive_g == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
 def test_corpus_curate_second_build_reuses_pair_artifact(spark, sf_dir):
     """The candidate-pair DAG (the expensive stage) must execute at
     most once per (session, corpus): a SECOND q_corpus_curate
