@@ -366,3 +366,34 @@ def test_quantile_buckets_agree_with_exact_ntile(spark, sf_dir):
         1 for r in rows if (4 - r["bucket_idx"]) == exact_nb[r["doc_id"]]
     )
     assert agree / len(rows) >= 0.9, agree / len(rows)
+
+
+def test_values_invariant_to_reducer_count(spark, sf_dir):
+    """Shuffle-partition-count invariance: a 1000-executor cluster
+    runs these plans with thousands of reducers, local tests with 32 —
+    result VALUES must not depend on the count. Exercised on the
+    queries whose semantics most plausibly could: keep-first ordering
+    (survivor picked per shuffle partition), LSH bucketing + inline
+    pair expansion, the per-shard packing running sum, exact ntile
+    cuts, and the CC fixpoint (round structure interacts with
+    partitioning). A sibling session (shared SparkContext, own conf)
+    re-runs each with 3 reducers against the default-32 results."""
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "3")
+    for name in [
+        "q_dedup_keep_first",
+        "q_dup_clusters",
+        "q_perplexity_buckets",
+        "q_pack_sequences",
+        "q_minhash_dedup",
+        "q_window_rownum",
+    ]:
+        base = sorted(
+            map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
+        )
+        got = sorted(
+            map(tuple, REGISTRY[name].fn(alt, sf_dir).collect())
+        )
+        assert got == base, f"{name} changed values under 3 reducers"
