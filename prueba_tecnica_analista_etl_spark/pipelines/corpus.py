@@ -24,10 +24,13 @@ audit counts (``observe``-style, after the fact).
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.artifacts import (
+    clear_artifacts,
+    corpus_artifact,
+)
 
 from prueba_tecnica_analista_etl_spark.functions.text import (
     STOPWORDS,
@@ -282,27 +285,17 @@ def near_dup_purge_components(
 
 
 # The candidate-pair frame is a per-corpus artifact like the IVF
-# quantizer (extensions_scale._IVF_CACHE): real pipelines compute it
-# once and reuse it across curation runs, so the engine memoizes the
-# lineage-truncated frame per (session, corpus). The session is held
-# by WEAK reference: a stopped/garbage-collected session must not be
-# pinned (nor its checkpointed RDD blocks) by the cache — dead
-# entries are swept on every lookup, and clear_pairs_cache() gives
-# callers an explicit invalidation path (e.g. after rewriting the
-# corpus under the same sf_dir).
-_PAIRS_CACHE: dict[
-    tuple[int, str], tuple["weakref.ref[SparkSession]", DataFrame]
-] = {}
+# quantizer (extensions_scale._IVF_CACHE) and the unigram score frame
+# (extensions_pipeline._unigram_scored): real pipelines compute these
+# once and reuse them across runs. The generalized store lives in
+# artifacts.corpus_artifact (weakref'd sessions, checkpointed frames,
+# explicit invalidation); these wrappers keep the original API.
 
 
 def clear_pairs_cache(spark: SparkSession | None = None) -> None:
     """Drop memoized candidate-pair frames — all of them, or only the
     given session's."""
-    if spark is None:
-        _PAIRS_CACHE.clear()
-        return
-    for key in [k for k in _PAIRS_CACHE if k[0] == id(spark)]:
-        del _PAIRS_CACHE[key]
+    clear_artifacts(spark, name="minhash_pairs")
 
 
 def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,18 +303,12 @@ def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_pairs,
     )
 
-    # Sweep entries whose session is gone (weakref died) — otherwise
-    # the cache would pin checkpointed blocks for the process lifetime.
-    for key in [k for k, (ref, _) in _PAIRS_CACHE.items() if ref() is None]:
-        del _PAIRS_CACHE[key]
-
-    key = (id(spark), sf_dir)
-    hit = _PAIRS_CACHE.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1]
-    df = _materialize(minhash_pairs(spark, sf_dir))
-    _PAIRS_CACHE[key] = (weakref.ref(spark), df)
-    return df
+    return corpus_artifact(
+        spark,
+        sf_dir,
+        "minhash_pairs",
+        lambda: minhash_pairs(spark, sf_dir),
+    )
 
 
 def curate_corpus(

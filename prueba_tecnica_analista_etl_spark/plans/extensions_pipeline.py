@@ -511,10 +511,26 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability frame: (doc_id, source,
     logprob). Shared by q_unigram_logprob (corpus census) and
-    q_perplexity_buckets (CCNet-style head/middle/tail split). One
-    explode+groupBy collapses the token stream to (doc, term, tf);
-    the vocab census and the scoring join both run on THAT frame —
-    O(doc-term pairs), not O(tokens), crosses the term shuffle."""
+    q_perplexity_buckets (CCNet-style head/middle/tail split) — and
+    MEMOIZED as a per-corpus artifact (artifacts.corpus_artifact):
+    one row per doc, the ideal staged-artifact shape, so the two
+    consumers pay the tokenize/tf/vocab pipeline once per corpus, not
+    once each (the cached_minhash_pairs pattern; building the first
+    consumer's plan therefore runs Spark jobs eagerly)."""
+    from prueba_tecnica_analista_etl_spark.artifacts import corpus_artifact
+
+    return corpus_artifact(
+        spark,
+        sf_dir,
+        "unigram_scored",
+        lambda: _unigram_scored_build(spark, sf_dir),
+    )
+
+
+def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode+groupBy collapses the token stream to (doc, term,
+    tf); the vocab census and the scoring join both run on THAT frame
+    — O(doc-term pairs), not O(tokens), crosses the term shuffle."""
     d = _t(spark, sf_dir, "documents")
     tf = (
         spread(d)
