@@ -5,8 +5,10 @@ consumer: the candidate-pair frame, the trained IVF quantizer, and the
 per-doc unigram score frame are ARTIFACTS of a corpus — computed once,
 reused by every downstream query/run until the corpus changes. This
 module generalizes the memoization first built for the minhash pair
-frame (pipelines/corpus.py) and the IVF quantizer
-(extensions_scale._IVF_CACHE) into one keyed store:
+frame (pipelines/corpus.py) into one keyed store for DataFrame-shaped
+artifacts (the IVF quantizer keeps its own sibling store in
+extensions_scale._IVF_CACHE — it caches a numpy centroid array, not a
+frame, so ``localCheckpoint`` does not apply to it):
 
 * key = (session, corpus dir, artifact name); the session is held by
   WEAK reference so a stopped/garbage-collected session never pins its
@@ -28,6 +30,7 @@ materialization I/O and lose.
 
 from __future__ import annotations
 
+import threading
 import weakref
 from typing import Callable
 
@@ -36,6 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[
     tuple[int, str, str], tuple["weakref.ref[SparkSession]", DataFrame]
 ] = {}
+# Consumers run CONCURRENTLY (the bench's 16-thread pass issues
+# q_unigram_logprob and q_perplexity_buckets together): _LOCK guards
+# the dict, and a per-key build lock makes "built once per corpus"
+# actually hold under races — without it both threads miss and both
+# pay the full build, with the loser's checkpointed blocks leaking
+# until GC.
+_LOCK = threading.Lock()
+_BUILD_LOCKS: dict[tuple[int, str, str], threading.Lock] = {}
 
 
 def corpus_artifact(
@@ -46,14 +57,30 @@ def corpus_artifact(
 ) -> DataFrame:
     """Return the memoized, checkpointed artifact ``name`` for
     ``(spark, sf_dir)``, building it with ``build()`` on first use."""
-    for key in [k for k, (ref, _) in _CACHE.items() if ref() is None]:
-        del _CACHE[key]
     key = (id(spark), sf_dir, name)
-    hit = _CACHE.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1]
-    df = build().localCheckpoint()
-    _CACHE[key] = (weakref.ref(spark), df)
+    with _LOCK:
+        for k in [
+            k for k, (ref, _) in _CACHE.items() if ref() is None
+        ]:
+            _CACHE.pop(k, None)
+        hit = _CACHE.get(key)
+        if hit is not None and hit[0]() is spark:
+            return hit[1]
+        build_lock = _BUILD_LOCKS.setdefault(key, threading.Lock())
+    with build_lock:
+        # Double-check: a concurrent builder may have finished while
+        # this thread waited on the build lock.
+        with _LOCK:
+            hit = _CACHE.get(key)
+            if hit is not None and hit[0]() is spark:
+                return hit[1]
+        try:
+            df = build().localCheckpoint()
+        finally:
+            with _LOCK:
+                _BUILD_LOCKS.pop(key, None)
+        with _LOCK:
+            _CACHE[key] = (weakref.ref(spark), df)
     return df
 
 
@@ -61,11 +88,13 @@ def clear_artifacts(
     spark: SparkSession | None = None, name: str | None = None
 ) -> None:
     """Drop memoized artifacts — all of them, one session's, one
-    artifact name's, or the intersection."""
-    for key in [
-        k
-        for k in _CACHE
-        if (spark is None or k[0] == id(spark))
-        and (name is None or k[2] == name)
-    ]:
-        del _CACHE[key]
+    artifact name's, or the intersection. The invalidation path for
+    callers that rewrite a corpus under the same directory."""
+    with _LOCK:
+        for key in [
+            k
+            for k in _CACHE
+            if (spark is None or k[0] == id(spark))
+            and (name is None or k[2] == name)
+        ]:
+            _CACHE.pop(key, None)

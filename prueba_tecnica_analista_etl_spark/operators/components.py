@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -71,18 +72,37 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # Labels are pointwise non-increasing (each update takes a min
-    # that includes the current label), so Σcomp strictly decreases
-    # until the fixpoint and is then constant: ONE cheap aggregate on
-    # the just-materialized frame detects convergence — no
-    # old-vs-new join needed. decimal(38,0) keeps the total exact
-    # for arbitrary 64-bit ids at any node count.
+    # Convergence detection. Labels are pointwise non-increasing
+    # (each update takes a min that includes the current label), so
+    # for NUMERIC ids Σcomp strictly decreases until the fixpoint and
+    # is then constant: ONE cheap aggregate on the just-materialized
+    # frame detects convergence — no old-vs-new join. decimal(38,0)
+    # keeps the total exact for arbitrary 64-bit ids at any node
+    # count. For non-numeric ids (md5 fingerprints etc.) the decimal
+    # cast would be NULL (silently "converged" after one round — a
+    # mislabeling bug), so those fall back to an old-vs-new
+    # inequality probe over the two materialized frames.
+    numeric = isinstance(
+        labels.schema["comp"].dataType, T.NumericType
+    )
+
     def total(lbl: DataFrame):
         return lbl.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
 
-    prev = total(labels)
+    def differs(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.join(
+                old.select("node", F.col("comp").alias("_old")), "node"
+            )
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev = total(labels) if numeric else None
     for _ in range(max_rounds):
         neighbor = sym.join(
             labels, sym["dst"] == labels["node"]
@@ -93,11 +113,15 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        cur = total(upd)
+        if numeric:
+            cur = total(upd)
+            changed = cur != prev
+            prev = cur
+        else:
+            changed = differs(upd, labels)
         labels = upd
-        if cur == prev:
+        if not changed:
             return labels
-        prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds the cap); raise max_rounds or use "

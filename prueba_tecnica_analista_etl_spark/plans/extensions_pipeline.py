@@ -397,6 +397,25 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pair_combos(arr, a_name: str, b_name: str):
+    """All ``a < b`` pair structs from a SORTED array column: k members
+    → k(k-1)/2 structs, pure codegen, ordering guaranteed by the
+    sorted input (the inline alternative to a self-equi-join, whose
+    aliased sides would each re-evaluate the heavy upstream subtree —
+    exchange reuse does not fire across them). Shared by
+    q_source_overlap (source pairs per fingerprint) and shingle_edges
+    (doc pairs per fingerprint)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 @query(
     "q_source_overlap",
     """
@@ -470,19 +489,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = fp.groupBy("fp").agg(
         F.sort_array(F.collect_set("source")).alias("srcs")
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("srcs"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("srcs"), i + F.lit(2), F.size(F.col("srcs"))
-                ),
-                lambda y: F.struct(
-                    x.alias("src_a"), y.alias("src_b")
-                ),
-            ),
-        )
-    )
+    combos = pair_combos(F.col("srcs"), "src_a", "src_b")
     pairs = (
         g.filter(F.size("srcs") >= 2)
         .select(F.explode(combos).alias("p"))
@@ -516,7 +523,12 @@ def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per doc, the ideal staged-artifact shape, so the two
     consumers pay the tokenize/tf/vocab pipeline once per corpus, not
     once each (the cached_minhash_pairs pattern; building the first
-    consumer's plan therefore runs Spark jobs eagerly)."""
+    consumer's plan therefore runs Spark jobs eagerly). Staleness
+    contract: a caller that REWRITES the corpus under the same sf_dir
+    must call ``artifacts.clear_artifacts(spark,
+    name="unigram_scored")`` (or clear the whole store) — otherwise
+    both consumers keep serving the pre-rewrite scores for the
+    session's lifetime, exactly like the pairs artifact."""
     from prueba_tecnica_analista_etl_spark.artifacts import corpus_artifact
 
     return corpus_artifact(
@@ -970,19 +982,7 @@ def shingle_edges(
     )
     if max_df is not None:
         g = g.filter(F.size("ids") <= max_df)
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
-                ),
-                lambda y: F.struct(
-                    x.alias("doc_a"), y.alias("doc_b")
-                ),
-            ),
-        )
-    )
+    combos = pair_combos(F.col("ids"), "doc_a", "doc_b")
     return (
         g.filter(F.size("ids") >= 2)
         .select(F.explode(combos).alias("p"))

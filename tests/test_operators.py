@@ -578,3 +578,20 @@ def test_shingle_edges_max_df_drops_boilerplate_fp_only(spark):
     # while (1,2) survives on its rare-tail shingles.
     capped = _rows(shingle_edges(docs, k=8, max_df=3), "doc_a", "doc_b")
     assert (1, 2) in capped and (3, 4) not in capped
+
+
+def test_cc_string_ids_converge_correctly(spark):
+    """Non-numeric ids (md5 fingerprints are strings) must use the
+    join-based convergence probe: the Σcomp decimal cast is NULL for
+    strings, and a NULL==NULL early exit would silently split one
+    chain into several families (the exact bug this pins)."""
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "doc_a string, doc_b string",
+    )
+    got = _rows(connected_components(edges), "node", "comp")
+    assert got == [(x, "a") for x in ["a", "b", "c", "d", "e"]]

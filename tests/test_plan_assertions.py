@@ -178,8 +178,16 @@ def test_no_single_partition_over_fact_rows_anywhere(spark, sf_dir):
     project, join or window over fact rows. A contributed query that
     sneaks in a global sort/window or a collect-like funnel fails
     here by name. Streaming trio excluded as in the UDF lint (building
-    their plans executes the streams)."""
-    SKIP = {"q_corpus_curate", "q_stream_dedupe", "q_stream_sessionize"}
+    their plans executes the streams); q_dup_clusters excluded because
+    building its plan runs the CC fixpoint eagerly and the returned
+    plan is a post-checkpoint census anyway — its REAL pipeline shape
+    is linted directly in test_eager_builder_pipelines_stay_clean."""
+    SKIP = {
+        "q_corpus_curate",
+        "q_dup_clusters",
+        "q_stream_dedupe",
+        "q_stream_sessionize",
+    }
     for name in REGISTRY:
         if name in SKIP:
             continue
@@ -206,7 +214,9 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     else must be whole-stage-codegen JVM expressions. The streaming
     trio is excluded only because building their plans executes the
     streams; their Python usage (applyInPandasWithState) is asserted
-    by the streaming tests."""
+    by the streaming tests; q_dup_clusters by
+    test_eager_builder_pipelines_stay_clean (its declared plan is a
+    post-checkpoint census)."""
     ARROW_ALLOWED = {
         "q_winnow_fingerprint",
         "q_multimodal_meta",
@@ -215,7 +225,12 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
         "q_ann_ivf",
         "q_embed_neardup",
     }
-    SKIP = {"q_corpus_curate", "q_stream_dedupe", "q_stream_sessionize"}
+    SKIP = {
+        "q_corpus_curate",
+        "q_dup_clusters",
+        "q_stream_dedupe",
+        "q_stream_sessionize",
+    }
     for name in REGISTRY:
         if name in SKIP:
             continue
@@ -230,3 +245,34 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
             assert has_arrow, f"{name}: expected Arrow node vanished"
         else:
             assert not has_arrow, f"{name}: unexpected Python in plan"
+
+
+def test_eager_builder_pipelines_stay_clean(spark, sf_dir):
+    """The artifact/fixpoint queries erase their heavy subtrees with
+    localCheckpoint before the registry-wide lints can see them
+    (q_dup_clusters is skipped there for the same reason), so lint
+    the LAZY builder frames directly: the shingle-edge pipeline and
+    the unigram score build must stay whole-stage-codegen JVM
+    expressions with no SinglePartition funnel over fact rows."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        _unigram_scored_build,
+        shingle_edges,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (shingle_edges(docs), _unigram_scored_build(spark, sf_dir)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # Same rule as the registry-wide lint: a SinglePartition
+        # exchange may only carry pre-aggregated census state (the
+        # unigram builder's 1-row total-N), never fact rows.
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1].strip() if i + 1 < len(lines) else ""
+            assert "HashAggregate" in child and (
+                "partial_" in child or "merge_" in child
+            ), f"SinglePartition fed by non-census child: {child[:120]}"
