@@ -15,9 +15,12 @@ each round a node adopts the minimum label among itself and its
 neighbors. After d rounds (d = component diameter) every node carries
 its component's minimum id. Near-dup graphs are pathological-free in
 practice: components are small duplicate families (diameter ≤ a few
-hops), so the round count stays tiny; for general graphs with long
-chains the large-star/small-star variant of the same paper converges in
-O(log n) rounds — swap the message step, the harness stays the same.
+hops), so the round count stays tiny; for graphs that prove deeper,
+the loop ADAPTIVELY adds pointer jumping (path doubling: comp ←
+comp[comp], the shortcutting step the large-star/small-star family of
+the same paper is built from) after ``jump_after`` non-converged
+rounds, turning the residual convergence into O(log d) rounds instead
+of O(d) — shallow graphs never pay the extra join.
 
 Scale shape: each round is one join keyed on the edge endpoint plus one
 groupBy on node id — O(|E|) messages, never O(n²) — and all frames are
@@ -41,6 +44,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_rounds: int = 50,
+    jump_after: int = 4,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with its
     component id = the MINIMUM node id in its component (deterministic,
@@ -51,7 +55,10 @@ def connected_components(
     Runs Spark jobs eagerly (one convergence count per round, like
     ``near_dup_purge_stable``); raises rather than returning a
     partially-propagated labeling if ``max_rounds`` is hit — silent
-    truncation would mislabel long chains.
+    truncation would mislabel long chains. From round ``jump_after``
+    on, each round also pointer-jumps (comp ← comp[comp]), so a depth
+    the default caps could never cover by propagation alone (a
+    40-node chain needs 39 plain rounds) converges in O(log d).
     """
     # Materialize the edge list once: callers hand in heavy DAGs
     # (shingle explode + bucket pair expansion) and every round below
@@ -103,7 +110,7 @@ def connected_components(
         )
 
     prev = total(labels) if numeric else None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neighbor = sym.join(
             labels, sym["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), "comp")
@@ -111,8 +118,21 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
+        if rnd >= jump_after:
+            # Pointer jumping: every comp value IS a node id (labels
+            # start as node ids and only ever move between nodes), so
+            # shortcut comp ← comp[comp] through the label table
+            # itself — each jump round doubles the resolved depth.
+            # comp[comp] ≤ comp pointwise, so the monotone-sum
+            # convergence argument is untouched.
+            m = upd.select(
+                F.col("node").alias("_n"), F.col("comp").alias("_c")
+            )
+            upd = upd.join(m, upd["comp"] == m["_n"]).select(
+                "node", F.col("_c").alias("comp")
+            )
+        upd = upd.localCheckpoint()
         if numeric:
             cur = total(upd)
             changed = cur != prev
@@ -124,6 +144,6 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
-        "(component diameter exceeds the cap); raise max_rounds or use "
-        "a large-star/small-star message step for long-chain graphs"
+        "(component depth exceeds the cap even with pointer jumping "
+        f"from round {jump_after}); raise max_rounds"
     )

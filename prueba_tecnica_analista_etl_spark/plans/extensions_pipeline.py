@@ -1042,8 +1042,8 @@ def shingle_edges(
     "duplicate-family-sized); each propagation round is one "
     "O(|E|)-message join + groupBy over ENDPOINT-sized frames, "
     "round count = component diameter (duplicate families are "
-    "shallow; large-star/small-star swaps in for O(log n) on "
-    "pathological chains). Eager note: like q_corpus_curate, "
+    "shallow; adaptive pointer jumping cuts in for O(log n) on "
+    "chains deeper than jump_after). Eager note: like q_corpus_curate, "
     "constructing this plan RUNS Spark jobs (the fixpoint's "
     "per-round convergence counts + localCheckpoint rounds).",
 )

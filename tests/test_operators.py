@@ -595,3 +595,13 @@ def test_cc_string_ids_converge_correctly(spark):
     )
     got = _rows(connected_components(edges), "node", "comp")
     assert got == [(x, "a") for x in ["a", "b", "c", "d", "e"]]
+
+
+def test_cc_pointer_jumping_covers_deep_chains(spark):
+    """A 41-node path has diameter 40: plain propagation needs ~40
+    rounds, but pointer jumping (comp <- comp[comp], cut in from
+    round jump_after on) doubles resolved depth per round, so the
+    chain converges well inside max_rounds=12."""
+    n = 40
+    got = _cc(spark, [(i, i + 1) for i in range(n)], max_rounds=12)
+    assert got == [(i, 0) for i in range(n + 1)]
