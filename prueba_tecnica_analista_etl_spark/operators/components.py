@@ -125,7 +125,11 @@ def connected_components(
             # shortcut comp ← comp[comp] through the label table
             # itself — each jump round doubles the resolved depth.
             # comp[comp] ≤ comp pointwise, so the monotone-sum
-            # convergence argument is untouched.
+            # convergence argument is untouched. Materialize the
+            # propagation aggregate FIRST: self-joining the lazy
+            # frame would execute the union+groupBy once per join
+            # side (only the exchange is reused across aliases).
+            upd = upd.localCheckpoint()
             m = upd.select(
                 F.col("node").alias("_n"), F.col("comp").alias("_c")
             )

@@ -605,3 +605,21 @@ def test_cc_pointer_jumping_covers_deep_chains(spark):
     n = 40
     got = _cc(spark, [(i, i + 1) for i in range(n)], max_rounds=12)
     assert got == [(i, 0) for i in range(n + 1)]
+
+
+def test_cc_string_ids_with_pointer_jumping(spark):
+    """The jump join must also work for non-numeric ids (the
+    join-probe convergence branch): a 21-node STRING chain is deeper
+    than plain propagation can cover in max_rounds=10, so this pins
+    the jump x string-id combination a numeric-only deep test would
+    miss."""
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    ids = [f"n{i:02d}" for i in range(21)]
+    edges = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "doc_a string, doc_b string"
+    )
+    got = _rows(connected_components(edges, max_rounds=10), "node", "comp")
+    assert got == [(x, "n00") for x in ids]
