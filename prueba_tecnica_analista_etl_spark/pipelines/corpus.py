@@ -312,15 +312,27 @@ def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curate_corpus(
-    spark: SparkSession, sf_dir: str, min_tokens: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 4,
+    purge: str = "greedy",
 ) -> tuple[DataFrame, dict[str, int]]:
     """Full curation chain over the ``documents`` table; returns the
     surviving corpus and per-stage audit counts.
 
-    Uses the STABLE purge (eager fixpoint): curate_corpus computes
-    audit counts anyway, so the per-round actions cost nothing extra,
-    and the audit makes any enforcement over-purge observable
-    (``enforcement_over_purged`` is 0 on convergence)."""
+    ``purge`` selects the near-dup survivor semantics:
+
+    * ``"greedy"`` (default, the declared q_corpus_curate shape) —
+      the STABLE maximal-independent-set purge (eager fixpoint):
+      curate_corpus computes audit counts anyway, so the per-round
+      actions cost nothing extra, and the audit makes any enforcement
+      over-purge observable (``enforcement_over_purged`` is 0 on
+      convergence).
+    * ``"components"`` — cluster-then-keep-one
+      (:func:`near_dup_purge_components`): one survivor per connected
+      duplicate FAMILY, the stricter production-dedup semantics."""
+    if purge not in ("greedy", "components"):
+        raise ValueError(f"unknown purge mode: {purge!r}")
     from prueba_tecnica_analista_etl_spark.plans.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
@@ -336,7 +348,11 @@ def curate_corpus(
     # The UNCAPPED pair frame: the reporting query's top-100 limit
     # must never bound what curation purges.
     pairs = cached_minhash_pairs(spark, sf_dir)
-    survivors, purge_audit = near_dup_purge_stable(deduped, pairs)
+    if purge == "components":
+        survivors = near_dup_purge_components(deduped, pairs)
+        purge_audit: dict[str, int] = {}
+    else:
+        survivors, purge_audit = near_dup_purge_stable(deduped, pairs)
     stats = {
         "input_docs": docs.count(),
         "after_quality": gated.count(),

@@ -756,3 +756,23 @@ def test_fingerprint_udfs_null_and_empty_safe(spark):
         .first()["s"]
         is not None
     )
+
+
+def test_curate_corpus_components_mode(spark, sf_dir):
+    """purge="components" composes the CC purge into the full chain:
+    survivors are a subset of the greedy mode's (cluster-then-keep-one
+    is strictly stricter), still contain no identical texts, and no
+    minhash candidate pair survives whole."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        curate_corpus,
+    )
+
+    greedy, _ = curate_corpus(spark, sf_dir)
+    comp, stats = curate_corpus(spark, sf_dir, purge="components")
+    g = {r["doc_id"] for r in greedy.select("doc_id").collect()}
+    c = {r["doc_id"] for r in comp.select("doc_id").collect()}
+    assert c <= g and len(c) > 0
+    assert stats["after_near_dup"] == len(c)
+    pairs = REGISTRY["q_minhash_dedup"].fn(spark, sf_dir).collect()
+    for p in pairs:
+        assert not (p["doc_a"] in c and p["doc_b"] in c)
