@@ -1057,3 +1057,86 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampling (training-data blending)
+# ---------------------------------------------------------------------------
+
+# Per-source mixture weights: keep-fraction per corpus source, the
+# blending step after q_source_overlap's census says which sources to
+# up/down-weight. Curated source kept whole, two mid-tier sources
+# halved, one quartered, everything else decimated — the classic
+# "wiki×1.0, books×0.5, web×0.1" recipe shape.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "src0": 1.0,
+    "src1": 0.5,
+    "src2": 0.5,
+    "src3": 0.25,
+}
+MIXTURE_DEFAULT = 0.1
+
+
+def _hex_threshold(frac: float) -> str:
+    """Keep-threshold for ``md5_prefix8 < threshold`` sampling.
+
+    The doc's uniform variate is its md5 hex prefix (8 lowercase hex
+    chars); fixed-length lowercase hex compares lexicographically ==
+    numerically, so ``prefix < format(frac * 2**32, '08x')`` keeps a
+    deterministic ~frac of docs IDENTICALLY in any engine with md5 —
+    no float arithmetic, no engine-specific hash(). frac >= 1.0 maps
+    to 'g' (sorts after every hex digit): keep-all, exactly.
+    """
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * 2**32), "08x")
+
+
+def _mixture_sql_case() -> str:
+    whens = "\n".join(
+        f"             WHEN '{src}' THEN '{_hex_threshold(w)}'"
+        for src, w in MIXTURE_WEIGHTS.items()
+    )
+    return (
+        "CASE source\n"
+        + whens
+        + f"\n             ELSE '{_hex_threshold(MIXTURE_DEFAULT)}' END"
+    )
+
+
+@query(
+    "q_mixture_sample",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          {_mixture_sql_case()}
+    """,
+    doc="extension (mixture sampling): realize per-source blending "
+    "weights as a DETERMINISTIC hash sample — the step that turns a "
+    "mixture recipe (weights per source, tuned from q_source_overlap "
+    "/ quality censuses) into the actual training subset. Each doc's "
+    "uniform variate is its md5-hex 8-char prefix; keep iff prefix < "
+    "per-source threshold (fixed-width lowercase hex compares "
+    "lexicographically == numerically, so Spark and DuckDB draw the "
+    "SAME sample bit-for-bit — the oracle value-hash verifies exact "
+    "sample MEMBERSHIP, not a count). Weight 1.0 becomes threshold "
+    "'g' (> every hex digit): keep-all with no off-by-2^-32 edge. "
+    "Deterministic-by-key beats rand(): re-runs, retries and "
+    "incremental refreshes select the same docs (idempotent "
+    "pipeline), and upstream dedup order can't perturb the draw. "
+    "Plan shape: map-only — one scan, zero shuffle, filter is pure "
+    "codegen (md5+substr+CASE); at 100 TB it composes with "
+    "partition pruning and runs at scan speed. Epoch-keyed "
+    "re-mixing (new sample per training run) = salt the md5 input "
+    "with a run id.",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    thr = F.lit(_hex_threshold(MIXTURE_DEFAULT))
+    for src, w in MIXTURE_WEIGHTS.items():
+        thr = F.when(F.col("source") == src, _hex_threshold(w)).otherwise(
+            thr
+        )
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.filter(u < thr).select("doc_id", "source", "n_chars")

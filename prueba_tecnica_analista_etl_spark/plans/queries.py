@@ -753,6 +753,75 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sessionize_batch",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    b AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM x),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sn
+      FROM b)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY user_id, sn
+    """,
+    doc="T4 batch twin: gaps-and-islands sessionization — the BATCH "
+    "form of streaming/windows.py's session_window (30-min "
+    "inactivity gap), value-hash-verified against SQL where the "
+    "streaming form can only be rows-checked. lag() marks session "
+    "breaks, a running sum of breaks numbers sessions, one groupBy "
+    "rolls each up to (start, n_events, duration). Gap compare and "
+    "duration are exact integer microseconds (unix_micros / "
+    "epoch_us) — no float, no timezone formatting risk beyond the "
+    "shared UTC strftime. Plan shape: ONE shuffle total — both "
+    "window functions share the (user_id)×(ts, event_id) sort, and "
+    "the final groupBy(user_id, sn) reuses the hash(user_id) "
+    "partitioning (HashPartitioning(user_id) satisfies the "
+    "ClusteredDistribution of the superset key, so no second "
+    "exchange). At 100 TB this is the canonical shape: state is "
+    "bounded per user partition, and a hot user is a salting "
+    "candidate only if one user's history exceeds an executor — "
+    "the streaming twin's watermark eviction is the unbounded-time "
+    "answer.",
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    brk = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(
+        0
+    )
+    sn = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select("user_id", "ts", sn.alias("sn"))
+        .groupBy("user_id", "sn")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .drop("sn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6 — text extensions (documents table)
 # ---------------------------------------------------------------------------
