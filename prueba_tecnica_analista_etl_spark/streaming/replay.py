@@ -33,9 +33,12 @@ def write_replay_files(
     n_files: int = 8,
     base_dir: str | None = None,
     time_col: str = "ts",
+    where: str | None = None,
 ) -> tuple[str, T.StructType]:
     """Materialize a table as ``n_files`` parquet chunks in a fresh
     temp dir (the simulated landing folder). Returns (dir, schema).
+    ``where`` (a SQL predicate) carves a sub-stream out of the table —
+    e.g. one landing dir per event type for stream-stream joins.
 
     Chunks are range-partitioned on ``time_col`` so replay order
     matches event-time order — the realistic landing-folder arrival
@@ -43,7 +46,7 @@ def write_replay_files(
     drops almost everything after the first micro-batch as late data —
     correct semantics, but not what the parity tests model.)
     """
-    key = (sf_dir, table, n_files, time_col)
+    key = (sf_dir, table, n_files, time_col, where)
     if base_dir is None and key in _REPLAY_CACHE:
         return _REPLAY_CACHE[key]
     # Must run before the read: an externally-built session (the
@@ -53,6 +56,8 @@ def write_replay_files(
     # the conf already.
     ensure_runtime_conf(spark)
     df = load_table(spark, sf_dir, table)
+    if where is not None:
+        df = df.filter(where)
     out = base_dir or tempfile.mkdtemp(prefix=f"replay_{table}_")
     data_dir = os.path.join(out, "data")
     if time_col in df.columns:

@@ -915,3 +915,142 @@ def test_dedupe_stream_exact_above_2_53_with_nulls(spark, tmp_path):
     # big and big+1 BOTH survive (distinct), the replay of big is
     # dropped, the null row passes through
     assert ids == [(False, big), (False, big + 1), (True, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def _attribution_streams(spark, sf_dir, max_files=2):
+    """Click and purchase sub-streams of the events table as two
+    independent file-replay sources."""
+    c_dir, c_schema = write_replay_files(
+        spark, sf_dir, "events", 4, where="event_type = 'click'"
+    )
+    p_dir, p_schema = write_replay_files(
+        spark, sf_dir, "events", 4, where="event_type = 'purchase'"
+    )
+    return (
+        replay_as_stream(spark, c_dir, c_schema, max_files),
+        replay_as_stream(spark, p_dir, p_schema, max_files),
+    )
+
+
+def test_stream_stream_join_batch_parity(spark, sf_dir):
+    """Inner stream-stream join over a finite in-order replay equals
+    the batch join of the same frames under the same condition when
+    the watermark delay covers the time bound (no state evicted while
+    a match can still arrive)."""
+    from prueba_tecnica_analista_etl_spark.streaming.joins import (
+        join_event_streams,
+    )
+
+    clicks, purchases = _attribution_streams(spark, sf_dir)
+    got = run_available_now(
+        join_event_streams(
+            clicks, purchases, within="10 minutes", watermark="10 minutes"
+        ),
+        spark,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = join_event_streams(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'purchase'"),
+        within="10 minutes",
+        watermark="10 minutes",
+    )
+    assert got.count() > 0
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_stream_left_outer_extends_unmatched(spark, sf_dir):
+    """Left-outer emits every click exactly once-or-more: matched rows
+    equal the inner join; unmatched clicks appear null-extended once
+    the watermark proves no purchase can arrive. availableNow's final
+    watermark stops short of max event time, so clicks inside the
+    last watermark delay may be withheld — assert containment plus
+    exact agreement on the matched subset."""
+    from prueba_tecnica_analista_etl_spark.streaming.joins import (
+        join_event_streams,
+    )
+
+    clicks, purchases = _attribution_streams(spark, sf_dir)
+    outer = run_available_now(
+        join_event_streams(
+            clicks,
+            purchases,
+            within="10 minutes",
+            how="left_outer",
+            watermark="10 minutes",
+        ),
+        spark,
+    )
+    matched = outer.filter(F.col("right_id").isNotNull())
+    nulls = outer.filter(F.col("right_id").isNull())
+
+    ev = load_table(spark, sf_dir, "events")
+    want_inner = join_event_streams(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'purchase'"),
+        within="10 minutes",
+        watermark="10 minutes",
+    )
+    assert _sorted_rows(matched) == _sorted_rows(want_inner)
+    # Null-extended rows must be clicks with genuinely no purchase in
+    # the window (batch anti-join check), never a late-dropped match.
+    want_semi_ids = {
+        r[0]
+        for r in want_inner.select("left_id").distinct().collect()
+    }
+    for r in nulls.select("left_id").collect():
+        assert r[0] not in want_semi_ids
+    assert nulls.count() > 0
+
+
+def test_stream_stream_join_state_is_bounded(spark, sf_dir):
+    """The time bound must translate into state eviction: after the
+    replay, each side's buffered state is far below its total row
+    count (rows leave the buffer once the watermark passes their
+    ts + within). This is THE property that makes the operator safe
+    on an unbounded feed."""
+    import json
+    import tempfile
+    import uuid
+
+    from prueba_tecnica_analista_etl_spark.streaming.joins import (
+        join_event_streams,
+    )
+
+    clicks, purchases = _attribution_streams(spark, sf_dir, max_files=1)
+    sdf = join_event_streams(
+        clicks, purchases, within="10 minutes", watermark="10 minutes"
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    spark.catalog.dropTempView(name)
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+        if "symmetricHashJoin" in op.get("operatorName", "")
+    ]
+    assert state_rows, "no stream-stream join state operator reported"
+    n_events = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type in ('click','purchase')")
+        .count()
+    )
+    # Final state must hold only the tail inside the watermark+bound
+    # horizon, not the whole replayed history.
+    assert state_rows[-1] < n_events / 2, (state_rows, n_events)
