@@ -1140,3 +1140,52 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return d.filter(u < thr).select("doc_id", "source", "n_chars")
+
+
+# Count-capped companion to MIXTURE_WEIGHTS' fraction sampling: at
+# most N docs per source, chosen by deterministic hash order — the
+# balancing step when a mixture needs per-source CAPS (cap the giant
+# crawl, keep small curated sources whole) rather than fractions.
+GROUP_SAMPLE_N = 10
+
+
+@query(
+    "q_group_sample",
+    f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {GROUP_SAMPLE_N}
+    """,
+    doc="extension (per-group capped sample): keep at most "
+    f"{GROUP_SAMPLE_N} docs per source, selected by deterministic "
+    "md5-hash order (tie-break doc_id) — a uniform without-replacement "
+    "draw that is reproducible across engines and runs, the "
+    "count-cap twin of q_mixture_sample's fraction draw (real "
+    "mixtures use both: fractions for blending ratios, caps for "
+    "balancing a giant crawl against small curated sources). The "
+    "oracle verifies exact sample MEMBERSHIP (same hash order both "
+    "engines). Plan shape: rank-by-hash is the scalable form of "
+    "'ORDER BY rand() LIMIT N per group' — one shuffle on source, "
+    "and the rn <= N predicate gets WindowGroupLimit pruning "
+    "(Partial below the exchange: each map task forwards only its "
+    "own top-N per group, so shuffle volume is O(groups × N × "
+    "tasks), independent of group size — survives a 100 TB source "
+    "with billions of docs).",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= GROUP_SAMPLE_N)
+        .drop("rn")
+    )
