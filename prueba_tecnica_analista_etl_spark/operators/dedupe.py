@@ -162,3 +162,24 @@ def distinct_count_audit(df: DataFrame, key: str) -> DataFrame:
         F.countDistinct(key).alias("uniq"),
         (F.count(F.lit(1)) - F.countDistinct(key)).alias("dup_rows"),
     )
+
+
+def approx_distinct_count_audit(
+    df: DataFrame, key: str, rsd: float = 0.02
+) -> DataFrame:
+    """The 100 TB form of :func:`distinct_count_audit`: HyperLogLog++
+    (``approx_count_distinct``) replaces the exact two-phase
+    count-distinct. The exact form's first phase shuffles one row per
+    DISTINCT KEY (the Expand/partial-distinct rewrite) — at billions
+    of keys that is itself a giant shuffle; HLL carries a fixed
+    ~1.5/rsd² KB sketch per partition that merges associatively
+    map-side, so the exchange moves O(partitions × sketch) bytes at
+    ANY key cardinality. Deterministic for a given dataset (HLL is a
+    hash census, not a random sample). Tolerance is the documented
+    ±rsd; the test pins the harness tables well inside it. Rows-only
+    semantics (a sketch estimate cannot hash-match another engine's
+    different sketch) — proven by the tolerance test, not an oracle."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.approx_count_distinct(key, rsd).alias("uniq_approx"),
+    )

@@ -822,6 +822,46 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_scd2",
+    """
+    SELECT user_id, value,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to_us,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+    doc="J4 historization twin: slowly-changing-dimension TYPE 2 build "
+    "— where upsert/MERGE (nb:287 staging→UPSERT) keeps only the "
+    "latest row per key, SCD2 keeps EVERY version with a validity "
+    "interval: each change event opens a row at its ts and lead() "
+    "closes it at the next change (half-open [from, to) interval, "
+    "exact integer µs; NULL to = current, flagged). The standard "
+    "warehouse dimension-history pattern, built in one pass — no "
+    "self-join, no per-key loop. Plan shape: the same single "
+    "hash(user_id) shuffle + per-key sort as q_sessionize_batch; "
+    "lead() is a bounded one-row lookahead, state O(1) per row. At "
+    "100 TB the incremental form merges a new batch against only "
+    "each key's OPEN row (valid_to IS NULL) — the partition-scoped "
+    "upsert sink's shape — while this full rebuild stays the "
+    "backfill path.",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    return ev.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6 — text extensions (documents table)
 # ---------------------------------------------------------------------------

@@ -623,3 +623,26 @@ def test_cc_string_ids_with_pointer_jumping(spark):
     )
     got = _rows(connected_components(edges, max_rounds=10), "node", "comp")
     assert got == [(x, "n00") for x in ids]
+
+
+def test_approx_distinct_audit_within_rsd(spark, sf_dir):
+    """HLL audit (the 100 TB twin of distinct_count_audit) lands
+    within its declared relative error on every harness table key
+    that matters for dedup audits, and total is exact."""
+    from prueba_tecnica_analista_etl_spark.operators.dedupe import (
+        approx_distinct_count_audit,
+        distinct_count_audit,
+    )
+
+    for table, key in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "user_id"),
+    ]:
+        df = load_table(spark, sf_dir, table)
+        exact = distinct_count_audit(df, key).first()
+        approx = approx_distinct_count_audit(df, key, rsd=0.02).first()
+        assert approx["total"] == exact["total"]
+        rel = abs(approx["uniq_approx"] - exact["uniq"]) / exact["uniq"]
+        # 3x the rsd: HLL's rsd is a standard deviation, not a bound.
+        assert rel <= 0.06, (table, key, exact["uniq"], approx["uniq_approx"])
