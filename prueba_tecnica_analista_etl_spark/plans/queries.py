@@ -862,6 +862,67 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_snapshot_diff",
+    """
+    WITH n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type
+    FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+    doc="J4 inverse: CDC delta GENERATION — upsert applies a delta, "
+    "snapshot_diff (operators/upsert.py) produces one: full-outer "
+    "join of two keyed snapshots, null-safe column compare (IS "
+    "DISTINCT FROM, so NULL moves count as updates), one row per "
+    "changed key tagged I/U/D, unchanged keys dropped. The operator "
+    "a warehouse needs when the source system ships full snapshots "
+    "instead of change feeds. The second snapshot here is derived "
+    "deterministically from orders (key%11 deleted, key%7 price-"
+    "bumped, key%13 re-keyed as inserts) so the oracle verifies "
+    "exact I/U/D membership. Round-trips: applying the delta to old "
+    "reconstructs new (property test). Plan shape: one shuffle per "
+    "side, co-partitioned on the key; values never enter the join "
+    "key. At 100 TB identically-bucketed snapshots make the "
+    "exchange a per-bucket zip, and column-pruned snapshot storage "
+    "(keys + compared cols) is the scan-side win.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        snapshot_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        old.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # M6 — text extensions (documents table)
 # ---------------------------------------------------------------------------

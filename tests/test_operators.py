@@ -646,3 +646,45 @@ def test_approx_distinct_audit_within_rsd(spark, sf_dir):
         rel = abs(approx["uniq_approx"] - exact["uniq"]) / exact["uniq"]
         # 3x the rsd: HLL's rsd is a standard deviation, not a bound.
         assert rel <= 0.06, (table, key, exact["uniq"], approx["uniq_approx"])
+
+
+def test_snapshot_diff_roundtrip_and_nulls(spark):
+    """snapshot_diff emits exactly the I/U/D set, counts NULL moves as
+    updates, matches NULL keys across sides (presence markers, not
+    key-IS-NULL), and applying the delta to old reconstructs new."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        snapshot_diff,
+        upsert,
+    )
+
+    cols = ["k", "v", "s"]
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c"), (None, 1.0, "n")],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),  # unchanged -> dropped
+            (2, 20.0, "b"),  # NULL -> value = update
+            (4, 40.0, "d"),  # insert
+            (None, 1.0, "n"),  # NULL key matches NULL key: unchanged
+        ],
+        cols,
+    )
+    delta = snapshot_diff(old, new, ["k"])
+    got = {(r["k"], r["change_type"]) for r in delta.collect()}
+    assert got == {(2, "U"), (4, "I"), (3, "D")}
+
+    # Round-trip: upsert the I/U rows, anti-join away the D keys.
+    changed_keys = delta.filter("change_type != 'D'").select("k")
+    iu_rows = new.join(changed_keys, new["k"].eqNullSafe(changed_keys["k"]), "left_semi")
+    deleted = delta.filter("change_type = 'D'").select("k")
+    base = upsert(old, iu_rows, ["k"])
+    rebuilt = base.join(
+        deleted.withColumnRenamed("k", "_dk"),
+        base["k"].eqNullSafe(F.col("_dk")),
+        "left_anti",
+    )
+    assert {
+        (r["k"], r["v"], r["s"]) for r in rebuilt.collect()
+    } == {(r["k"], r["v"], r["s"]) for r in new.collect()}
