@@ -209,3 +209,89 @@ def dedupe_stream(
         timeoutConf=timeout,
     )
     return deduped.unionByName(null_rows)
+
+
+def dedupe_stream_tws(
+    stream: DataFrame,
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """:func:`dedupe_stream` on Spark 4's ``transformWithStateInPandas``
+    — the successor stateful API (SPARK-49564 family) and the form new
+    code should target. Semantics are identical (first occurrence per
+    ``id_col`` wins, NULL ids pass through via the same plan-level
+    split, id-hash buckets bound group count), but the runtime
+    contract improves in three 100 TB-relevant ways:
+
+    * **Typed column-family state** (``ListState`` of LONG) instead of
+      one pickled struct blob: the seen-id list is appended
+      incrementally (``appendList``) — no read-modify-write of the
+      whole set per batch, and state layout is engine-readable (the
+      state data source can audit it).
+    * **Native per-state TTL** (``ttlDurationMs``): eviction is the
+      store's job — enforced per VALUE at read/maintenance time, not
+      via hand-rolled processing-time timeout callbacks; no
+      ``hasTimedOut`` branch to get wrong.
+    * **RocksDB state store required**: state lives off-heap with
+      changelog checkpointing, the store Spark points at unbounded
+      key cardinality (the caller/test sets the provider conf —
+      kept out of this helper so the session choice stays explicit).
+
+    The exact-set variant only; the Bloom bound stays on the classic
+    API (its fixed-size filter is already a constant-state answer).
+
+    Harness note: the TWS Python worker speaks a protobuf-encoded
+    state-server protocol, so this path additionally requires the
+    ``protobuf`` package — absent in this container, so the proof
+    test skips here (same gating pattern as the Kafka connector);
+    the classic-API twin above carries the recorded evidence.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = stream.schema
+    out_cols = [f.name for f in out_schema.fields]
+    null_rows = stream.filter(F.col(id_col).isNull())
+    bucketed = stream.filter(F.col(id_col).isNotNull()).withColumn(
+        "_dedup_bucket",
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets)),
+    )
+
+    # Defined inside the builder so cloudpickle ships the CLASS by
+    # value: a module-level class pickles by reference and dies with
+    # ModuleNotFoundError on executor Python workers (the engine
+    # package is not installed there — SCALE.md §3).
+    class _DedupeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getListState(
+                "seen_ids", "id LONG", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = {t[0] for t in self._seen.get()}
+            fresh_ids: list[tuple[int]] = []
+            for pdf in rows:
+                batch = pdf[~pdf[id_col].isin(seen)].drop_duplicates(
+                    subset=[id_col]
+                )
+                ids = [int(x) for x in batch[id_col]]
+                seen.update(ids)
+                fresh_ids.extend((i,) for i in ids)
+                if len(batch):
+                    yield batch[out_cols]
+            if fresh_ids:
+                self._seen.appendList(fresh_ids)
+
+        def close(self) -> None:
+            pass
+
+    deduped = bucketed.groupBy("_dedup_bucket").transformWithStateInPandas(
+        _DedupeProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+    return deduped.unionByName(null_rows)

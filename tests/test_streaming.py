@@ -1054,3 +1054,51 @@ def test_stream_stream_join_state_is_bounded(spark, sf_dir):
     # Final state must hold only the tail inside the watermark+bound
     # horizon, not the whole replayed history.
     assert state_rows[-1] < n_events / 2, (state_rows, n_events)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("google") is None,
+    reason="transformWithStateInPandas needs protobuf (absent in "
+    "harness; its Python state-server protocol is protobuf-encoded)",
+)
+def test_dedupe_stream_tws_exactly_once(spark, sf_dir):
+    """transformWithStateInPandas twin of the exactly-once dedup: same
+    overlapping at-least-once landing dir, same result — every event
+    id emitted exactly once, NULL ids passed through. Requires the
+    RocksDB state store (set for this query, restored after) and the
+    protobuf package (the TWS Python worker protocol)."""
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+        write_overlapping_replay,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream_tws,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")
+        stream = replay_as_stream(spark, data_dir, schema, 1)
+        out = run_available_now(dedupe_stream_tws(stream), spark)
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        assert out.count() == n
+        non_null = out.filter(F.col("event_id").isNotNull())
+        assert (
+            non_null.select("event_id").distinct().count()
+            == non_null.count()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
