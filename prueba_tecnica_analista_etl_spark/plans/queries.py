@@ -923,6 +923,51 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+@query(
+    "q_trailing_window",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS cnt_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W3 time-frame form: trailing 1-hour rolling count/sum per "
+    "user — a RANGE frame over event-time microseconds, the window "
+    "shape ROWS frames cannot express (each row's frame is defined "
+    "by a TIME span, so gaps and bursts change frame size row to "
+    "row; rate-limiting, rolling spend and anomaly baselines are "
+    "this shape). Exact DECIMAL accumulation inside the frame; "
+    "same-µs ties are frame PEERS in both engines, so the result "
+    "is deterministic without a tiebreak column. Plan shape: one "
+    "hash(user_id) shuffle + per-key sort — identical cost family "
+    "to the ROWS running sum; the frame bound is a pointer walk "
+    "inside the sorted partition, no extra pass. The streaming "
+    "equivalent at unbounded time is the watermarked sliding "
+    "window (q_sliding_window / streaming twin) — this is the "
+    "batch/backfill form.",
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_599_999_999, 0)
+    )
+    return ev.select(
+        "user_id",
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum(dec2(F.col("value")))
+        .over(w)
+        .cast("double")
+        .alias("val_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6 — text extensions (documents table)
 # ---------------------------------------------------------------------------
