@@ -276,3 +276,51 @@ def test_eager_builder_pipelines_stay_clean(spark, sf_dir):
             assert "HashAggregate" in child and (
                 "partial_" in child or "merge_" in child
             ), f"SinglePartition fed by non-census child: {child[:120]}"
+
+
+def test_sessionize_batch_single_shuffle(spark, sf_dir):
+    """Both window functions AND the per-session rollup share one
+    hash(user_id) exchange — HashPartitioning(user_id) satisfies the
+    groupBy(user_id, sn) distribution, so no second shuffle."""
+    plan = _plan(spark, sf_dir, "q_sessionize_batch")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scd2")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") == 1, plan
+
+
+def test_trailing_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_trailing_window")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") == 1, plan
+
+
+def test_mixture_sample_is_map_only(spark, sf_dir):
+    """Deterministic hash sampling is a pure scan-side filter: zero
+    exchanges, zero joins — it must run at scan speed at 100 TB."""
+    plan = _plan(spark, sf_dir, "q_mixture_sample")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_group_sample_has_window_group_limit(spark, sf_dir):
+    """The rn <= N predicate must prune via WindowGroupLimit on BOTH
+    sides of the source shuffle (Partial before, Final after) so each
+    map task forwards only its own top-N per group."""
+    plan = _plan(spark, sf_dir, "q_group_sample")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_snapshot_diff_no_nested_loop(spark, sf_dir):
+    """The full-outer diff must stay a hash/sort-merge equi-join on
+    the key — never a nested-loop (the null-safe compare lives in the
+    filter, not the join condition's shape)."""
+    plan = _plan(spark, sf_dir, "q_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "SortMergeJoin" in plan, plan
