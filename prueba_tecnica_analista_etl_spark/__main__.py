@@ -1,0 +1,109 @@
+"""Command-line front end: run any declared query against a table
+directory without writing driver code — the working surface a user of
+the reference (notebook + SQL scripts) gets on day one.
+
+    python -m prueba_tecnica_analista_etl_spark list
+    python -m prueba_tecnica_analista_etl_spark run q_inner_join \
+        --sf-dir /root/testdata/sf0.01 [--limit 20] [--out out.parquet]
+    python -m prueba_tecnica_analista_etl_spark explain q_group_sample
+    python -m prueba_tecnica_analista_etl_spark oracle q_inner_join
+
+`run` prints the result as a table (or writes parquet/csv when --out
+is given, format by extension); `explain` prints the formatted
+physical plan — the same plan text the repo's assertions pin;
+`oracle` prints the query's DuckDB oracle SQL (its executable
+documentation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="prueba_tecnica_analista_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list declared queries")
+    for name in ("run", "explain"):
+        s = sub.add_parser(name)
+        s.add_argument("query")
+        s.add_argument(
+            "--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir"
+        )
+        if name == "run":
+            s.add_argument("--limit", type=int, default=20)
+            s.add_argument("--out", default=None)
+    s = sub.add_parser("oracle")
+    s.add_argument("query")
+    return p
+
+
+def _resolve(query: str):
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    if query not in REGISTRY:
+        import difflib
+
+        hint = difflib.get_close_matches(query, REGISTRY, n=3)
+        raise SystemExit(
+            f"unknown query {query!r}"
+            + (f"; did you mean {', '.join(hint)}?" if hint else "")
+        )
+    return REGISTRY[query]
+
+
+def main(
+    argv: list[str] | None = None, spark: SparkSession | None = None
+) -> int:
+    args = _build_parser().parse_args(argv)
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    if args.cmd == "list":
+        for name, spec in REGISTRY.items():
+            kind = "oracle" if spec.oracle is not None else "rows-only"
+            first = (spec.doc or "").split(":")[0] or "—"
+            print(f"{name:28s} [{kind}] {first}")
+        return 0
+
+    if args.cmd == "oracle":
+        spec = _resolve(args.query)
+        if spec.oracle is None:
+            raise SystemExit(
+                f"{args.query} is rows-only (no SQL-expressible oracle)"
+            )
+        print(spec.oracle.strip())
+        return 0
+
+    spec = _resolve(args.query)
+    own_session = spark is None
+    if own_session:
+        from prueba_tecnica_analista_etl_spark.session import get_spark
+
+        spark = get_spark(app_name=f"cli-{args.cmd}")
+    try:
+        df = spec.fn(spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain(mode="formatted")
+        elif args.out:
+            if args.out.endswith(".csv"):
+                from prueba_tecnica_analista_etl_spark.sources.csv import (
+                    write_csv,
+                )
+
+                write_csv(df, args.out, single_file=True)
+            else:
+                df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -723,3 +723,49 @@ def test_mixture_sample_weight_one_keeps_all(spark, sf_dir):
             == docs.filter(F.col("source") == src).count()
         )
     assert sample.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_cli_surface(spark, sf_dir, tmp_path, capsys):
+    """CLI: list names every registry entry, oracle prints the SQL,
+    run executes against an sf-dir (reusing an injected session), and
+    explain prints a formatted plan."""
+    from prueba_tecnica_analista_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q_inner_join" in out and "[rows-only]" in out
+
+    assert main(["oracle", "q_inner_join"]) == 0
+    assert "SELECT" in capsys.readouterr().out.upper()
+
+    assert (
+        main(
+            ["run", "q_group_sample", "--sf-dir", sf_dir, "--limit", "5"],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "doc_id" in capsys.readouterr().out
+
+    assert (
+        main(["explain", "q_mixture_sample", "--sf-dir", sf_dir], spark=spark)
+        == 0
+    )
+    assert "Physical Plan" in capsys.readouterr().out.replace("=", "")
+
+    dest = str(tmp_path / "cli_out")
+    assert (
+        main(
+            ["run", "q_group_sample", "--sf-dir", sf_dir, "--out", dest],
+            spark=spark,
+        )
+        == 0
+    )
+    assert spark.read.parquet(dest).count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["oracle", "q_stream_dedupe"])  # rows-only → explicit error
+    with _pytest.raises(SystemExit):
+        main(["run", "q_nonexistent"], spark=spark)
