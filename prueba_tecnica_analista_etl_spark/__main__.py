@@ -8,8 +8,9 @@ the reference (notebook + SQL scripts) gets on day one.
     python -m prueba_tecnica_analista_etl_spark explain q_group_sample
     python -m prueba_tecnica_analista_etl_spark oracle q_inner_join
 
-`run` prints the result as a table (or writes parquet/csv when --out
-is given, format by extension); `explain` prints the formatted
+`run` prints the result as a table (or writes csv/parquet/json/orc
+when --out is given, format by extension); `explain` prints the
+formatted
 physical plan — the same plan text the repo's assertions pin;
 `oracle` prints the query's DuckDB oracle SQL (its executable
 documentation).
@@ -94,8 +95,17 @@ def main(
                 )
 
                 write_csv(df, args.out, single_file=True)
-            else:
+            elif args.out.endswith(".parquet"):
                 df.write.mode("overwrite").parquet(args.out)
+            elif args.out.endswith((".json", ".jsonl")):
+                df.write.mode("overwrite").json(args.out)
+            elif args.out.endswith(".orc"):
+                df.write.mode("overwrite").orc(args.out)
+            else:
+                raise SystemExit(
+                    f"unsupported output extension for {args.out!r}: "
+                    "use .csv, .parquet, .json/.jsonl or .orc"
+                )
             print(f"wrote {args.out}")
         else:
             df.show(args.limit, truncate=False)

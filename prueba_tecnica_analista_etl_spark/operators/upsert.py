@@ -108,9 +108,12 @@ def snapshot_diff(
     snapshots of a keyed table, emit one row per changed key with
     ``change_type`` 'I' (key only in new), 'D' (only in old) or 'U'
     (present in both, any compared column differs). Unchanged keys are
-    dropped. Feeding the result to :func:`upsert` (plus a delete pass)
-    reconstructs ``new`` from ``old`` — the round-trip property the
-    tests pin.
+    dropped. I/U rows carry the NEW-side values of every compared
+    column (D rows carry NULLs — only the key matters for a delete),
+    so the delta is a self-contained CDC feed: :func:`upsert` of the
+    I/U rows plus an anti-join of the D keys reconstructs ``new``
+    from ``old`` without touching the new snapshot again — the
+    round-trip property the tests pin.
 
     Column comparison uses null-safe inequality (``IS DISTINCT
     FROM``), so NULL→value and value→NULL count as updates — the
@@ -157,5 +160,8 @@ def snapshot_diff(
             .when(new_missing, "D")
             .otherwise("U")
             .alias("change_type"),
+            # new-side payload: real values on I/U, NULL on D (the
+            # n-side of the outer join is absent there).
+            *[F.col(f"n.{c}").alias(c) for c in compare_cols],
         )
     )

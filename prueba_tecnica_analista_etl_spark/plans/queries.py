@@ -877,7 +877,9 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
            CASE WHEN o.o_orderkey IS NULL THEN 'I'
                 WHEN n.o_orderkey IS NULL THEN 'D'
-                ELSE 'U' END AS change_type
+                ELSE 'U' END AS change_type,
+           n.o_totalprice AS o_totalprice,
+           n.o_orderstatus AS o_orderstatus
     FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
     WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
        OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
@@ -887,7 +889,8 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_diff (operators/upsert.py) produces one: full-outer "
     "join of two keyed snapshots, null-safe column compare (IS "
     "DISTINCT FROM, so NULL moves count as updates), one row per "
-    "changed key tagged I/U/D, unchanged keys dropped. The operator "
+    "changed key tagged I/U/D carrying the new-side payload columns "
+    "(NULL on deletes), unchanged keys dropped. The operator "
     "a warehouse needs when the source system ships full snapshots "
     "instead of change feeds. The second snapshot here is derived "
     "deterministically from orders (key%11 deleted, key%7 price-"

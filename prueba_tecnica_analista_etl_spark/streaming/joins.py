@@ -93,10 +93,13 @@ def enrich_with_dim(
     enrichment without restarts). ``on`` maps stream column → dim
     column. The dim is broadcast explicitly: at 100 TB the fact
     stream never shuffles for an enrichment join — the classic
-    star-schema rule carried into streaming.
+    star-schema rule carried into streaming. Standard SQL equality
+    on the keys: a NULL foreign key matches nothing and survives
+    null-extended under ``how='left'`` — it is NOT matched against a
+    NULL-keyed 'unknown member' dim row.
     """
     cond = None
     for sc, dc in on.items():
-        c = stream[sc].eqNullSafe(dim[dc])
+        c = stream[sc] == dim[dc]
         cond = c if cond is None else cond & c
     return stream.join(F.broadcast(dim), cond, how)

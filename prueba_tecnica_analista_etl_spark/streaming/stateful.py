@@ -288,10 +288,14 @@ def dedupe_stream_tws(
         def close(self) -> None:
             pass
 
+    # TTL-bearing state variables require a time mode: Spark rejects
+    # ttlDurationMs under timeMode="None"
+    # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so the
+    # mode follows the ttl_ms argument.
     deduped = bucketed.groupBy("_dedup_bucket").transformWithStateInPandas(
         _DedupeProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
     return deduped.unionByName(null_rows)

@@ -674,10 +674,18 @@ def test_snapshot_diff_roundtrip_and_nulls(spark):
     delta = snapshot_diff(old, new, ["k"])
     got = {(r["k"], r["change_type"]) for r in delta.collect()}
     assert got == {(2, "U"), (4, "I"), (3, "D")}
+    # I/U rows carry the new-side payload; D rows carry NULLs.
+    assert {
+        (r["k"], r["v"], r["s"])
+        for r in delta.filter("change_type != 'D'").collect()
+    } == {(2, 20.0, "b"), (4, 40.0, "d")}
+    assert delta.filter(
+        "change_type = 'D' AND (v IS NOT NULL OR s IS NOT NULL)"
+    ).count() == 0
 
-    # Round-trip: upsert the I/U rows, anti-join away the D keys.
-    changed_keys = delta.filter("change_type != 'D'").select("k")
-    iu_rows = new.join(changed_keys, new["k"].eqNullSafe(changed_keys["k"]), "left_semi")
+    # Round-trip FROM THE DELTA ALONE: upsert the I/U rows, anti-join
+    # away the D keys — the new snapshot is never consulted.
+    iu_rows = delta.filter("change_type != 'D'").select(*cols)
     deleted = delta.filter("change_type = 'D'").select("k")
     base = upsert(old, iu_rows, ["k"])
     rebuilt = base.join(

@@ -1056,8 +1056,21 @@ def test_stream_stream_join_state_is_bounded(spark, sf_dir):
     assert state_rows[-1] < n_events / 2, (state_rows, n_events)
 
 
+def _has_protobuf() -> bool:
+    # find_spec("google") alone misfires: other google namespace
+    # packages (google-auth etc.) make it non-None without protobuf,
+    # and find_spec("google.protobuf") raises if even the parent
+    # namespace is absent.
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 @pytest.mark.skipif(
-    __import__("importlib").util.find_spec("google") is None,
+    not _has_protobuf(),
     reason="transformWithStateInPandas needs protobuf (absent in "
     "harness; its Python state-server protocol is protobuf-encoded)",
 )
@@ -1115,10 +1128,17 @@ def test_stream_static_enrichment(spark, sf_dir):
 
     data_dir, schema = write_replay_files(spark, sf_dir, "events", 4)
     stream = replay_as_stream(spark, data_dir, schema, 2)
-    dim = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("dim_key"),
-        F.col("c_name").alias("dim_name"),
-        F.col("c_nationkey").alias("dim_nation"),
+    # Even-keyed dim only, so odd-user_id events are GUARANTEED
+    # unmatched — the null-extension assertions below cannot pass
+    # vacuously.
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("dim_key"),
+            F.col("c_name").alias("dim_name"),
+            F.col("c_nationkey").alias("dim_nation"),
+        )
     )
     got = run_available_now(
         enrich_with_dim(stream, dim, {"user_id": "dim_key"}), spark
@@ -1131,5 +1151,5 @@ def test_stream_static_enrichment(spark, sf_dir):
         got.select("event_id", "dim_name", "dim_nation")
     ) == _sorted_rows(want.select("event_id", "dim_name", "dim_nation"))
     # both matched and unmatched sides are exercised
-    assert got.filter(F.col("dim_name").isNull()).count() >= 0
+    assert got.filter(F.col("dim_name").isNull()).count() > 0
     assert got.filter(F.col("dim_name").isNotNull()).count() > 0
