@@ -761,7 +761,7 @@ def test_cli_surface(spark, sf_dir, tmp_path, capsys):
     )
     assert "Physical Plan" in capsys.readouterr().out.replace("=", "")
 
-    dest = str(tmp_path / "cli_out")
+    dest = str(tmp_path / "cli_out.parquet")
     assert (
         main(
             ["run", "q_group_sample", "--sf-dir", sf_dir, "--out", dest],
@@ -777,3 +777,9 @@ def test_cli_surface(spark, sf_dir, tmp_path, capsys):
         main(["oracle", "q_stream_dedupe"])  # rows-only → explicit error
     with _pytest.raises(SystemExit):
         main(["run", "q_nonexistent"], spark=spark)
+    with _pytest.raises(SystemExit):  # unknown --out extension → error
+        main(
+            ["run", "q_group_sample", "--sf-dir", sf_dir, "--out",
+             str(tmp_path / "cli_out.xlsx")],
+            spark=spark,
+        )
