@@ -397,3 +397,52 @@ def test_values_invariant_to_reducer_count(spark, sf_dir):
             map(tuple, REGISTRY[name].fn(alt, sf_dir).collect())
         )
         assert got == base, f"{name} changed values under 3 reducers"
+
+
+@given(old=KV, new=KV)
+@SLOW
+def test_snapshot_diff_delta_reconstructs_new(spark, old, new):
+    """CDC delta invariants over generated snapshots: change
+    classification is exactly {I = new-only keys, D = old-only,
+    U = shared with differing value}; I/U rows carry the NEW-side
+    payload (D rows NULL); and applying the delta ALONE to old (upsert
+    I/U, remove D keys) reconstructs new without consulting it."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        snapshot_diff,
+    )
+
+    old_df = keep_first(_df(spark, old), ["k"], [F.asc("pos")]).drop("pos")
+    new_df = keep_first(_df(spark, new), ["k"], [F.asc("pos")]).drop("pos")
+
+    old_map: dict[int, int] = {}
+    for k, v in old:
+        old_map.setdefault(k, v)
+    new_map: dict[int, int] = {}
+    for k, v in new:
+        new_map.setdefault(k, v)
+
+    delta = snapshot_diff(old_df, new_df, ["k"]).collect()
+    want = {
+        **{k: "I" for k in new_map.keys() - old_map.keys()},
+        **{k: "D" for k in old_map.keys() - new_map.keys()},
+        **{
+            k: "U"
+            for k in old_map.keys() & new_map.keys()
+            if old_map[k] != new_map[k]
+        },
+    }
+    assert {r["k"]: r["change_type"] for r in delta} == want
+    for r in delta:
+        if r["change_type"] == "D":
+            assert r["v"] is None
+        else:
+            assert r["v"] == new_map[r["k"]]
+
+    # reconstruction from the delta alone
+    rebuilt = dict(old_map)
+    for r in delta:
+        if r["change_type"] == "D":
+            del rebuilt[r["k"]]
+        else:
+            rebuilt[r["k"]] = r["v"]
+    assert rebuilt == new_map
