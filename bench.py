@@ -142,8 +142,24 @@ def orchestrate() -> None:
     exactly ONE JSON line (the driver contract); trial progress goes to
     stderr."""
     trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # Wall budget for the WHOLE bench (driver timeouts are not ours to
+    # set): if the elapsed time plus a conservatively-estimated next
+    # trial would cross it, stop and report the trials already run —
+    # a 2-trial median beats an rc=137 kill mid-trial-3.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    bench_t0 = time.perf_counter()
     trials: list[dict] = []
+    durations: list[float] = []
     for i in range(trials_n):
+        if trials and (
+            time.perf_counter() - bench_t0 + max(durations) > budget_s
+        ):
+            print(
+                f"bench budget {budget_s}s would be exceeded by trial "
+                f"{i + 1}; reporting median of {len(trials)}",
+                file=sys.stderr,
+            )
+            break
         t0 = time.perf_counter()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single"],
@@ -173,6 +189,7 @@ def orchestrate() -> None:
             )
             sys.exit(1)
         trials.append(json.loads(line))
+        durations.append(time.perf_counter() - t0)
         print(
             f"bench trial {i + 1}/{trials_n}: "
             f"total={trials[-1]['value']} "
@@ -192,7 +209,7 @@ def orchestrate() -> None:
             "value": median_wall,
             "best": min(walls),
             "median": median_wall,
-            "trials": trials_n,
+            "trials": len(trials),
             "trial_walls": walls,
             "oracle_subset_wall": statistics.median(
                 t["oracle_subset_wall"] for t in trials
