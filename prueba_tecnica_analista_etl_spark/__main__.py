@@ -10,9 +10,8 @@ the reference (notebook + SQL scripts) gets on day one.
 
 `run` prints the result as a table (or writes csv/parquet/json/orc
 when --out is given, format by extension); `explain` prints the
-formatted
-physical plan — the same plan text the repo's assertions pin;
-`oracle` prints the query's DuckDB oracle SQL (its executable
+formatted physical plan — the same plan text the repo's assertions
+pin; `oracle` prints the query's DuckDB oracle SQL (its executable
 documentation).
 """
 
@@ -69,8 +68,8 @@ def main(
             print(f"{name:28s} [{kind}] {first}")
         return 0
 
+    spec = _resolve(args.query)
     if args.cmd == "oracle":
-        spec = _resolve(args.query)
         if spec.oracle is None:
             raise SystemExit(
                 f"{args.query} is rows-only (no SQL-expressible oracle)"
@@ -78,7 +77,6 @@ def main(
         print(spec.oracle.strip())
         return 0
 
-    spec = _resolve(args.query)
     own_session = spark is None
     if own_session:
         from prueba_tecnica_analista_etl_spark.session import get_spark

@@ -128,10 +128,9 @@ def snapshot_diff(
     scan reads exactly what the diff needs.
     """
     if compare_cols is None:
+        new_cols, key_set = set(new.columns), set(keys)
         compare_cols = [
-            c
-            for c in old.columns
-            if c in set(new.columns) and c not in set(keys)
+            c for c in old.columns if c in new_cols and c not in key_set
         ]
     # Presence markers, not key-IS-NULL: a NULL business key is data
     # (and eqNullSafe matches it across sides); only an unmatched
