@@ -324,3 +324,25 @@ def test_snapshot_diff_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_funnel_single_fact_shuffle(spark, sf_dir):
+    """The three chained stage-minimum Windows and the per-user
+    collapse all share ONE hash(user_id) exchange; the only other
+    exchange is the final census single-partition over the per-user
+    frame (|users| rows), never fact rows."""
+    plan = _plan(spark, sf_dir, "q_funnel")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("hashpartitioning(user_id") == 1, plan
+    assert body.count("Exchange") == 2, plan
+
+
+def test_retention_single_fact_shuffle(spark, sf_dir):
+    """Window-before-distinct: the (user, day) distinct reuses the
+    cohort-min window's hash(user_id) partitioning, so the fact table
+    shuffles once; the (cohort, offset) rollup exchanges only the
+    collapsed users x active-days frame."""
+    plan = _plan(spark, sf_dir, "q_retention")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("hashpartitioning(user_id") == 1, plan
+    assert body.count("Exchange") == 2, plan
