@@ -217,7 +217,7 @@ def orchestrate() -> None:
             "oracle_subset_walls": [
                 t["oracle_subset_wall"] for t in trials
             ],
-            "mode": f"median-of-{trials_n}-process-invocations "
+            "mode": f"median-of-{len(trials)}-process-invocations "
             "(concurrent-16-threads-best-of-2 within each)",
         }
     )

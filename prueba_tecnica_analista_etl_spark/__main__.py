@@ -69,6 +69,15 @@ def main(
         return 0
 
     spec = _resolve(args.query)
+    out = getattr(args, "out", None)
+    if out and not out.endswith(
+        (".csv", ".parquet", ".json", ".jsonl", ".orc")
+    ):
+        # Fail on a typo'd extension BEFORE paying JVM startup.
+        raise SystemExit(
+            f"unsupported output extension for {out!r}: "
+            "use .csv, .parquet, .json/.jsonl or .orc"
+        )
     if args.cmd == "oracle":
         if spec.oracle is None:
             raise SystemExit(
@@ -97,13 +106,8 @@ def main(
                 df.write.mode("overwrite").parquet(args.out)
             elif args.out.endswith((".json", ".jsonl")):
                 df.write.mode("overwrite").json(args.out)
-            elif args.out.endswith(".orc"):
+            else:  # pre-validated above: only .orc remains
                 df.write.mode("overwrite").orc(args.out)
-            else:
-                raise SystemExit(
-                    f"unsupported output extension for {args.out!r}: "
-                    "use .csv, .parquet, .json/.jsonl or .orc"
-                )
             print(f"wrote {args.out}")
         else:
             df.show(args.limit, truncate=False)

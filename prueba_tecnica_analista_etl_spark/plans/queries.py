@@ -975,7 +975,8 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_funnel",
     """
     WITH e AS (
-      SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      SELECT user_id, epoch_us(ts) AS us, event_type
+      FROM events WHERE user_id IS NOT NULL),
     v AS (
       SELECT user_id, min(us) AS t1
       FROM e WHERE event_type = 'view' GROUP BY user_id),
@@ -1017,7 +1018,10 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
-    base = ev.select(
+    # Anonymous (NULL-user) events cannot form a per-user chain —
+    # excluded EXPLICITLY on both sides (a window treats NULL as a
+    # normal partition; the oracle's equi-join chain drops it).
+    base = ev.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("us"),
         "event_type",
@@ -1078,7 +1082,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT DISTINCT user_id,
              CAST(date_trunc('day', ts) AS DATE) AS d
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
     SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
            CAST(floor((a.d - f.d0) / 7) AS BIGINT) AS week_offset,
@@ -1109,8 +1113,10 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over (user_id, d, d0) equals the (user_id, d) distinct but its
     # final aggregate is satisfied by the window's hash(user_id)
     # output partitioning — one fact exchange instead of two.
+    # NULL users excluded on both sides, same contract as q_funnel.
     a = (
-        ev.select("user_id", F.to_date("ts").alias("d"))
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
         .withColumn("d0", F.min("d").over(w))
         .distinct()
     )

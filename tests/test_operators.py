@@ -785,12 +785,13 @@ def test_cli_surface(spark, sf_dir, tmp_path, capsys):
         )
 
 
-def test_funnel_is_strictly_ordered(spark, sf_dir):
+def test_funnel_is_strictly_ordered(spark, tmp_path):
     """The funnel counts ORDERED chains only: a user whose purchase
     precedes their first view completes stage 1, not stage 3 — the
     semantic that separates a funnel from a bag-of-events check.
     (The sf fixtures are dense enough that every user completes all
-    stages, so the ordering branch needs a crafted fixture.)"""
+    stages, so the ordering branch needs a crafted fixture.)
+    NULL-user (anonymous) events are excluded by contract."""
     from pyspark.sql import Row
     import datetime as dt
 
@@ -798,7 +799,7 @@ def test_funnel_is_strictly_ordered(spark, sf_dir):
 
     def ev(uid, s, typ):
         return Row(
-            event_id=uid * 100 + s,
+            event_id=(uid or 9) * 100 + s,
             ts=t0 + dt.timedelta(seconds=s),
             user_id=uid,
             event_type=typ,
@@ -815,14 +816,14 @@ def test_funnel_is_strictly_ordered(spark, sf_dir):
         ev(3, 1, "click"), ev(3, 2, "view"),
         # u4: no view at all: reaches nothing
         ev(4, 1, "purchase"),
+        # anonymous events: a full ordered chain that must NOT count
+        ev(None, 1, "view"), ev(None, 2, "click"),
+        ev(None, 3, "purchase"),
     ]
     df = spark.createDataFrame(rows)
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as d:
-        df.write.parquet(f"{d}/events.parquet")
-        got = {
-            r["stage"]: r["users"]
-            for r in REGISTRY["q_funnel"].fn(spark, d).collect()
-        }
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["stage"]: r["users"]
+        for r in REGISTRY["q_funnel"].fn(spark, str(tmp_path)).collect()
+    }
     assert got == {"view": 3, "click": 2, "purchase": 1}
