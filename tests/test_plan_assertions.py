@@ -346,3 +346,49 @@ def test_retention_single_fact_shuffle(spark, sf_dir):
     body = plan.split("AdaptiveSparkPlan")[-1]
     assert body.count("hashpartitioning(user_id") == 1, plan
     assert body.count("Exchange") == 2, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Runtime skew handling, the AQE side of the salting story
+    (operators/salt.py is the static fallback): a 90%-one-key join
+    under shuffle-join thresholds gets its hot partition SPLIT by AQE
+    — the executed plan carries SortMergeJoin(skew=true) with a
+    skewed AQEShuffleRead — and the result is still row-exact. At
+    100 TB this is the mechanism that keeps one hot user/domain from
+    stalling a stage; the test pins that the engine's session confs
+    don't accidentally disable it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "131072",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 400_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 400_000  # every big row matched once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
