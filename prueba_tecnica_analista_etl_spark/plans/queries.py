@@ -1016,64 +1016,12 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the fact table three times.",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.operators.events import (
+        ordered_funnel,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    # Anonymous (NULL-user) events cannot form a per-user chain —
-    # excluded EXPLICITLY on both sides (a window treats NULL as a
-    # normal partition; the oracle's equi-join chain drops it).
-    base = ev.filter(F.col("user_id").isNotNull()).select(
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("us"),
-        "event_type",
-    )
-    t1 = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
-    s = base.withColumn("t1", t1)
-    t2 = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
-            F.col("us"),
-        )
-    ).over(w)
-    s = s.withColumn("t2", t2)
-    t3 = F.min(
-        F.when(
-            (F.col("event_type") == "purchase")
-            & (F.col("us") > F.col("t2")),
-            F.col("us"),
-        )
-    ).over(w)
-    s = s.withColumn("t3", t3)
-    per_user = s.groupBy("user_id").agg(
-        F.first("t1").alias("t1"),
-        F.first("t2").alias("t2"),
-        F.first("t3").alias("t3"),
-    )
-    counts = per_user.agg(
-        F.count("t1").alias("n1"),
-        F.count("t2").alias("n2"),
-        F.count("t3").alias("n3"),
-    )
-    return counts.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(1).alias("stage_n"),
-                    F.lit("view").alias("stage"),
-                    F.col("n1").alias("users"),
-                ),
-                F.struct(
-                    F.lit(2).alias("stage_n"),
-                    F.lit("click").alias("stage"),
-                    F.col("n2").alias("users"),
-                ),
-                F.struct(
-                    F.lit(3).alias("stage_n"),
-                    F.lit("purchase").alias("stage"),
-                    F.col("n3").alias("users"),
-                ),
-            )
-        ).alias("r")
-    ).select("r.stage_n", "r.stage", "r.users")
+    return ordered_funnel(ev, ["view", "click", "purchase"])
 
 
 @query(
@@ -1107,25 +1055,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "until the tiny final rollup.",
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    # Window BEFORE distinct: d0 is constant per user, so the distinct
-    # over (user_id, d, d0) equals the (user_id, d) distinct but its
-    # final aggregate is satisfied by the window's hash(user_id)
-    # output partitioning — one fact exchange instead of two.
-    # NULL users excluded on both sides, same contract as q_funnel.
-    a = (
-        ev.filter(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("d"))
-        .withColumn("d0", F.min("d").over(w))
-        .distinct()
+    from prueba_tecnica_analista_etl_spark.operators.events import (
+        cohort_retention,
     )
-    return a.groupBy(
-        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
-        F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).alias(
-            "week_offset"
-        ),
-    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period_days=7)
 
 
 # ---------------------------------------------------------------------------

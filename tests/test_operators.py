@@ -827,3 +827,26 @@ def test_funnel_is_strictly_ordered(spark, tmp_path):
         for r in REGISTRY["q_funnel"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_ordered_funnel_parametrized_stages(spark):
+    """The operator generalizes beyond the registry's 3-stage recipe:
+    an arbitrary stage list works, and an empty one is rejected."""
+    from prueba_tecnica_analista_etl_spark.operators.events import (
+        ordered_funnel,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "signup"), (1, t0 + dt.timedelta(seconds=1), "error"),
+        (2, t0, "error"), (2, t0 + dt.timedelta(seconds=1), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["stage"]: r["users"]
+        for r in ordered_funnel(df, ["signup", "error"]).collect()
+    }
+    assert got == {"signup": 2, "error": 1}  # u2's error precedes signup
+    with pytest.raises(ValueError):
+        ordered_funnel(df, [])
