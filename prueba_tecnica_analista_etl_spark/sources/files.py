@@ -236,3 +236,78 @@ def compact_partitioned(
             if f.is_file() and f.name.endswith(".parquet")
         )
     return done
+
+
+def zvalue(cols, bits_per_col: int = 16):
+    """Morton (Z-order) key: bit-interleave ``cols`` after the caller
+    scales each into ``[0, 2**bits_per_col)`` — col j's bit i lands at
+    position ``i*len(cols)+j``, so nearby points in EVERY dimension get
+    nearby z-values. Pure JVM expressions (a fixed unrolled shift/or
+    chain, whole-stage-codegen'd): no UDF in the layout path.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue needs at least two columns")
+    if bits_per_col * n > 63:
+        raise ValueError(f"{bits_per_col} bits x {n} cols overflows long")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits_per_col):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 64,
+    bits_per_col: int = 16,
+) -> None:
+    """Multi-dimension CLUSTERED parquet write (the OPTIMIZE ZORDER
+    story, Spark-first): rows are range-partitioned and sorted by the
+    Morton interleave of min/max-scaled ``cols``, so each output
+    file's (min, max) span is narrow in EVERY listed column — the
+    format-level stats that drive file/row-group skipping then prune
+    on ANY of the dimensions, not just a lead sort key. A linear sort
+    prunes perfectly on its first column and not at all on the rest;
+    z-order trades a little of the first for usable pruning on all
+    (measured in tests/test_sources.py: a 5% time-slice touches ~1/4
+    of z-ordered files vs ALL linearly-sorted-by-user files).
+
+    Scale shape: one range exchange on the z-key (sampled bounds, no
+    skew pile-up), in-partition sort, stats written for free by the
+    parquet writer. The min/max scaling scan collects 2 scalars per
+    column to the driver — O(|cols|), data never moves. NULLs in a
+    z-column sort to z-position 0 (coalesced to the column minimum).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    st = df.agg(*aggs).first()
+    top = (1 << bits_per_col) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = st[f"_mn_{c}"], st[f"_mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        scaled.append(
+            (
+                (F.coalesce(F.col(c), F.lit(mn)).cast("double") - float(mn))
+                * top
+                / span
+            ).cast("long")
+        )
+    zed = df.withColumn("_z", zvalue(scaled, bits_per_col))
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

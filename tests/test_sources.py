@@ -482,3 +482,66 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert one.count() == want  # pruned scan untouched by corruption
     with pytest.raises(Exception):
         tbl.filter(F.col("day") == days[1]).count()
+
+
+def test_zorder_write_prunes_on_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order clustering vs a linear sort, measured from the parquet
+    stats the scanner actually skips with: after zorder_write on
+    (user_id, ts-µs), a 5% time-slice predicate overlaps a FRACTION of
+    the files while the user-sorted layout overlaps ALL of them — and
+    the z-ordered files still prune on user_id too. Content preserved
+    exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        zorder_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    zorder_write(ev, ["user_id", "tus"], zpath, n_files=32)
+    (
+        ev.repartitionByRange(32, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def overlapping(path, col, lo, hi):
+        tot, ov = 0, 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            stats = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            fmin = min(s.min for s in stats)
+            fmax = max(s.max for s in stats)
+            tot += 1
+            if fmax >= lo and fmin <= hi:
+                ov += 1
+        return ov, tot
+
+    b = ev.agg(F.min("tus"), F.max("tus"), F.count(F.lit(1))).first()
+    tmin, tmax, n_rows = b
+    mid, span = (tmin + tmax) // 2, (tmax - tmin) // 20  # 5% slice
+
+    z_ts, z_tot = overlapping(zpath, "tus", mid, mid + span)
+    l_ts, l_tot = overlapping(lpath, "tus", mid, mid + span)
+    assert l_ts == l_tot  # linear-by-user: zero pruning on time
+    assert z_ts <= z_tot // 2, (z_ts, z_tot)  # z-order: real pruning
+    z_u, _ = overlapping(zpath, "user_id", 70, 77)
+    assert z_u < z_tot  # and the other dimension still prunes
+
+    assert spark.read.parquet(zpath).count() == n_rows
+    assert (
+        spark.read.parquet(zpath)
+        .exceptAll(spark.read.parquet(lpath))
+        .count()
+        == 0
+    )
