@@ -17,6 +17,11 @@ from prueba_tecnica_analista_etl_spark.operators.pivot import (
     top_duplicates,
 )
 from prueba_tecnica_analista_etl_spark.operators.topk import top_k_per_group
+from prueba_tecnica_analista_etl_spark.operators.events import (
+    cohort_retention,
+    ordered_funnel,
+)
+from prueba_tecnica_analista_etl_spark.operators.upsert import snapshot_diff
 
 __all__ = [
     "keep_first",
@@ -30,4 +35,7 @@ __all__ = [
     "count_sum_rollup",
     "top_duplicates",
     "top_k_per_group",
+    "snapshot_diff",
+    "ordered_funnel",
+    "cohort_retention",
 ]
