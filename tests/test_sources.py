@@ -545,3 +545,23 @@ def test_zorder_write_prunes_on_every_dimension(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_zorder_write_handles_nulls_and_constants(spark, tmp_path):
+    """NULLs in a z-column cluster at the column minimum (coalesce)
+    rather than failing, a constant column degenerates gracefully
+    (span clamps to 1), and every row survives the rewrite."""
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        zorder_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i * 3, 42) for i in range(500)],
+        "id long, a long, c long",
+    )
+    out = str(tmp_path / "znull")
+    zorder_write(df, ["a", "c"], out, n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.filter("a IS NULL").count() == df.filter("a IS NULL").count()
+    assert back.exceptAll(df).count() == 0
