@@ -108,6 +108,8 @@ def cohort_retention(
     (subset-key rule, no second exchange). The final (cohort, offset)
     rollup shuffles only the collapsed keys × active-days frame.
     """
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
     w = Window.partitionBy(key)
     a = (
         events.filter(F.col(key).isNotNull())

@@ -295,19 +295,38 @@ def zorder_write(
     scaled = []
     for c in cols:
         mn, mx = st[f"_mn_{c}"], st[f"_mx_{c}"]
-        span = max(int(mx) - int(mn), 1)
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_write: column {c!r} has no non-NULL values "
+                "(empty frame or all-NULL column) — nothing to cluster"
+            )
+        # Float span (an int() truncation would let fractional-range
+        # columns scale past `top`, whose high bits zvalue drops);
+        # clamp anyway so float rounding can never fold the maximum
+        # into a mid-range z-key.
+        span = float(mx) - float(mn)
+        span = span if span > 0 else 1.0
         scaled.append(
-            (
-                (F.coalesce(F.col(c), F.lit(mn)).cast("double") - float(mn))
-                * top
-                / span
-            ).cast("long")
+            F.least(
+                (
+                    (
+                        F.coalesce(F.col(c), F.lit(mn)).cast("double")
+                        - float(mn)
+                    )
+                    * top
+                    / span
+                ).cast("long"),
+                F.lit(top).cast("long"),
+            )
         )
-    zed = df.withColumn("_z", zvalue(scaled, bits_per_col))
+    zcol = "_z"
+    while zcol in df.columns:
+        zcol += "_"
+    zed = df.withColumn(zcol, zvalue(scaled, bits_per_col))
     (
-        zed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        zed.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -348,7 +348,7 @@ def test_retention_single_fact_shuffle(spark, sf_dir):
     assert body.count("Exchange") == 2, plan
 
 
-def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+def test_aqe_splits_skewed_join_partition(spark):
     """Runtime skew handling, the AQE side of the salting story
     (operators/salt.py is the static fallback): a 90%-one-key join
     under shuffle-join thresholds gets its hot partition SPLIT by AQE

@@ -565,3 +565,53 @@ def test_zorder_write_handles_nulls_and_constants(spark, tmp_path):
     assert back.count() == 500
     assert back.filter("a IS NULL").count() == df.filter("a IS NULL").count()
     assert back.exceptAll(df).count() == 0
+
+
+def test_zorder_write_fractional_span_and_errors(spark, tmp_path):
+    """A double column with a sub-1.0 range must still scale INSIDE
+    [0, 2^bits): with integer-truncated span the max value would fold
+    into a mid-range z-key (zvalue drops bits >= bits_per_col) and
+    silently break clustering. All-NULL columns and bad period/stage
+    arguments raise clearly instead of crashing downstream."""
+    import pytest as _pytest
+
+    from prueba_tecnica_analista_etl_spark.operators.events import (
+        cohort_retention,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.files import (
+        zorder_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i / 400.0, i % 13) for i in range(400)],
+        "id long, price double, qty long",
+    )
+    out = str(tmp_path / "zfrac")
+    zorder_write(df, ["price", "qty"], out, n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    assert back.exceptAll(df).count() == 0
+    # the z-max row must land in the LAST range partition, not mid-file
+    import glob
+
+    import pyarrow.parquet as pq
+
+    fmaxes = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("price")
+        fmaxes.append(
+            max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+        )
+    assert max(fmaxes) == fmaxes[-1]  # top of the range sorts last
+
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, a double"
+    )
+    with _pytest.raises(ValueError):
+        zorder_write(allnull, ["a", "id"], str(tmp_path / "zn"), n_files=2)
+    with _pytest.raises(ValueError):
+        cohort_retention(df.selectExpr("id AS user_id"), period_days=0)
