@@ -47,9 +47,17 @@ def single() -> None:
     # Full warm-up pass: JVM classloading + JIT + codegen caches, not
     # counted (BASELINE.md: totals, not cold starts, are the metric —
     # first use of e.g. the JSON codepath costs ~5 s of classloading
-    # that has nothing to do with query execution).
-    for spec in REGISTRY.values():
-        run_query(spec.fn(spark, sf_dir))
+    # that has nothing to do with query execution). Submitted through
+    # the same thread pool as the measured passes — warm-up only needs
+    # every code path EXECUTED once, not sequentially, and the
+    # concurrent form shaves ~20-30 s off each trial's wall.
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(
+            ex.map(
+                lambda spec: run_query(spec.fn(spark, sf_dir)),
+                REGISTRY.values(),
+            )
+        )
 
     # Explicit gc between passes is load-bearing, not hygiene: py4j
     # frees JVM-side plan objects only when their Python proxies are
