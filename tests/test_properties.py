@@ -446,3 +446,107 @@ def test_snapshot_diff_delta_reconstructs_new(spark, old, new):
         else:
             rebuilt[r["k"]] = r["v"]
     assert rebuilt == new_map
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),      # user
+        st.integers(min_value=0, max_value=50),     # second offset
+        st.sampled_from(["a", "b", "c"]),           # stage/event type
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(seconds=s), typ, i)
+        for i, (u, s, typ) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+
+
+@given(rows=EVENTS)
+@SLOW
+def test_ordered_funnel_matches_python_fold(spark, rows):
+    """The windowed funnel equals a per-user Python fold: t1 = min
+    time of stage a; t_i = min time of stage i STRICTLY AFTER t_{i-1};
+    stage count = users with t_i set. Ties, repeats and missing stages
+    are all drawn by hypothesis."""
+    from prueba_tecnica_analista_etl_spark.operators.events import (
+        ordered_funnel,
+    )
+
+    got = {
+        r["stage"]: r["users"]
+        for r in ordered_funnel(
+            _events_df(spark, rows), ["a", "b", "c"]
+        ).collect()
+    }
+
+    per_user: dict[int, list[tuple[int, str]]] = {}
+    for u, s, typ in rows:
+        per_user.setdefault(u, []).append((s, typ))
+    want = {"a": 0, "b": 0, "c": 0}
+    for evs in per_user.values():
+        prev = None
+        for stage in ("a", "b", "c"):
+            cand = [
+                s
+                for s, typ in evs
+                if typ == stage and (prev is None or s > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            want[stage] += 1
+    assert got == want
+
+
+@given(rows=EVENTS)
+@SLOW
+def test_cohort_retention_matches_python_fold(spark, rows):
+    """Retention census equals the dict-fold reference: cohort = first
+    active day per user, one count per (cohort, floor(Δdays/period))
+    over DISTINCT active days."""
+    from prueba_tecnica_analista_etl_spark.operators.events import (
+        cohort_retention,
+    )
+
+    # seconds → days via a 7-second "day" would be wrong: the operator
+    # uses real to_date, so spread the offsets across days instead.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(days=s % 20, seconds=s), typ, i)
+        for i, (u, s, typ) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r["cohort_day"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df, period_days=3).collect()
+    }
+
+    days: dict[int, set] = {}
+    for u, s, _typ in rows:
+        days.setdefault(u, set()).add(
+            (t0 + dt.timedelta(days=s % 20, seconds=s)).date()
+        )
+    # n_users counts DISTINCT users per bucket: a user active on two
+    # days of the same period contributes once, not twice.
+    buckets: dict[tuple[str, int], set] = {}
+    for u, ds in days.items():
+        d0 = min(ds)
+        for d in ds:
+            key = (d0.strftime("%Y-%m-%d"), (d - d0).days // 3)
+            buckets.setdefault(key, set()).add(u)
+    assert got == {k: len(v) for k, v in buckets.items()}
