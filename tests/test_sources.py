@@ -615,3 +615,46 @@ def test_zorder_write_fractional_span_and_errors(spark, tmp_path):
         zorder_write(allnull, ["a", "id"], str(tmp_path / "zn"), n_files=2)
     with _pytest.raises(ValueError):
         cohort_retention(df.selectExpr("id AS user_id"), period_days=0)
+
+
+def test_jdbc_roundtrip_against_embedded_derby(spark, sf_dir, tmp_path):
+    """S7/S8 proven against a REAL database: Spark ships embedded
+    Apache Derby, so the JDBC sink writes an actual table, overwrite
+    mode replaces it (the reference's if_exists='replace'), the scan
+    reads it back value-exact including a TIMESTAMP column, the
+    partitioned read issues real parallel range queries, and a
+    filtered read pushes the predicate into the JDBC scan."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    ).limit(200)
+    write_jdbc(orders, url, "orders_t", driver=drv).save()
+    write_jdbc(orders, url, "orders_t", driver=drv).save()  # replace
+    back = read_jdbc(spark, url, "orders_t", driver=drv).load()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    pb = read_jdbc(
+        spark,
+        url,
+        "orders_t",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        driver=drv,
+    ).load()
+    assert pb.rdd.getNumPartitions() == 4  # real parallel range scan
+    assert pb.count() == 200
+
+    flt = back.filter(F.col("o_totalprice") > 100000.0)
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+    want = orders.filter(F.col("o_totalprice") > 100000.0).count()
+    assert flt.count() == want
