@@ -776,3 +776,39 @@ def test_curate_corpus_components_mode(spark, sf_dir):
     pairs = REGISTRY["q_minhash_dedup"].fn(spark, sf_dir).collect()
     for p in pairs:
         assert not (p["doc_a"] in c and p["doc_b"] in c)
+
+
+def test_training_export_composition(spark, sf_dir, tmp_path):
+    """The training-prep operators COMPOSE over each other's outputs,
+    chained through real table dirs (each stage reads the previous
+    stage's parquet as its `documents` table): curate -> deterministic
+    mixture sample -> chunk + pack, with conservation invariants at
+    every boundary. This is the export pipeline a training run would
+    actually execute, not isolated per-operator proofs."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        curate_corpus,
+    )
+
+    survivors, stats = curate_corpus(spark, sf_dir)
+    assert {"doc_id", "text", "source"} <= set(survivors.columns)
+    stage1 = str(tmp_path / "curated")
+    survivors.write.parquet(stage1 + "/documents.parquet")
+
+    sample_ids = (
+        REGISTRY["q_mixture_sample"].fn(spark, stage1).select("doc_id")
+    )
+    sampled = survivors.join(sample_ids, "doc_id", "left_semi")
+    n_sampled = sampled.count()
+    assert 0 < n_sampled <= stats["after_near_dup"]
+    stage2 = str(tmp_path / "sampled")
+    sampled.write.parquet(stage2 + "/documents.parquet")
+
+    chunks = REGISTRY["q_doc_chunk"].fn(spark, stage2)
+    assert chunks.select("doc_id").distinct().count() == n_sampled
+
+    packs = REGISTRY["q_pack_sequences"].fn(spark, stage2)
+    tok_total = packs.agg(F.sum("tokens")).first()[0]
+    want_total = sampled.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert tok_total == want_total  # token conservation through packing
