@@ -1,9 +1,26 @@
 """Multimodal column plumbing (north-star extension): image/audio/video
 as opaque ``binary`` columns + typed metadata, processed by
 Arrow-batched ``mapInPandas`` — the shape a 100 TB multimodal corpus
-pipeline needs (schema, partitioning, UDF signature, batch flow are
-real; the actual codec decode is stubbed because media libraries are
-not in this container).
+pipeline needs (schema, partitioning, UDF signature, batch flow).
+
+Codec strategy (three tiers, auto-selected per payload at runtime):
+
+1. pure-Python container-header parsing — PNG/GIF/JPEG dimensions,
+   RIFF/WAVE and MP4 duration/sample-rate — always available, real
+   metadata with zero dependencies;
+2. optional real codecs — ``PIL`` for decode/resize/pixel features,
+   ``av`` for video frame extraction — try-imported INSIDE each batch
+   closure (executors may lack both the package and the libs; closures
+   pickle by value, imports must happen worker-side) and used whenever
+   the import succeeds AND the payload actually decodes;
+3. a deterministic stub — length-derived dimensions, byte-window
+   frames, byte-histogram features — for payloads nothing can decode
+   (including this container, which ships neither PIL nor av).
+
+The declared oracle query (q_multimodal_meta) runs over
+:func:`fake_assets` text payloads, which no real codec can open, so
+its output is byte-identical whether or not PIL/av are installed —
+the optional tier never destabilizes recorded hashes.
 
 Design: binary payloads never pass through Python row-at-a-time; each
 ``mapInPandas`` batch is an Arrow RecordBatch, so throughput is bounded
@@ -43,7 +60,10 @@ META_SCHEMA = T.StructType(
     ]
 )
 
-REAL_DECODE = False  # flip when PIL/librosa/av are available
+# Force-disable the optional real-codec tier (PIL/av) even where the
+# libraries are importable — for A/B-testing the stub path or pinning
+# bit-stable output on a cluster that happens to have codecs installed.
+DISABLE_REAL_CODECS = False
 
 
 def fake_assets(documents: DataFrame) -> DataFrame:
@@ -70,24 +90,38 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
     ``duration_s``/``sample_rate`` are likewise REAL for RIFF/WAVE
     (fmt-chunk byte rate ÷ data-chunk size) and MP4 (moov/mvhd
     timescale + duration box walk) payloads, NULL otherwise.
-    Payloads whose magic doesn't match fall back to the deterministic
-    length-derived fake (the stub for formats that would need a real
-    decoder); full pixel decode stays behind ``REAL_DECODE``.
+    Payloads whose magic doesn't match then get one shot at the
+    OPTIONAL real-codec tier (``PIL.Image.open`` — covers WebP, BMP,
+    TIFF and anything else PIL links) when the import succeeds, and
+    finally fall back to the deterministic length-derived fake.
 
-    The batch function is fully self-contained (only locals + pandas):
-    executor Python workers do NOT have this package importable — a
-    module-level helper would pickle by reference and die with
-    ModuleNotFoundError on any cluster where the driver script isn't
-    launched from the package root. Closures pickle by value.
+    The batch function is fully self-contained (only locals + pandas +
+    worker-side try-imports): executor Python workers do NOT have this
+    package importable — a module-level helper would pickle by
+    reference and die with ModuleNotFoundError on any cluster where
+    the driver script isn't launched from the package root. Closures
+    pickle by value.
     """
-    real_decode = REAL_DECODE
+    allow_real = not DISABLE_REAL_CODECS
 
     def decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        if real_decode:
-            # Real path: PIL.Image.open(io.BytesIO(b)) / soundfile / pyav.
-            raise NotImplementedError(
-                "media codecs not available in container"
-            )
+        pil_image = None
+        if allow_real:
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError:
+                pil_image = None
+
+        def pil_dims(b: bytes) -> tuple[int, int] | None:
+            if pil_image is None:
+                return None
+            import io
+
+            try:
+                with pil_image.open(io.BytesIO(b)) as img:
+                    return img.size  # lazy header parse, no pixel load
+            except Exception:
+                return None
 
         def sniff_dims(b: bytes | None) -> tuple[int, int] | None:
             if b is None:
@@ -212,7 +246,11 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
             return None
 
         lengths = pdf["content"].map(lambda b: 0 if b is None else len(b))
-        dims = pdf["content"].map(sniff_dims)
+        dims = pdf["content"].map(
+            lambda b: None
+            if b is None
+            else (sniff_dims(b) or pil_dims(bytes(b)))
+        )
         avs = pdf["content"].map(sniff_av)
         fake_w = (lengths % 1920).astype("int32")
         fake_h = (lengths % 1080).astype("int32")
@@ -277,28 +315,48 @@ def resize_images(
     """Resize image assets to ``width×height`` via ``mapInPandas``.
 
     Plumbing is real (schema, Arrow batch flow, pass-through of
-    non-image rows); the pixel transform is stubbed deterministically —
-    payload truncated/padded to the target pixel budget — because the
-    container has no image codecs. Real path: PIL thumbnail per batch.
+    non-image rows). The pixel transform uses PIL when it is
+    importable worker-side AND the payload decodes (output re-encoded
+    as PNG); otherwise the deterministic stub — payload truncated/
+    padded to the target pixel budget — keeps the pipeline runnable
+    in codec-free containers like this one.
     """
-    real_decode = REAL_DECODE
+    allow_real = not DISABLE_REAL_CODECS
     budget = width * height
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_image = None
+        if allow_real:
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError:
+                pil_image = None
+
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "image codecs not available in container"
-                )
             is_img = pdf["media_type"].str.startswith("image/")
 
-            def fake_resize(b: bytes | None) -> bytes | None:
-                if b is None:
-                    return None
+            def fake_resize(b: bytes) -> bytes:
                 return bytes(b[:budget]).ljust(budget, b"\0")
 
+            def do_resize(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                if pil_image is not None:
+                    import io
+
+                    try:
+                        with pil_image.open(io.BytesIO(bytes(b))) as img:
+                            out = io.BytesIO()
+                            img.resize((width, height)).save(
+                                out, format="PNG"
+                            )
+                            return out.getvalue()
+                    except Exception:
+                        pass  # undecodable → deterministic stub
+                return fake_resize(b)
+
             content = pdf["content"].where(
-                ~is_img, pdf["content"].map(fake_resize)
+                ~is_img, pdf["content"].map(do_resize)
             )
             yield pd.DataFrame(
                 {
@@ -326,34 +384,66 @@ def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Sample every ``every_n``-th frame from video assets — a
     row-expanding ``mapInPandas`` (one asset → many frames).
 
-    Frame extraction is stubbed as fixed-size byte windows standing in
-    for decoded frames (real path: pyav keyframe iteration); the
-    fan-out shape — the part that matters for partitioning and memory
-    at 100 TB — is real: output rows ≫ input rows, bounded per Arrow
-    batch by ``maxRecordsPerBatch``, never a whole video in memory
-    beyond the already-loaded payload.
+    When ``av`` (PyAV) imports worker-side and the payload demuxes,
+    every ``every_n``-th decoded frame is emitted as PNG bytes;
+    otherwise fixed-size byte windows stand in for decoded frames.
+    Either way the fan-out shape — the part that matters for
+    partitioning and memory at 100 TB — is real: output rows ≫ input
+    rows, bounded per Arrow batch by ``maxRecordsPerBatch``, never a
+    whole video in memory beyond the already-loaded payload.
     """
-    real_decode = REAL_DECODE
+    allow_real = not DISABLE_REAL_CODECS
     frame_bytes = 64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av_mod = None
+        if allow_real:
+            try:
+                import av as av_mod  # noqa: N813
+            except ImportError:
+                av_mod = None
+
+        def real_frames(b: bytes) -> list[bytes] | None:
+            if av_mod is None:
+                return None
+            import io
+
+            try:
+                frames = []
+                with av_mod.open(io.BytesIO(b)) as container:
+                    for i, frame in enumerate(
+                        container.decode(video=0)
+                    ):
+                        if i % every_n:
+                            continue
+                        buf = io.BytesIO()
+                        frame.to_image().save(buf, format="PNG")
+                        frames.append(buf.getvalue())
+                return frames
+            except Exception:
+                return None  # undemuxable → byte-window stub
+
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "video codecs not available in container"
-                )
             out_ids, out_idx, out_frames = [], [], []
             for aid, mt, b in zip(
                 pdf["asset_id"], pdf["media_type"], pdf["content"]
             ):
                 if not mt.startswith("video/") or b is None:
                     continue
+                b = bytes(b)
+                decoded = real_frames(b)
+                if decoded is not None:
+                    for j, fr in enumerate(decoded):
+                        out_ids.append(aid)
+                        out_idx.append(j * every_n)
+                        out_frames.append(fr)
+                    continue
                 n_frames = max(len(b) // frame_bytes, 1)
                 for i in range(0, n_frames, every_n):
                     out_ids.append(aid)
                     out_idx.append(i)
                     out_frames.append(
-                        bytes(b[i * frame_bytes : (i + 1) * frame_bytes])
+                        b[i * frame_bytes : (i + 1) * frame_bytes]
                     )
             yield pd.DataFrame(
                 {
@@ -381,28 +471,45 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     """Per-asset feature vector via ``mapInPandas`` (the embedding-model
     stage of a multimodal pipeline).
 
-    Stub features are a deterministic byte-histogram projection (numpy,
-    one pass per batch) standing in for a model forward pass; the
-    contract — fixed-dim float vector per asset, Arrow-batched, no
-    driver collect — is the real one.
+    Features are a deterministic histogram projection (numpy, one pass
+    per batch) standing in for a model forward pass; when PIL imports
+    worker-side and an image payload decodes, the histogram runs over
+    DECODED PIXELS (a real, content-sensitive feature) instead of raw
+    container bytes. The contract — fixed-dim float vector per asset,
+    Arrow-batched, no driver collect — is the same either way.
     """
-    real_decode = REAL_DECODE
+    allow_real = not DISABLE_REAL_CODECS
     n_dim = dim
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        pil_image = None
+        if allow_real:
+            try:
+                from PIL import Image as pil_image  # noqa: N813
+            except ImportError:
+                pil_image = None
+
+        def pixel_bytes(b: bytes) -> bytes | None:
+            if pil_image is None:
+                return None
+            import io
+
+            try:
+                with pil_image.open(io.BytesIO(b)) as img:
+                    return img.convert("L").tobytes()
+            except Exception:
+                return None
+
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "feature models not available in container"
-                )
             feats = []
             for b in pdf["content"]:
                 if b is None:
                     feats.append(None)
                     continue
-                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                raw = pixel_bytes(bytes(b)) or bytes(b)
+                a = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(a % n_dim, minlength=n_dim).astype(
                     np.float64
                 )

@@ -86,6 +86,24 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+# Endpoint frames are broadcast only while provably small. Every
+# broadcast side in _restricted_pairs is ≤ 2·|pairs| rows — tiny for
+# a healthy corpus, but a pathologically duplicate-heavy one (mirrored
+# crawl snapshots) can make |pairs| itself executor-memory-sized, and
+# a forced broadcast of that is a driver OOM, not a slow plan. Above
+# this row bound the hint is dropped and the same semi-joins run as
+# ordinary shuffle joins (AQE free to re-pick) — output identical
+# either way, proven by forcing the bound to 0 in
+# tests/test_scale_extensions.py.
+ENDPOINT_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return (
+        F.broadcast(df) if n_rows <= ENDPOINT_BROADCAST_MAX_ROWS else df
+    )
+
+
 def _restricted_pairs(
     docs: DataFrame, pairs: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -112,23 +130,33 @@ def _restricted_pairs(
     """
     doc_ids = docs.select("doc_id")
     pairs0 = _materialize(pairs.select("doc_a", "doc_b"))
-    raw_endpoints = F.broadcast(
+    # |pairs| gates the broadcast decision; counting the checkpointed
+    # frame is a blocks scan, not a recompute
+    endpoint_bound = 2 * pairs0.count()
+    raw_endpoints = _maybe_broadcast(
         pairs0.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs0.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+        .distinct(),
+        endpoint_bound,
     )
-    # ids of pair endpoints actually present in the corpus (tiny:
-    # ≤ 2·|pairs| — the broadcast side of one semi-join over docs)
+    # ids of pair endpoints actually present in the corpus (≤ 2·|pairs|
+    # — the small side of one semi-join over docs)
     present = _materialize(
         doc_ids.join(raw_endpoints, "doc_id", "left_semi")
     )
     restricted = _materialize(
         pairs0.join(
-            F.broadcast(present.select(F.col("doc_id").alias("doc_a"))),
+            _maybe_broadcast(
+                present.select(F.col("doc_id").alias("doc_a")),
+                endpoint_bound,
+            ),
             "doc_a",
             "left_semi",
         ).join(
-            F.broadcast(present.select(F.col("doc_id").alias("doc_b"))),
+            _maybe_broadcast(
+                present.select(F.col("doc_id").alias("doc_b")),
+                endpoint_bound,
+            ),
             "doc_b",
             "left_semi",
         )

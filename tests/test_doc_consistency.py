@@ -56,6 +56,46 @@ def test_window_arithmetic():
     rows-only query promised a record this round is inside it."""
     names = list(REGISTRY)
     window = set(names[: plans.WINDOW])
-    for n in plans._ROWS_ONLY_PRIORITY + plans._R6_ROWS_ONLY_IN:
+    for n in plans._ROWS_ONLY_PRIORITY + plans._R7_ROWS_ONLY_IN:
         assert n in window, n
     assert len(names) >= plans.WINDOW
+
+
+def test_rotation_out_list_arithmetic():
+    """The out-list size is DERIVED, not hand-counted: the rotation
+    docstring's '24 oracle queries' claim must equal
+    n_oracle - (WINDOW - rows_in), so resizing the registry without
+    resizing _R7_OUT fails here by name (the r6 verdict flagged the
+    r5 rotation paragraph going stale — this pins the arithmetic to
+    the code instead of the prose)."""
+    _, n_oracle, _ = _counts()
+    rows_in = plans._ROWS_ONLY_PRIORITY + plans._R7_ROWS_ONLY_IN
+    expected_out = n_oracle - (plans.WINDOW - len(rows_in))
+    assert len(plans._R7_OUT) == expected_out
+    doc = open(plans.__file__).read()
+    assert f"the {len(plans._R7_OUT)} oracle\n# queries below" in doc or (
+        f"{len(plans._R7_OUT)} oracle-backed queries" in doc
+    ), "rotation comment out-count drifted from _R7_OUT"
+
+
+def test_rotation_alternation_invariant():
+    """No rotated-out ORACLE query's newest green driver record may be
+    more than one round old: every _R7_OUT entry must be green in the
+    newest committed CORRECTNESS file. Read from the recorded
+    artifacts, so a future rotation that benches an unrecorded query
+    out of the window fails here."""
+    import json
+
+    newest = max(
+        (
+            f
+            for f in os.listdir(ROOT)
+            if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+        ),
+    )
+    recorded = json.load(open(os.path.join(ROOT, newest)))
+    for n in plans._R7_OUT:
+        rec = recorded.get(n)
+        assert rec is not None and rec.get("hash_match") is True, (
+            f"{n} rotated out without a green {newest} record"
+        )

@@ -221,11 +221,13 @@ def test_zscore_moments_equals_window_form(spark, sf_dir):
     }
     for et in win:
         w, m = win[et], mom[et]
-        assert (w["n_events"], w["mu"], w["sigma"]) == (
-            m["n_events"],
-            m["mu"],
-            m["sigma"],
-        ), et
+        assert w["n_events"] == m["n_events"], et
+        # mu/sigma are round-2 floats of two different accumulation
+        # orders: a true value riding a .005 boundary may legally
+        # round apart by one grid step (same fragility class as the
+        # outlier cut below) — so compare at the grid, not exactly.
+        assert abs(w["mu"] - m["mu"]) <= 0.01 + 1e-12, et
+        assert abs(w["sigma"] - m["sigma"]) <= 0.01 + 1e-12, et
         assert abs(w["outliers"] - m["outliers"]) <= boundary.get(et, 0), et
 
 
@@ -281,14 +283,24 @@ def test_perplexity_buckets_consistent_with_unigram_census(spark, sf_dir):
             assert b["lo_logprob"] <= b["hi_logprob"], src
         assert bk["head"]["lo_logprob"] >= bk["middle"]["hi_logprob"], src
         assert bk["middle"]["lo_logprob"] >= bk["tail"]["hi_logprob"], src
-        # round-4 buckets vs round-4 census extremes: equal up to 1e-4
+        # bucket extremes are DECIMAL(18,4) floor-quantized integer
+        # scores, census extremes are round-4 floats of the float
+        # mean: floor-vs-round contributes up to 1e-4 and the 1e-6
+        # per-term grid up to ~1e-5 more, so compare at 2e-4 (float()
+        # first — Python refuses Decimal-float arithmetic).
         assert (
-            abs(bk["tail"]["lo_logprob"] - census[src]["min_logprob"])
-            <= 1e-4
+            abs(
+                float(bk["tail"]["lo_logprob"])
+                - census[src]["min_logprob"]
+            )
+            <= 2e-4
         ), src
         assert (
-            abs(bk["head"]["hi_logprob"] - census[src]["max_logprob"])
-            <= 1e-4
+            abs(
+                float(bk["head"]["hi_logprob"])
+                - census[src]["max_logprob"]
+            )
+            <= 2e-4
         ), src
 
 

@@ -329,6 +329,96 @@ def test_extract_metadata_real_png_gif_dims(spark):
     assert got[3] == (n % 1920, n % 1080)  # stub fallback
 
 
+def test_multimodal_real_codec_tier_pil(spark):
+    """Real-codec tier (skip-gated on the optional import, the
+    Kafka/TWS pattern): where PIL is importable the pipeline decodes
+    REAL bytes instead of stubbing — extract_metadata reads dims
+    PIL-side for a format the header sniffer can't parse (BMP),
+    resize_images re-encodes to the target size, extract_features
+    histograms decoded pixels; and an undecodable payload still takes
+    the deterministic stub, so mixed corpora never crash."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_metadata,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9), (250, 1, 2)).save(buf, format="BMP")
+    text_payload = b"not an image at all"
+    assets = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(buf.getvalue())),
+            (2, "image/png", bytearray(text_payload)),
+        ],
+        "asset_id long, media_type string, content binary",
+    )
+
+    meta = {
+        r["asset_id"]: (r["width"], r["height"])
+        for r in extract_metadata(assets).collect()
+    }
+    assert meta[1] == (17, 9)  # sniffer can't do BMP — PIL tier did
+    n = len(text_payload)
+    assert meta[2] == (n % 1920, n % 1080)  # stub even with PIL
+
+    rez = {
+        r["asset_id"]: r for r in resize_images(assets, 8, 6).collect()
+    }
+    out = Image.open(io.BytesIO(bytes(rez[1]["content"])))
+    assert out.size == (8, 6)
+    assert (rez[1]["width"], rez[1]["height"]) == (8, 6)
+    assert bytes(rez[2]["content"]) == text_payload[: 8 * 6].ljust(
+        8 * 6, b"\0"
+    )  # stub resize for the undecodable one
+
+    feats = extract_features(assets, dim=8).collect()
+    assert all(
+        r["features"] is not None and len(r["features"]) == 8
+        for r in feats
+    )
+
+
+def test_multimodal_real_codec_tier_av(spark, tmp_path):
+    """Video tier of the same pattern: where PyAV is importable,
+    sample_frames demuxes a real (tiny, av-encoded) video and emits
+    every_n-spaced PNG frames; the byte-window stub remains for
+    payloads av cannot open."""
+    av = pytest.importorskip("av")
+    import io
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        for shade in range(6):
+            import numpy as np
+
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 32, 3), shade * 40, dtype=np.uint8),
+                format="rgb24",
+            )
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+
+    assets = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(buf.getvalue()))],
+        "asset_id long, media_type string, content binary",
+    )
+    frames = sample_frames(assets, every_n=2).collect()
+    assert len(frames) == 3  # 6 frames, every 2nd
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    # each emitted frame is a real PNG, not a byte window
+    for r in frames:
+        assert bytes(r["frame"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_extract_metadata_jpeg_fill_and_stuffed_bytes(spark):
     """JPEG marker-walk edge cases: FF fill bytes before a marker
     (FF FF C0 — the re-sync must not consume the FF that prefixes the
@@ -607,6 +697,45 @@ def test_near_dup_purge_stable_converges_without_over_purge(spark):
     assert alive == {1, 3, 5, 7}  # exact alternating fixpoint
     assert audit["enforcement_over_purged"] == 0
     assert 1 <= audit["purge_rounds"] <= 10
+
+
+def test_purge_identical_without_endpoint_broadcast(spark, monkeypatch):
+    """The endpoint-frame broadcast in _restricted_pairs is a HINT,
+    not a semantics carrier: with ENDPOINT_BROADCAST_MAX_ROWS forced
+    to 0 (every semi-join falls back to its shuffle form — the path a
+    duplicate-heavy corpus with executor-memory-sized |pairs| takes)
+    all three purge variants must return byte-identical survivor
+    sets. Guards the r6 verdict's scale watch-item: a forced
+    broadcast of a huge pair frame is a driver OOM, and the fallback
+    must not change results."""
+    from prueba_tecnica_analista_etl_spark.pipelines import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (0, 7)], "doc_a long, doc_b long"
+    )
+
+    def run_all():
+        greedy = {
+            r["doc_id"]
+            for r in corpus.near_dup_purge(docs, pairs).collect()
+        }
+        stable, audit = corpus.near_dup_purge_stable(docs, pairs)
+        comp = {
+            r["doc_id"]
+            for r in corpus.near_dup_purge_components(
+                docs, pairs
+            ).collect()
+        }
+        return greedy, {r["doc_id"] for r in stable.collect()}, comp, audit
+
+    base = run_all()
+    monkeypatch.setattr(corpus, "ENDPOINT_BROADCAST_MAX_ROWS", 0)
+    forced = run_all()
+    assert forced[:3] == base[:3]
+    assert forced[3]["enforcement_over_purged"] == 0
 
 
 def test_near_dup_purge_components_one_survivor_per_family(spark):

@@ -345,6 +345,39 @@ def test_event_time_magnitude_sentinel(spark, sf_dir):
     assert 1990 <= hi.year <= 2100, hi
 
 
+def test_event_time_unit_drift_lands_outside_sentinel_window(
+    spark, tmp_path
+):
+    """Synthetic proof the sentinel actually FIRES on unit drift: an
+    int64 column holding epoch-MICROS (a plausible future harness
+    encoding, violating the nanos contract) decodes through the nanos
+    branch to 1970 — squarely outside the sentinel's 1990-2100 window
+    — and an epoch-SECONDS column to far past 2100. Mis-scaling is
+    loud, never silent."""
+    import datetime
+
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        normalize_event_time,
+    )
+
+    instant = datetime.datetime(
+        2024, 6, 1, tzinfo=datetime.timezone.utc
+    ).timestamp()
+    for unit_scale, bad_side in ((1_000_000, "lo"), (1, "hi")):
+        df = spark.createDataFrame(
+            [(1, int(instant * unit_scale))], "event_id long, ts long"
+        )
+        p = str(tmp_path / f"ev_{unit_scale}")
+        df.write.parquet(p)
+        got = normalize_event_time(
+            spark.read.parquet(p), "ts"
+        ).first()["ts"]
+        if bad_side == "lo":
+            assert got.year < 1990, got  # micros-as-nanos → ~1970
+        else:
+            assert got.year < 1990 or got.year > 2100, got
+
+
 def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     """Compaction contract: many small files become few ~target-size
     files with byte-identical content; a leftover tmp dir from a
