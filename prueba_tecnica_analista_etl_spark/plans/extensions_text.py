@@ -420,3 +420,200 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "vec_id", F.round(F.col("cos"), 4).alias("cos_sim")
         )
     )
+
+
+TOKEN_HIST_TOP = 15
+
+
+@query(
+    "q_token_histogram",
+    f"""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         t AS (SELECT term FROM toks WHERE term <> ''),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY term),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM tf),
+         top AS (SELECT term, tf FROM tf
+                 ORDER BY tf DESC, term LIMIT {TOKEN_HIST_TOP})
+    SELECT term, tf,
+           CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT)
+             AS rnk,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, term
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tf,
+           tot.total_tf
+    FROM top CROSS JOIN tot
+    """,
+    doc="extension (vocabulary head census): the corpus's top-"
+    f"{TOKEN_HIST_TOP} terms by frequency with rank, cumulative "
+    "frequency and the corpus total — the Zipf-head table a tokenizer "
+    "build reads first (how much mass the head covers decides vocab "
+    "size and BPE merge budget; cum_tf/total_tf at each rank IS the "
+    "coverage curve, reported as exact integers so the oracle "
+    "value-verifies it without float division). Plan shape: the "
+    "term-shuffled tf aggregate feeds TakeOrderedAndProject — "
+    "per-partition partial top-k, O(k) rows cross the wire, NO "
+    "vocab-wide single-partition sort — then the k survivors are "
+    "collapsed into ONE sorted array row (the SinglePartition "
+    "exchange carries partial ObjectHashAggregate state, k rows "
+    "max) and rank/cumsum are array-HOF arithmetic (posexplode + "
+    "aggregate over slices, O(k^2) on k=15). The oracle uses the "
+    "equivalent window form. At 100 TB only the tf aggregate "
+    "touches data-scale rows; everything after is O(k).",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        spread(d)
+        .select(
+            F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = t.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    total = tf.agg(F.sum("tf").cast("long").alias("total_tf"))
+    top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(
+        TOKEN_HIST_TOP
+    )
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("tf")).alias("ntf"), F.col("term")
+                )
+            )
+        ).alias("top")
+    )
+    return (
+        packed.crossJoin(F.broadcast(total))
+        .select(
+            "top",
+            "total_tf",
+            F.posexplode("top").alias("i", "e"),
+        )
+        .select(
+            F.col("e.term").alias("term"),
+            (-F.col("e.ntf")).alias("tf"),
+            (F.col("i") + 1).cast("long").alias("rnk"),
+            F.expr(
+                "CAST(aggregate(slice(top, 1, i + 1), 0L,"
+                " (a, x) -> a - x.ntf) AS BIGINT)"
+            ).alias("cum_tf"),
+            "total_tf",
+        )
+    )
+
+
+# BM25 retrieval constants: k1=1.2, b=0.75 (the universal defaults).
+# The integer-grid score below encodes them exactly as the rational
+# 22/10 (=2.2=k1+1), 3/10 (=0.3=k1*(1-b)) and 9/10 (=0.9=k1*b).
+BM25_QUERY_TERMS = ("spark", "table", "hash")
+
+
+@query(
+    "q_bm25",
+    """
+    WITH toks AS (SELECT doc_id, source,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         t AS (SELECT * FROM toks WHERE term <> ''),
+         dl AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS dl
+                FROM t GROUP BY doc_id, source),
+         sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t WHERE term IN ('spark', 'table', 'hash')
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term,
+                        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM t WHERE term IN ('spark', 'table', 'hash')
+                 GROUP BY term),
+         contrib AS (
+           SELECT tf.doc_id, dl.source,
+                  (CAST(floor(ln(CAST(2 * sc.n_docs + 2 AS DOUBLE)
+                                 / (2 * dfq.df + 1))
+                              * 1000000 + 0.5) AS BIGINT)
+                   * 22 * tf.tf * sc.t_tokens)
+                  // (10 * tf.tf * sc.t_tokens + 3 * sc.t_tokens
+                      + 9 * dl.dl * sc.n_docs) AS c
+           FROM tf JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN sc)
+    SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS score_micro
+    FROM contrib GROUP BY doc_id, source
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+    doc="extension (BM25 retrieval): top-10 docs for a fixed query "
+    "term set under BM25 (k1=1.2, b=0.75) — the classical sparse "
+    "retrieval scorer TF-IDF pipelines graduate to, and the lexical "
+    "side of hybrid search next to the ANN family. Cross-engine "
+    "hash-stability by construction (the q_perplexity_buckets "
+    "discipline): idf = ln((N+1)/(df+0.5)) is ONE libm call per "
+    "query term quantized to a 1e-6 integer grid; the saturation "
+    "factor tf*(k1+1)/(tf + k1*(1-b) + k1*b*dl/avgdl) is multiplied "
+    "through by 10*T (avgdl = T/N) into the all-integer form "
+    "22*tf*T / (10*tf*T + 3*T + 9*dl*N), and each contribution is "
+    "one 64-bit floor division — no float ever touches a sort key. "
+    "(Magnitude audit: idf6<=2e7 x 22 x tf x T stays under 2^63 "
+    "through corpus sizes ~1e16 tokens; past that, lift the "
+    "numerator to DECIMAL(38,0).) Plan shape: one token explode "
+    "feeds both the dl census and the term-filtered tf/df "
+    "aggregates; df and the 2-scalar frame broadcast; the scored "
+    "join carries only docs CONTAINING query terms (candidate set, "
+    "not corpus); TakeOrderedAndProject yields the top-10 — "
+    "per-partition partial top-k, no global sort.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        spread(d)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = t.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    sc = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    qt = t.filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
+    tf = qt.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfq = qt.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sc))
+        .withColumn(
+            "idf6",
+            F.expr(
+                "CAST(floor(ln(CAST(2 * n_docs + 2 AS DOUBLE)"
+                " / (2 * df + 1)) * 1000000 + 0.5) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "c",
+            F.expr(
+                "(idf6 * 22 * tf * t_tokens) div"
+                " (10 * tf * t_tokens + 3 * t_tokens"
+                "  + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(F.sum("c").cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(10)
+    )

