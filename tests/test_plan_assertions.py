@@ -392,3 +392,38 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_r7_additions_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-7 query family (the shapes their
+    docstrings promise):
+
+    - q_bm25 / q_token_histogram: top-k via TakeOrderedAndProject
+      (per-partition partial top-k — never a global Sort over the
+      scored/vocab frame);
+    - q_cdc_apply: the ranking window gets WindowGroupLimit pruning
+      (rn<=1 consumed map-side) over one hash(user_id) exchange;
+    - q_train_val_split / q_length_histogram: map-only bucket
+      assignment into a partial-agged groupBy — no join, no window;
+    - q_source_priority_dedup: exactly one fact-frame exchange keyed
+      on the content fingerprint feeding the ranking window.
+    """
+    for name in ("q_bm25", "q_token_histogram"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = _plan(spark, sf_dir, "q_cdc_apply")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+
+    for name in ("q_train_val_split", "q_length_histogram"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "partial_" in plan, name
+
+    plan = _plan(spark, sf_dir, "q_source_priority_dedup")
+    assert "Exchange hashpartitioning(fp" in plan
+    assert "windowspecdefinition(fp" in plan
