@@ -164,3 +164,44 @@ def snapshot_diff(
             *[F.col(f"n.{c}").alias(c) for c in compare_cols],
         )
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    log: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    delete_value: str = "D",
+    order: Sequence[Column | str] | None = None,
+    broadcast_log: bool = False,
+) -> DataFrame:
+    """Changelog application — :func:`upsert`'s superset with DELETE
+    markers (the apply half of CDC; :func:`snapshot_diff` is the
+    generate half, and ``q_cdc_apply`` proves the compaction shape
+    against a DuckDB oracle).
+
+    ``log`` carries the base's columns plus ``op_col``; ``order`` is a
+    total order whose FIRST row per key is that key's final state
+    (pass descending change-time, e.g. ``[F.desc("ts"),
+    F.desc("seq")]`` — None means the log is already compacted to one
+    row per key). Keys whose final op is ``delete_value`` are removed;
+    every other key takes its final row (insert or update); untouched
+    base rows pass through.
+
+    Same single-key-shuffle shape as the MERGE join-rewrite::
+
+        result = final_upserts  UNION ALL  (base ANTI-JOIN touched_keys)
+
+    and the same idempotent-fixpoint property: re-applying the same
+    log is a no-op. A delete for an absent key is a no-op (not an
+    error) — at-least-once CDC feeds replay deletes.
+    """
+    compacted = keep_first(log, keys, order) if order else log
+    rhs = F.broadcast(compacted) if broadcast_log else compacted
+    kept_base = base.join(
+        rhs.select(*keys), on=list(keys), how="left_anti"
+    )
+    upserts = compacted.filter(F.col(op_col) != delete_value)
+    return upserts.select(*base.columns).unionByName(
+        kept_base.select(*base.columns)
+    )

@@ -30,8 +30,12 @@ from typing import TypeVar
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prueba_tecnica_analista_etl_spark.operators.dedupe import keep_first
 from prueba_tecnica_analista_etl_spark.operators.quality import split_rejects
-from prueba_tecnica_analista_etl_spark.operators.upsert import upsert
+from prueba_tecnica_analista_etl_spark.operators.upsert import (
+    cdc_apply,
+    upsert,
+)
 
 CONTROL = "_etl_control"
 REJECTS = "_rejects"
@@ -158,6 +162,9 @@ def foreach_batch_upsert(
     target: str,
     keys: Sequence[str],
     rules: dict[str, Column] | None = None,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    cdc_order: Sequence[Column | str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` callback. Usage::
 
@@ -165,12 +172,25 @@ def foreach_batch_upsert(
             foreach_batch_upsert(spark, target, ["event_id"])
         ).trigger(availableNow=True).start()
 
+    ``op_col`` switches the sink from pure upsert to CDC-APPLY: the
+    stream is an ordered change log whose ``op_col`` may carry
+    ``delete_value`` rows, each micro-batch is compacted to its final
+    op per key under ``cdc_order`` (descending change-time — REQUIRED
+    with ``op_col``, because 'last op wins' is meaningless without a
+    total order), deletes remove target keys, everything else merges
+    as usual, and the ``op_col`` never reaches the target schema.
+    This is the streaming materialization of a Debezium/Kafka-compact
+    changefeed, sharing the sink's idempotency ledger (a replayed
+    batch re-applies the same compacted ops — a fixpoint).
+
     Scale note: this variant reads and REWRITES the whole target every
     micro-batch — O(|target|) per batch, fine for harness-sized targets
     but a scale-killer against a 100 TB base. At scale use
     :func:`foreach_batch_upsert_partitioned` (rewrites only the
     partitions containing incoming keys) or a bucketed/Delta target.
     """
+    if op_col is not None and cdc_order is None:
+        raise ValueError("op_col requires cdc_order (last-op order)")
     data_path, ctrl_path, rej_path = _paths(target)
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -191,19 +211,38 @@ def foreach_batch_upsert(
                 if rejected.limit(1).count() > 0:
                     _write_rejects(rejected, rej_path, batch_id)
 
-            # upsert() requires the incoming side unique on the keys
-            # (an at-least-once source can double a key WITHIN one
-            # batch — e.g. overlapping landing files); survivor pick
-            # is arbitrary among intra-batch duplicates, which is
-            # sound because at-least-once duplicates are redeliveries
-            # of the same row. Callers needing a domain-ordered pick
-            # pre-dedupe in `transform` with keep_first.
-            batch = batch.dropDuplicates(list(keys))
+            # upsert()/cdc_apply() require the incoming side unique on
+            # the keys (an at-least-once source can double a key
+            # WITHIN one batch — e.g. overlapping landing files). For
+            # plain upsert the survivor pick is arbitrary (duplicates
+            # are redeliveries of the same row); for CDC the pick MUST
+            # be the newest op, so the compaction uses cdc_order.
+            if op_col is not None:
+                batch = keep_first(batch, keys, cdc_order)
+            else:
+                batch = batch.dropDuplicates(list(keys))
 
             _recover(data_path)
             if os.path.exists(data_path):
                 base = spark.read.parquet(data_path)
-                merged = upsert(base, batch.select(*base.columns), keys)
+                if op_col is not None:
+                    merged = cdc_apply(
+                        base,
+                        batch.select(*base.columns, op_col),
+                        keys,
+                        op_col=op_col,
+                        delete_value=delete_value,
+                    )
+                else:
+                    merged = upsert(
+                        base, batch.select(*base.columns), keys
+                    )
+            elif op_col is not None:
+                # first batch: the target is born from the surviving
+                # (non-delete) final ops
+                merged = batch.filter(
+                    F.col(op_col) != delete_value
+                ).drop(op_col)
             else:
                 merged = batch
 

@@ -1153,3 +1153,140 @@ def test_stream_static_enrichment(spark, sf_dir):
     # both matched and unmatched sides are exercised
     assert got.filter(F.col("dim_name").isNull()).count() > 0
     assert got.filter(F.col("dim_name").isNotNull()).count() > 0
+
+
+def test_native_dedup_matches_custom_op(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (the engine-native state op) must
+    produce the same exactly-once id set as the custom bucketed
+    applyInPandasWithState operator over the same at-least-once replay
+    — the parity that licenses preferring the built-in where its
+    event-time-bounded retention fits (UDF state channels are the slow
+    path). The replay's re-deliveries are all inside the watermark
+    horizon, so both ops must drop every duplicate."""
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+        write_overlapping_replay,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.stateful import (
+        dedupe_stream_native,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = replay_as_stream(s, data_dir, schema, 1).select(
+        "event_id", "user_id", "ts"
+    )
+    native = run_available_now(
+        dedupe_stream_native(stream, within="365 days"), s
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    assert native.count() == n  # exactly once, same as the custom op
+    assert native.select("event_id").distinct().count() == n
+    custom_ids = {r[0] for r in ev.select("event_id").collect()}
+    assert {r["event_id"] for r in native.collect()} == custom_ids
+
+
+def test_cdc_apply_operator_semantics(spark):
+    """cdc_apply unit semantics: update, insert, delete, delete of an
+    absent key (no-op), delete-then-reinsert inside one log (last op
+    wins under the order), and the idempotent fixpoint (re-applying
+    the same log changes nothing)."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        cdc_apply,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),   # update
+            (3, "c", "U", 1),    # insert
+            (1, None, "D", 2),   # delete existing
+            (4, None, "D", 1),   # delete absent -> no-op
+            (5, None, "D", 1),   # deleted then...
+            (5, "e", "U", 2),    # ...re-inserted later: U wins
+        ],
+        "k long, v string, op string, seq long",
+    )
+    order = [F.desc("seq"), F.desc("op")]
+    out = cdc_apply(base, log.select("k", "v", "op", "seq"), ["k"],
+                    order=order)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {2: "b2", 3: "c", 5: "e"}
+
+    again = cdc_apply(
+        spark.createDataFrame(list(got.items()), "k long, v string"),
+        log.select("k", "v", "op", "seq"),
+        ["k"],
+        order=order,
+    )
+    assert {r["k"]: r["v"] for r in again.collect()} == got
+
+
+def test_streaming_cdc_sink_applies_deletes(spark, sf_dir, tmp_path):
+    """The CDC mode of the foreachBatch sink: ordered change-log
+    batches with delete markers materialize the right snapshot, the
+    op column never reaches the target schema, intra-batch op order
+    is respected (compaction keeps the newest op), and a replayed
+    in-flight batch (ledger row lost) re-applies to the SAME state —
+    the idempotency ledger covers CDC exactly as it covers upsert."""
+    import shutil as _sh
+
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        CONTROL,
+        foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "cdc_target")
+    process = foreach_batch_upsert(
+        spark,
+        target,
+        ["k"],
+        op_col="op",
+        cdc_order=[F.desc("seq")],
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "a", "U", 1), (2, "b", "U", 1), (3, "c", "U", 1)],
+        "k long, v string, op string, seq long",
+    )
+    process(b0, 0)
+    b1 = spark.createDataFrame(
+        [
+            (2, "b2", "U", 10),  # update
+            (3, None, "D", 10),  # delete
+            (4, "d", "U", 10),   # insert
+            (4, None, "D", 11),  # ...then deleted LATER in-batch
+            (5, None, "D", 10),  # deleted...
+            (5, "e", "U", 11),   # ...then re-upserted later in-batch
+        ],
+        "k long, v string, op string, seq long",
+    )
+    process(b1, 1)
+
+    snap = spark.read.parquet(os.path.join(target, "data"))
+    assert "op" not in snap.columns and "seq" in snap.columns
+    got = {r["k"]: r["v"] for r in snap.collect()}
+    assert got == {1: "a", 2: "b2", 5: "e"}
+
+    # crash window: ledger row for batch 1 lost, batch replayed
+    _sh.rmtree(os.path.join(target, CONTROL))
+    process(b0, 0)
+    process(b1, 1)
+    got2 = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(
+            os.path.join(target, "data")
+        ).collect()
+    }
+    assert got2 == got
