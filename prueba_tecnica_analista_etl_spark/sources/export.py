@@ -1,0 +1,161 @@
+"""Training-shard export (the hand-off surface to a training job):
+write a keyed DataFrame as N hash-sharded parquet files plus a
+MANIFEST the ingesting side can validate — per-shard row counts,
+optional token totals, and an order-insensitive content checksum.
+
+Design for 100 TB:
+
+* **Shard assignment is a pure hash of the key** (``pmod(xxhash64(key),
+  n_shards)``) — map-only, deterministic across re-runs, repartitions
+  and cluster sizes, so an incremental re-export reproduces byte-stable
+  shard membership (the property that lets a training cluster cache
+  shards by name). No global row_number, no single-partition window.
+* **The checksum is an order-insensitive fold** (``bit_xor`` of a
+  per-row 64-bit content hash): partitioning, task scheduling and
+  shuffle order cannot change it, yet any row mutation, loss or
+  duplication flips it. Validation re-derives it from the written
+  files with one scan (:func:`verify_training_shards`).
+* **One job writes everything**: ``partitionBy(shard_id)`` emits every
+  shard in a single pass; the manifest is a second, O(shards)
+  aggregate over the same frame. ``tmp-then-rename`` makes the export
+  atomic-enough: a crashed export leaves a ``._tmp`` dir, never a
+  half-valid manifest next to live data.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest"
+DATA = "data"
+SHARD_COL = "shard_id"
+
+
+def _row_hash(cols: Sequence[str]):
+    """64-bit per-row content hash over the named columns (stable
+    across partitionings; xxhash64 seeds on column VALUES in order)."""
+    return F.xxhash64(*[F.col(c) for c in cols])
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int | None = None,
+    target_rows_per_shard: int | None = None,
+    token_col: str | None = None,
+) -> dict[int, dict[str, int]]:
+    """Write ``df`` as hash-sharded parquet plus a manifest; returns
+    the manifest as ``{shard_id: {rows, tokens?, checksum}}``.
+
+    Exactly one of ``n_shards`` / ``target_rows_per_shard`` must be
+    given (the latter costs one count to size the shard set). The
+    manifest lives at ``{path}/_manifest`` (parquet) and every shard at
+    ``{path}/data/shard_id={i}/``.
+    """
+    if (n_shards is None) == (target_rows_per_shard is None):
+        raise ValueError(
+            "pass exactly one of n_shards / target_rows_per_shard"
+        )
+    if n_shards is None:
+        assert target_rows_per_shard is not None
+        total = df.count()
+        n_shards = max(1, math.ceil(total / target_rows_per_shard))
+
+    content_cols = [c for c in df.columns]
+    sharded = df.withColumn(
+        SHARD_COL,
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int"),
+    )
+
+    tmp = path + "._tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.bit_xor(_row_hash(content_cols)).alias("checksum"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1, F.sum(F.col(token_col)).cast("long").alias("tokens")
+        )
+
+    sharded.write.partitionBy(SHARD_COL).mode("overwrite").parquet(
+        os.path.join(tmp, DATA)
+    )
+    manifest_df = sharded.groupBy(SHARD_COL).agg(*aggs)
+    manifest_df.write.mode("overwrite").parquet(
+        os.path.join(tmp, MANIFEST)
+    )
+
+    # atomic-enough swap: the live dir appears only fully written
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+
+    spark = df.sparkSession
+    return _manifest_dict(spark, path)
+
+
+def _manifest_dict(
+    spark: SparkSession, path: str
+) -> dict[int, dict[str, int]]:
+    rows = spark.read.parquet(os.path.join(path, MANIFEST)).collect()
+    return {
+        int(r[SHARD_COL]): {
+            k: int(v)
+            for k, v in r.asDict().items()
+            if k != SHARD_COL and v is not None
+        }
+        for r in rows
+    }
+
+
+def verify_training_shards(
+    spark: SparkSession, path: str, token_col: str | None = None
+) -> dict[int, str]:
+    """Ingestion-side validation: re-derive every shard's row count,
+    token total and checksum FROM THE WRITTEN FILES and compare to the
+    manifest. Returns ``{}`` when everything matches, else
+    ``{shard_id: reason}`` — a lost file, duplicated row, bit-flip or
+    truncated write all surface as a named mismatch, before a training
+    job consumes garbage."""
+    data = spark.read.parquet(os.path.join(path, DATA))
+    content_cols = [c for c in data.columns if c != SHARD_COL]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.bit_xor(_row_hash(content_cols)).alias("checksum"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1, F.sum(F.col(token_col)).cast("long").alias("tokens")
+        )
+    derived = {
+        int(r[SHARD_COL]): {
+            k: int(v)
+            for k, v in r.asDict().items()
+            if k != SHARD_COL and v is not None
+        }
+        for r in data.groupBy(SHARD_COL).agg(*aggs).collect()
+    }
+    manifest = _manifest_dict(spark, path)
+
+    problems: dict[int, str] = {}
+    for sid in sorted(set(manifest) | set(derived)):
+        m, d = manifest.get(sid), derived.get(sid)
+        if m is None:
+            problems[sid] = "shard on disk but missing from manifest"
+        elif d is None:
+            problems[sid] = "shard in manifest but missing on disk"
+        elif m != d:
+            diffs = [
+                f"{k}: manifest={m.get(k)} derived={d.get(k)}"
+                for k in sorted(set(m) | set(d))
+                if m.get(k) != d.get(k)
+            ]
+            problems[sid] = "; ".join(diffs)
+    return problems

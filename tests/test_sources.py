@@ -691,3 +691,92 @@ def test_jdbc_roundtrip_against_embedded_derby(spark, sf_dir, tmp_path):
     )[1][:200]
     want = orders.filter(F.col("o_totalprice") > 100000.0).count()
     assert flt.count() == want
+
+
+def test_export_training_shards_roundtrip_and_manifest(
+    spark, sf_dir, tmp_path
+):
+    """Export contract: every input row lands in exactly one shard,
+    shard membership is a pure function of the key (re-export after an
+    arbitrary repartition is byte-stable), the manifest's counts/
+    token totals/checksums all validate, and n_shards sizing from a
+    row target works."""
+    from prueba_tecnica_analista_etl_spark.sources.export import (
+        export_training_shards,
+        verify_training_shards,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    path = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        docs, path, "doc_id", n_shards=7, token_col="n_tok"
+    )
+    assert set(manifest) <= set(range(7)) and len(manifest) > 1
+    assert sum(m["rows"] for m in manifest.values()) == docs.count()
+    assert sum(m["tokens"] for m in manifest.values()) == (
+        docs.agg(F.sum("n_tok")).first()[0]
+    )
+    assert verify_training_shards(spark, path, token_col="n_tok") == {}
+
+    back = spark.read.parquet(path + "/data").drop("shard_id")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    # determinism: different physical layout, same shards + checksums
+    path2 = str(tmp_path / "shards2")
+    manifest2 = export_training_shards(
+        docs.repartition(13), path2, "doc_id", n_shards=7,
+        token_col="n_tok",
+    )
+    assert manifest2 == manifest
+
+    # sizing by target rows
+    path3 = str(tmp_path / "shards3")
+    m3 = export_training_shards(
+        docs, path3, "doc_id", target_rows_per_shard=100
+    )
+    assert len(m3) >= docs.count() // 100
+    assert verify_training_shards(spark, path3) == {}
+
+
+def test_export_training_shards_detects_tampering(spark, sf_dir, tmp_path):
+    """The verifier must catch post-export corruption by shard id: a
+    deleted shard directory reports missing-on-disk; a shard with an
+    injected extra file reports row/checksum drift."""
+    import os as _os
+
+    from prueba_tecnica_analista_etl_spark.sources.export import (
+        export_training_shards,
+        verify_training_shards,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    path = str(tmp_path / "shards")
+    export_training_shards(docs, path, "doc_id", n_shards=4)
+    assert verify_training_shards(spark, path) == {}
+
+    # delete one shard dir
+    import shutil as _sh
+
+    victim = _os.path.join(path, "data", "shard_id=2")
+    _sh.rmtree(victim)
+    problems = verify_training_shards(spark, path)
+    assert set(problems) == {2} and "missing on disk" in problems[2]
+
+    # duplicate a surviving shard's file into the hole -> rows and
+    # checksum both drift, attributed to shard 2
+    src_dir = _os.path.join(path, "data", "shard_id=1")
+    _os.makedirs(victim)
+    for f in _os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            _sh.copy(_os.path.join(src_dir, f), _os.path.join(victim, f))
+    problems = verify_training_shards(spark, path)
+    assert set(problems) == {2}
+    assert "checksum" in problems[2] or "rows" in problems[2]
