@@ -149,8 +149,11 @@ def orchestrate() -> None:
     """Run N full process invocations of ``--single`` (fresh JVM each)
     and report the median wall: one invocation's JIT/GC draw is ±1-2 s
     noise, the median of three is a supportable number. stdout carries
-    exactly ONE JSON line (the driver contract); trial progress goes to
-    stderr."""
+    exactly TWO JSON lines — the per-query detail first, the compact
+    summary LAST (the driver contract: a bounded stdout-tail capture
+    must always contain one complete parseable line; do NOT merge them
+    back into one line, that is the r6 "parsed": null regression).
+    Trial progress goes to stderr."""
     trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     # Wall budget for the WHOLE bench (driver timeouts are not ours to
     # set): if the elapsed time plus a conservatively-estimated next

@@ -246,10 +246,26 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
             return None
 
         lengths = pdf["content"].map(lambda b: 0 if b is None else len(b))
-        dims = pdf["content"].map(
-            lambda b: None
-            if b is None
-            else (sniff_dims(b) or pil_dims(bytes(b)))
+        # header sniff runs on every payload (cheap, pure-Python);
+        # the PIL fallback is gated on media_type == image/* so
+        # multi-MB audio/video payloads never pay a per-row
+        # PIL.open + exception in the Arrow hot path.
+        dims = pd.Series(
+            [
+                None
+                if b is None
+                else (
+                    sniff_dims(b)
+                    or (
+                        pil_dims(bytes(b))
+                        if mt.startswith("image/")
+                        else None
+                    )
+                )
+                for b, mt in zip(pdf["content"], pdf["media_type"])
+            ],
+            index=pdf.index,
+            dtype="object",
         )
         avs = pdf["content"].map(sniff_av)
         fake_w = (lengths % 1920).astype("int32")
@@ -432,7 +448,12 @@ def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 b = bytes(b)
                 decoded = real_frames(b)
-                if decoded is not None:
+                # empty list falls through to the stub, not `is not
+                # None`: a container av opens but that yields zero
+                # frames must still emit ≥1 row per asset, matching
+                # the stub's guarantee — otherwise the same bytes
+                # produce environment-dependent fan-out.
+                if decoded:
                     for j, fr in enumerate(decoded):
                         out_ids.append(aid)
                         out_idx.append(j * every_n)

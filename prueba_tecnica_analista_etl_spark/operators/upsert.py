@@ -201,7 +201,13 @@ def cdc_apply(
     kept_base = base.join(
         rhs.select(*keys), on=list(keys), how="left_anti"
     )
-    upserts = compacted.filter(F.col(op_col) != delete_value)
+    # eqNullSafe, not `!=`: a dirty feed's NULL op must be treated as
+    # an upsert — with plain `!=` the NULL row falls out of upserts
+    # while its key still anti-joins away, silently DELETING a key
+    # that was never marked.
+    upserts = compacted.filter(
+        ~F.col(op_col).eqNullSafe(delete_value)
+    )
     return upserts.select(*base.columns).unionByName(
         kept_base.select(*base.columns)
     )

@@ -512,10 +512,14 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 22/10 (=2.2=k1+1), 3/10 (=0.3=k1*(1-b)) and 9/10 (=0.9=k1*b).
 BM25_QUERY_TERMS = ("spark", "table", "hash")
 
+# One source of truth for the oracle's IN-lists (the TOKEN_HIST_TOP
+# pattern): editing BM25_QUERY_TERMS updates both engines together.
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
 
 @query(
     "q_bm25",
-    """
+    f"""
     WITH toks AS (SELECT doc_id, source,
                          unnest(string_split(lower(text), ' ')) AS term
                   FROM documents),
@@ -525,20 +529,22 @@ BM25_QUERY_TERMS = ("spark", "table", "hash")
          sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl),
          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                FROM t WHERE term IN ('spark', 'table', 'hash')
+                FROM t WHERE term IN ({_BM25_TERMS_SQL})
                 GROUP BY doc_id, term),
          dfq AS (SELECT term,
                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-                 FROM t WHERE term IN ('spark', 'table', 'hash')
+                 FROM t WHERE term IN ({_BM25_TERMS_SQL})
                  GROUP BY term),
          contrib AS (
            SELECT tf.doc_id, dl.source,
-                  (CAST(floor(ln(CAST(2 * sc.n_docs + 2 AS DOUBLE)
-                                 / (2 * dfq.df + 1))
-                              * 1000000 + 0.5) AS BIGINT)
-                   * 22 * tf.tf * sc.t_tokens)
-                  // (10 * tf.tf * sc.t_tokens + 3 * sc.t_tokens
-                      + 9 * dl.dl * sc.n_docs) AS c
+                  CAST((CAST(floor(ln(CAST(2 * sc.n_docs + 2 AS DOUBLE)
+                                      / (2 * dfq.df + 1))
+                                   * 1000000 + 0.5) AS HUGEINT)
+                        * 22 * tf.tf * sc.t_tokens)
+                       // CAST(10 * tf.tf * sc.t_tokens
+                               + 3 * sc.t_tokens
+                               + 9 * dl.dl * sc.n_docs AS HUGEINT)
+                       AS BIGINT) AS c
            FROM tf JOIN dfq USING (term)
                    JOIN dl ON tf.doc_id = dl.doc_id
                    CROSS JOIN sc)
@@ -556,10 +562,16 @@ BM25_QUERY_TERMS = ("spark", "table", "hash")
     "factor tf*(k1+1)/(tf + k1*(1-b) + k1*b*dl/avgdl) is multiplied "
     "through by 10*T (avgdl = T/N) into the all-integer form "
     "22*tf*T / (10*tf*T + 3*T + 9*dl*N), and each contribution is "
-    "one 64-bit floor division — no float ever touches a sort key. "
-    "(Magnitude audit: idf6<=2e7 x 22 x tf x T stays under 2^63 "
-    "through corpus sizes ~1e16 tokens; past that, lift the "
-    "numerator to DECIMAL(38,0).) Plan shape: one token explode "
+    "one exact integer floor division — no float ever touches a "
+    "sort key. Magnitude audit: the numerator idf6*22*tf*T would "
+    "overflow int64 near tf*T ~ 2e10 (a ~100 GB corpus at tf=1 — "
+    "far short of the design point), so it is carried in 128-bit "
+    "lanes: DECIMAL(38,0) in Spark (whose `div` stays an exact "
+    "integral divide) and HUGEINT in DuckDB — verified to agree "
+    "bit-for-bit past 2^63. The BIGINT denominator's own bound is "
+    "tf*T < 9.2e17, i.e. a 2.5e13-token (100 TB) corpus is safe for "
+    "any per-doc term frequency below ~3.6e4. Plan shape: one "
+    "token explode "
     "feeds both the dl census and the term-filtered tf/df "
     "aggregates; df and the 2-scalar frame broadcast; the scored "
     "join carries only docs CONTAINING query terms (candidate set, "
@@ -604,9 +616,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "c",
+            # DECIMAL(38,0) numerator: Spark's `div` on decimals is
+            # still an exact integral divide returning BIGINT, and it
+            # matches DuckDB's HUGEINT `//` bit-for-bit past 2^63 —
+            # the int64-only form overflowed near tf*T ~ 2e10.
             F.expr(
-                "(idf6 * 22 * tf * t_tokens) div"
-                " (10 * tf * t_tokens + 3 * t_tokens"
+                "(CAST(idf6 AS DECIMAL(38,0)) * 22 * tf * t_tokens)"
+                " div (10 * tf * t_tokens + 3 * t_tokens"
                 "  + 9 * dl * n_docs)"
             ),
         )

@@ -88,7 +88,18 @@ def export_training_shards(
     sharded.write.partitionBy(SHARD_COL).mode("overwrite").parquet(
         os.path.join(tmp, DATA)
     )
-    manifest_df = sharded.groupBy(SHARD_COL).agg(*aggs)
+    # The manifest is derived from the WRITTEN FILES, never from the
+    # input frame: re-evaluating `sharded` for the aggregate would (a)
+    # run the full upstream lineage a second time — a double scan at
+    # the 100 TB design point — and (b) diverge from the written rows
+    # whenever any upstream column is nondeterministic (rand(),
+    # current_timestamp, monotonically_increasing_id), making the
+    # manifest certify rows that were never written. Reading back the
+    # freshly-written compact parquet is one cheap scan and is, by
+    # construction, what verify_training_shards will later recompute.
+    spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(tmp, DATA))
+    manifest_df = written.groupBy(SHARD_COL).agg(*aggs)
     manifest_df.write.mode("overwrite").parquet(
         os.path.join(tmp, MANIFEST)
     )
@@ -97,7 +108,6 @@ def export_training_shards(
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
 
-    spark = df.sparkSession
     return _manifest_dict(spark, path)
 
 

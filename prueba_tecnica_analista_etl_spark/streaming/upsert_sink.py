@@ -179,6 +179,10 @@ def foreach_batch_upsert(
     with ``op_col``, because 'last op wins' is meaningless without a
     total order), deletes remove target keys, everything else merges
     as usual, and the ``op_col`` never reaches the target schema.
+    With ``rules``, validation applies to the FINAL non-delete op per
+    key (post-compaction); delete markers bypass rules entirely —
+    they carry no payload to validate — and a rejected final upsert
+    leaves its key untouched instead of applying a superseded op.
     This is the streaming materialization of a Debezium/Kafka-compact
     changefeed, sharing the sink's idempotency ledger (a replayed
     batch re-applies the same compacted ops — a fixpoint).
@@ -206,20 +210,41 @@ def foreach_batch_upsert(
         src = batch.persist()
         batch = src
         try:
-            if rules:
-                batch, rejected = split_rejects(batch, rules)
-                if rejected.limit(1).count() > 0:
-                    _write_rejects(rejected, rej_path, batch_id)
-
             # upsert()/cdc_apply() require the incoming side unique on
             # the keys (an at-least-once source can double a key
             # WITHIN one batch — e.g. overlapping landing files). For
             # plain upsert the survivor pick is arbitrary (duplicates
             # are redeliveries of the same row); for CDC the pick MUST
             # be the newest op, so the compaction uses cdc_order.
+            #
+            # Order vs rules: in CDC mode compaction runs FIRST and
+            # rules see only the FINAL non-delete op per key. Delete
+            # markers bypass validation by design (they typically
+            # carry NULL payload columns, which ordinary rules would
+            # quarantine — silently losing the delete); and a
+            # rejected final upsert quarantines its key untouched
+            # rather than resurrecting a superseded older op.
             if op_col is not None:
                 batch = keep_first(batch, keys, cdc_order)
+                if rules:
+                    upserts_only = batch.filter(
+                        ~F.col(op_col).eqNullSafe(delete_value)
+                    )
+                    accepted, rejected = split_rejects(
+                        upserts_only, rules
+                    )
+                    if rejected.limit(1).count() > 0:
+                        _write_rejects(rejected, rej_path, batch_id)
+                    batch = accepted.unionByName(
+                        batch.filter(
+                            F.col(op_col).eqNullSafe(delete_value)
+                        )
+                    )
             else:
+                if rules:
+                    batch, rejected = split_rejects(batch, rules)
+                    if rejected.limit(1).count() > 0:
+                        _write_rejects(rejected, rej_path, batch_id)
                 batch = batch.dropDuplicates(list(keys))
 
             _recover(data_path)

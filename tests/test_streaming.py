@@ -1290,3 +1290,57 @@ def test_streaming_cdc_sink_applies_deletes(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got2 == got
+
+
+def test_streaming_cdc_sink_rules_spare_delete_markers(
+    spark, sf_dir, tmp_path
+):
+    """The reviewed failure mode: with validation rules AND CDC mode,
+    delete markers (NULL payload) must NOT be quarantined by the
+    rules — deletes bypass validation, rules see only the final
+    non-delete op per key, and a rejected final upsert leaves its key
+    untouched instead of applying a superseded older op."""
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "cdc_rules")
+    process = foreach_batch_upsert(
+        spark,
+        target,
+        ["k"],
+        rules={"v_null": F.col("v").isNull()},
+        op_col="op",
+        cdc_order=[F.desc("seq")],
+    )
+    process(
+        spark.createDataFrame(
+            [(1, "a", "U", 1), (2, "b", "U", 1), (3, "c", "U", 1)],
+            "k long, v string, op string, seq long",
+        ),
+        0,
+    )
+    process(
+        spark.createDataFrame(
+            [
+                (1, None, "D", 10),   # delete: NULL v must not DLQ it
+                (2, "b-old", "U", 5),  # superseded by...
+                (2, None, "U", 6),     # ...an INVALID final upsert
+            ],
+            "k long, v string, op string, seq long",
+        ),
+        1,
+    )
+
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(
+            os.path.join(target, "data")
+        ).collect()
+    }
+    # 1 deleted (marker survived the rules), 2 untouched (its final
+    # op was rejected; the stale b-old was NOT applied), 3 untouched
+    assert got == {2: "b", 3: "c"}
+    dlq = spark.read.parquet(os.path.join(target, "_rejects"))
+    assert dlq.count() == 1
+    assert dlq.first()["k"] == 2 and dlq.first()["op"] == "U"
