@@ -779,3 +779,77 @@ def test_export_training_shards_detects_tampering(spark, sf_dir, tmp_path):
     problems = verify_training_shards(spark, path)
     assert set(problems) == {2}
     assert "checksum" in problems[2] or "rows" in problems[2]
+
+
+def test_versioned_table_commit_timetravel_rollback_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """The versioned-snapshot contract end to end: commits publish
+    atomically and monotonically, the default read follows the
+    pointer, time travel reads any retained version, rollback
+    republishes old data as a NEW version (append-only history), and
+    vacuum drops only versions beyond the retention window, never the
+    published one."""
+    from prueba_tecnica_analista_etl_spark.sources.versioned import (
+        commit_snapshot,
+        current_version,
+        list_versions,
+        read_snapshot,
+        rollback,
+        vacuum,
+    )
+
+    table = str(tmp_path / "nation_versioned")
+    nation = load_table(spark, sf_dir, "nation")
+
+    v0 = commit_snapshot(nation, table)
+    v1 = commit_snapshot(nation.filter(F.col("n_regionkey") != 0), table)
+    v2 = commit_snapshot(nation.limit(3), table)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert current_version(table) == 2
+
+    assert read_snapshot(spark, table).count() == 3  # follows pointer
+    n_full = nation.count()
+    assert read_snapshot(spark, table, version=0).count() == n_full
+    n_v1 = read_snapshot(spark, table, version=1).count()
+    assert 0 < n_v1 < n_full
+
+    # rollback: restores v0's data under a NEW version
+    v3 = rollback(table, 0)
+    assert v3 == 3 and current_version(table) == 3
+    assert read_snapshot(spark, table).count() == n_full
+    assert read_snapshot(spark, table, version=2).count() == 3  # kept
+
+    # vacuum keep=2: v0 and v1 go, v2 and the published v3 stay
+    removed = vacuum(table, keep=2)
+    assert removed == [0, 1]
+    assert list_versions(table) == [2, 3]
+    assert read_snapshot(spark, table).count() == n_full
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=0)
+
+
+def test_versioned_table_vacuum_never_drops_published(spark, sf_dir, tmp_path):
+    """Even when the published pointer targets an OLD version (e.g.
+    someone inspected history but never recommitted), vacuum must
+    spare it."""
+    from prueba_tecnica_analista_etl_spark.sources.versioned import (
+        _publish_pointer,
+        commit_snapshot,
+        list_versions,
+        read_snapshot,
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    nation = load_table(spark, sf_dir, "nation")
+    for i in range(4):
+        commit_snapshot(nation.limit(i + 1), table)
+    _publish_pointer(table, 0)  # pointer pinned to the oldest
+
+    removed = vacuum(table, keep=1)
+    assert 0 not in removed
+    assert set(list_versions(table)) == {0, 3}
+    assert read_snapshot(spark, table).count() == 1  # v0 readable
