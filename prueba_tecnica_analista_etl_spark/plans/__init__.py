@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 7):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 83 queries (74 oracle-backed + 9
-rows-only), so 33 must sit outside the recorded window in any given
+each round; the registry holds 84 queries (74 oracle-backed + 10
+rows-only), so 34 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -72,11 +72,12 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-7 rotation (registry 83 = 74 oracle-backed + 9 rows-only;
-# window = 50 = 44 oracle + 6 rows-only, so 33 sit outside this
-# round: the 24 rotated-out oracle queries below + the 6 post-window
-# additions in _R7_NEW + the ann/embed rows-only trio that got its
-# r6 records).
+# Round-7 rotation (registry 84 = 74 oracle-backed + 10 rows-only;
+# window = 50 = 44 oracle + 6 rows-only, so 34 sit outside this
+# round: the 24 rotated-out oracle queries below, the 6 post-window
+# additions in _R7_NEW, the ann/embed rows-only trio that got its
+# r6 records, and the new rows-only q_multimodal_pipeline (no record
+# yet; sits with the unrecorded rest).
 #
 # OUT this round — 24 oracle-backed queries, each green in
 # CORRECTNESS_r06 (so no rotated-out query's newest green is more

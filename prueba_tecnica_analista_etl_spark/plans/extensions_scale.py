@@ -714,3 +714,57 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_purge(deduped, pairs).select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+@query(
+    "q_multimodal_pipeline",
+    None,
+    doc="multimodal END-TO-END composition (rows-only: the feature "
+    "extractor is a mapInPandas stage DuckDB cannot mirror): binary "
+    "assets -> Arrow-batched feature extraction (byte-histogram "
+    "stub standing in for a model forward pass; decoded-pixel "
+    "histogram where PIL exists) -> brute cosine top-10 against a "
+    "probe asset's vector — the retrieve-similar-assets loop of a "
+    "multimodal curation pipeline, composed from the declared "
+    "pieces (fake_assets, extract_features, functions.vectors."
+    "cosine). Plan shape: features are computed in one mapInPandas "
+    "pass; the probe vector is a 16-float driver value broadcast "
+    "into a map-only cosine + TakeOrderedAndProject top-k — ONE "
+    "scan of the asset frame, no self-join, no global sort; at "
+    "100 TB this is the q_similarity_topk shape with the embedding "
+    "column produced inline instead of precomputed. Determinism: "
+    "the stub features are pure functions of payload bytes, so "
+    "row count and membership are stable across runs/engines.",
+)
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.functions.vectors import (
+        cosine,
+    )
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_features,
+        fake_assets,
+    )
+
+    assets = fake_assets(spread(_t(spark, sf_dir, "documents")))
+    feats = extract_features(assets, dim=16).filter(
+        F.col("features").isNotNull()
+    )
+    probe = feats.filter(F.col("asset_id") == 1).select(
+        F.col("features").alias("probe")
+    )
+    # model-sized collect (one 16-float vector), the broadcast-probe
+    # pattern of q_similarity_topk
+    probe_vec = probe.first()["probe"]
+    lit_probe = F.array(*[F.lit(float(x)) for x in probe_vec])
+    return (
+        feats.filter(F.col("asset_id") != 1)
+        .select(
+            "asset_id",
+            "media_type",
+            F.round(
+                cosine(as_double(F.col("features")), lit_probe), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("asset_id"))
+        .limit(10)
+    )

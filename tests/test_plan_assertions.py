@@ -220,6 +220,7 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     ARROW_ALLOWED = {
         "q_winnow_fingerprint",
         "q_multimodal_meta",
+        "q_multimodal_pipeline",
         "q_simhash_dedup",
         "q_ann_lsh",
         "q_ann_ivf",

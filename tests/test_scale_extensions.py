@@ -941,3 +941,21 @@ def test_training_export_composition(spark, sf_dir, tmp_path):
         F.sum(F.size(F.split("text", " ")))
     ).first()[0]
     assert tok_total == want_total  # token conservation through packing
+
+
+def test_multimodal_pipeline_topk_contract(spark, sf_dir):
+    """The composed multimodal retrieval loop: exactly 10 rows, the
+    probe asset excluded, similarities in [-1, 1] sorted descending
+    with the deterministic tie-break, and the whole thing reproduces
+    bit-identically on a second run (stub features are pure functions
+    of payload bytes)."""
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    a = REGISTRY["q_multimodal_pipeline"].fn(spark, sf_dir).collect()
+    assert len(a) == 10
+    assert all(r["asset_id"] != 1 for r in a)
+    sims = [r["cos_sim"] for r in a]
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert sims == sorted(sims, reverse=True)
+    b = REGISTRY["q_multimodal_pipeline"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
