@@ -1523,3 +1523,66 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value")).alias("sum_last_value"),
         )
     )
+
+
+@query(
+    "q_quantile_census",
+    """
+    WITH v AS (SELECT event_type, value, event_id,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id)
+                        AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p25,
+           max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p75
+    FROM v GROUP BY event_type
+    """,
+    doc="distribution census (the quartile gap in q_profile_stats's "
+    "avg/stddev/min/max family): per event type the 25th/50th/75th "
+    "percentile of value as DISCRETE quantiles — the element at rank "
+    "floor(p*(n-1))+1 in (value, event_id) order, i.e. an actual "
+    "data value selected by exact integer rank, never an "
+    "interpolated average. Discrete-not-interpolated is the "
+    "hash-stability discipline: engines compute linear interpolation "
+    "with differently-associated float expressions (lower+(upper-"
+    "lower)*d vs (1-d)*lower+d*upper) that can differ in the last "
+    "ulp, while rank selection involves no arithmetic at all, and "
+    "the 0.25/0.5/0.75 multipliers are binary-exact so the rank "
+    "itself is the same integer everywhere. Plan shape: one "
+    "hash(event_type) exchange shared by the ranking window and the "
+    "count window (same partitioning), then a partial-agged census "
+    "— the zscore-window family's proven shape. At 100 TB the "
+    "per-type sort is the bounded unit; for a single monster type "
+    "swap in approx_percentile (the assign_quantile_buckets "
+    "moments-twin pattern).",
+)
+def q_quantile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        rank = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+        return F.max(
+            F.when(F.col("rn") == rank, F.col("value"))
+        ).alias(name)
+
+    return v.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(0.25, "p25"),
+        pick(0.5, "p50"),
+        pick(0.75, "p75"),
+    )

@@ -771,3 +771,50 @@ def test_cdc_apply_matches_reference_fold(spark, sf_dir):
         assert abs(Decimal(str(got[st]["sum_last_value"])) - s) < Decimal(
             "0.01"
         ), st
+
+
+CDC_LOG = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),            # key
+        st.integers(min_value=-50, max_value=50),         # value
+        st.sampled_from(["U", "D"]),                      # op
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(base=KV, log=CDC_LOG)
+@SLOW
+def test_cdc_apply_matches_python_fold(spark, base, log):
+    """Property: cdc_apply == a sequential Python replay of the log
+    over the base snapshot, on arbitrary interleavings of upserts and
+    deletes (including re-deletes, upsert-after-delete, deletes of
+    absent keys and multiple ops per key). The log's seq column is
+    its list position, so 'last op wins' has one unambiguous
+    meaning in both implementations."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        cdc_apply,
+    )
+
+    base_df = keep_first(_df(spark, base), ["k"], [F.asc("pos")]).drop(
+        "pos"
+    )
+    log_df = spark.createDataFrame(
+        [(k, v, op, i) for i, (k, v, op) in enumerate(log)],
+        "k long, v long, op string, seq long",
+    )
+    out = cdc_apply(
+        base_df, log_df, ["k"], order=[F.desc("seq")]
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+
+    state = {}
+    for k, v in base:
+        state.setdefault(k, v)  # keep_first semantics of the base
+    for k, v, op in log:  # sequential replay — last op wins
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
