@@ -348,29 +348,25 @@ def resize_images(
             except ImportError:
                 pil_image = None
 
+        def do_resize(b: bytes | None) -> bytes | None:
+            if b is None:
+                return None
+            if pil_image is not None:
+                import io
+
+                try:
+                    with pil_image.open(io.BytesIO(bytes(b))) as img:
+                        out = io.BytesIO()
+                        img.resize((width, height)).save(
+                            out, format="PNG"
+                        )
+                        return out.getvalue()
+                except Exception:
+                    pass  # undecodable → deterministic stub
+            return bytes(b[:budget]).ljust(budget, b"\0")
+
         for pdf in batches:
             is_img = pdf["media_type"].str.startswith("image/")
-
-            def fake_resize(b: bytes) -> bytes:
-                return bytes(b[:budget]).ljust(budget, b"\0")
-
-            def do_resize(b: bytes | None) -> bytes | None:
-                if b is None:
-                    return None
-                if pil_image is not None:
-                    import io
-
-                    try:
-                        with pil_image.open(io.BytesIO(bytes(b))) as img:
-                            out = io.BytesIO()
-                            img.resize((width, height)).save(
-                                out, format="PNG"
-                            )
-                            return out.getvalue()
-                    except Exception:
-                        pass  # undecodable → deterministic stub
-                return fake_resize(b)
-
             content = pdf["content"].where(
                 ~is_img, pdf["content"].map(do_resize)
             )

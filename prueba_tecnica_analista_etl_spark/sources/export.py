@@ -43,6 +43,32 @@ def _row_hash(cols: Sequence[str]):
     return F.xxhash64(*[F.col(c) for c in cols])
 
 
+def _shard_stats(
+    frame: DataFrame, token_col: str | None
+) -> dict[int, dict[str, int]]:
+    """Per-shard {rows, tokens?, checksum} from any shard_id-carrying
+    frame — the ONE definition of the manifest's content, used both to
+    write it (over the freshly-written files) and to re-derive it at
+    verification time, so the two can never drift apart."""
+    content_cols = [c for c in frame.columns if c != SHARD_COL]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.bit_xor(_row_hash(content_cols)).alias("checksum"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1, F.sum(F.col(token_col)).cast("long").alias("tokens")
+        )
+    return {
+        int(r[SHARD_COL]): {
+            k: int(v)
+            for k, v in r.asDict().items()
+            if k != SHARD_COL and v is not None
+        }
+        for r in frame.groupBy(SHARD_COL).agg(*aggs).collect()
+    }
+
+
 def export_training_shards(
     df: DataFrame,
     path: str,
@@ -68,7 +94,6 @@ def export_training_shards(
         total = df.count()
         n_shards = max(1, math.ceil(total / target_rows_per_shard))
 
-    content_cols = [c for c in df.columns]
     sharded = df.withColumn(
         SHARD_COL,
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int"),
@@ -76,15 +101,6 @@ def export_training_shards(
 
     tmp = path + "._tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("rows"),
-        F.bit_xor(_row_hash(content_cols)).alias("checksum"),
-    ]
-    if token_col is not None:
-        aggs.insert(
-            1, F.sum(F.col(token_col)).cast("long").alias("tokens")
-        )
-
     sharded.write.partitionBy(SHARD_COL).mode("overwrite").parquet(
         os.path.join(tmp, DATA)
     )
@@ -95,20 +111,29 @@ def export_training_shards(
     # whenever any upstream column is nondeterministic (rand(),
     # current_timestamp, monotonically_increasing_id), making the
     # manifest certify rows that were never written. Reading back the
-    # freshly-written compact parquet is one cheap scan and is, by
-    # construction, what verify_training_shards will later recompute.
+    # freshly-written compact parquet is one cheap scan and runs the
+    # SAME _shard_stats verify_training_shards will later recompute.
     spark = df.sparkSession
     written = spark.read.parquet(os.path.join(tmp, DATA))
-    manifest_df = written.groupBy(SHARD_COL).agg(*aggs)
-    manifest_df.write.mode("overwrite").parquet(
-        os.path.join(tmp, MANIFEST)
-    )
+    stats = _shard_stats(written, token_col)
+    cols = ["shard_id", "rows"] + (
+        ["tokens"] if token_col is not None else []
+    ) + ["checksum"]
+    spark.createDataFrame(
+        [
+            tuple([sid] + [m[c] for c in cols[1:]])
+            for sid, m in sorted(stats.items())
+        ],
+        ", ".join(f"{c} long" for c in cols),
+    ).withColumn(SHARD_COL, F.col(SHARD_COL).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, MANIFEST))
 
     # atomic-enough swap: the live dir appears only fully written
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
 
-    return _manifest_dict(spark, path)
+    return stats
 
 
 def _manifest_dict(
@@ -135,23 +160,7 @@ def verify_training_shards(
     truncated write all surface as a named mismatch, before a training
     job consumes garbage."""
     data = spark.read.parquet(os.path.join(path, DATA))
-    content_cols = [c for c in data.columns if c != SHARD_COL]
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("rows"),
-        F.bit_xor(_row_hash(content_cols)).alias("checksum"),
-    ]
-    if token_col is not None:
-        aggs.insert(
-            1, F.sum(F.col(token_col)).cast("long").alias("tokens")
-        )
-    derived = {
-        int(r[SHARD_COL]): {
-            k: int(v)
-            for k, v in r.asDict().items()
-            if k != SHARD_COL and v is not None
-        }
-        for r in data.groupBy(SHARD_COL).agg(*aggs).collect()
-    }
+    derived = _shard_stats(data, token_col)
     manifest = _manifest_dict(spark, path)
 
     problems: dict[int, str] = {}

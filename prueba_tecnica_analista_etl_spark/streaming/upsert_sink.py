@@ -227,18 +227,14 @@ def foreach_batch_upsert(
             if op_col is not None:
                 batch = keep_first(batch, keys, cdc_order)
                 if rules:
-                    upserts_only = batch.filter(
-                        ~F.col(op_col).eqNullSafe(delete_value)
-                    )
+                    is_delete = F.col(op_col).eqNullSafe(delete_value)
                     accepted, rejected = split_rejects(
-                        upserts_only, rules
+                        batch.filter(~is_delete), rules
                     )
                     if rejected.limit(1).count() > 0:
                         _write_rejects(rejected, rej_path, batch_id)
                     batch = accepted.unionByName(
-                        batch.filter(
-                            F.col(op_col).eqNullSafe(delete_value)
-                        )
+                        batch.filter(is_delete)
                     )
             else:
                 if rules:
