@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 7):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 85 queries (75 oracle-backed + 10
-rows-only), so 35 must sit outside the recorded window in any given
+each round; the registry holds 86 queries (75 oracle-backed + 11
+rows-only), so 36 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -73,12 +73,12 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-7 rotation (registry 85 = 75 oracle-backed + 10 rows-only;
-# window = 50 = 44 oracle + 6 rows-only, so 35 sit outside this
+# Round-7 rotation (registry 86 = 75 oracle-backed + 11 rows-only;
+# window = 50 = 44 oracle + 6 rows-only, so 36 sit outside this
 # round: the 24 rotated-out oracle queries below, the 7 post-window
 # additions in _R7_NEW, the ann/embed rows-only trio that got its
-# r6 records, and the new rows-only q_multimodal_pipeline (no record
-# yet; sits with the unrecorded rest).
+# r6 records, and the new rows-only q_multimodal_pipeline and
+# q_stream_cdc_apply (no records yet; sit with the unrecorded rest).
 #
 # OUT this round — 24 oracle-backed queries, each green in
 # CORRECTNESS_r06 (so no rotated-out query's newest green is more

@@ -768,3 +768,78 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("asset_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_stream_cdc_apply",
+    None,
+    doc="T5 CDC mode end-to-end (rows-only: side-effecting streaming "
+    "sink): the events table replayed as an ORDERED CHANGE LOG on "
+    "user_id ('purchase' = delete marker, everything else upsert) "
+    "through the foreachBatch CDC sink — per micro-batch the log "
+    "compacts to its final op per key, deletes remove target keys, "
+    "the idempotency ledger makes replays fixpoints — and the "
+    "materialized snapshot (live users with their last event) comes "
+    "back as the result. The batch twin q_cdc_apply oracle-proves "
+    "the same compaction ranking; a parity test pins this streaming "
+    "snapshot's key set to the batch fold. Scale shape: per batch "
+    "one hash(user_id) compaction shuffle + the whole-target merge "
+    "(the documented harness-size trade; the partitioned sink "
+    "variant is the 100 TB path).",
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from prueba_tecnica_analista_etl_spark.session import (
+        ensure_runtime_conf,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+        write_replay_files,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        foreach_batch_upsert,
+    )
+
+    data_dir, schema = write_replay_files(
+        spark, sf_dir, "events", n_files=4
+    )
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = (
+        replay_as_stream(s, data_dir, schema, max_files_per_trigger=2)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", "D")
+            .otherwise("U")
+            .alias("op"),
+            "value",
+        )
+    )
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="cdc_stream_"), "target"
+    )
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                s,
+                target,
+                ["user_id"],
+                op_col="op",
+                cdc_order=[F.desc("ts"), F.desc("event_id")],
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(target, "data")).select(
+        "user_id", "event_id", "value"
+    )

@@ -1344,3 +1344,34 @@ def test_streaming_cdc_sink_rules_spare_delete_markers(
     dlq = spark.read.parquet(os.path.join(target, "_rejects"))
     assert dlq.count() == 1
     assert dlq.first()["k"] == 2 and dlq.first()["op"] == "U"
+
+
+def test_stream_cdc_apply_matches_batch_fold(spark, sf_dir):
+    """The streaming CDC snapshot must agree with a batch fold of the
+    same change-log semantics: live users = users whose LAST event
+    (max (ts, event_id)) is not the delete marker, each carrying that
+    last event's id — and the run is deterministic."""
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    snap = {
+        r["user_id"]: r["event_id"]
+        for r in REGISTRY["q_stream_cdc_apply"].fn(spark, sf_dir).collect()
+    }
+
+    last = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        k = r["user_id"]
+        cand = (r["ts"], r["event_id"], r["event_type"])
+        if k not in last or cand[:2] > last[k][:2]:
+            last[k] = cand
+    want = {
+        k: eid
+        for k, (_, eid, et) in last.items()
+        if et != "purchase"
+    }
+    assert snap == want
