@@ -149,22 +149,34 @@ def capped_pair_array(
     )
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL near-dup pairs (jaccard ≥ 0.5) from banded minhash — the
-    UNCAPPED frame consumers like corpus curation must use. The
-    registry query ``q_minhash_dedup`` is this plus an order/limit for
-    reporting; feeding the limited top-100 into a purge would let
-    pairs 101+ silently survive curation at scale."""
-    n_hashes = MINHASH_BANDS * MINHASH_ROWS
+def minhash_pair_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Generic banded-minhash near-dup pair detection over ANY
+    (id, text) DataFrame — the user-facing operator API behind the
+    ``documents``-table queries (``minhash_pairs`` below is this at
+    the harness defaults). Emits every ordered pair (doc_a < doc_b)
+    with exact Jaccard ≥ ``threshold`` over ``shingle_n``-token
+    shingles, candidate-generated by ``bands``×``rows`` banded LSH
+    (recall at similarity s ≈ 1-(1-s^rows)^bands — tune the split to
+    the target threshold). Output columns are always
+    (doc_a, doc_b, jaccard_sim) regardless of ``id_col``."""
+    n_hashes = bands * rows
     # Shingle once, hash once: every downstream step (minhashes, band
     # keys, exact re-rank) works on the array<long> of shingle hashes,
     # so the expensive string shingling is built exactly once and the
     # whole query is ONE shuffle (the band-key groupBy). Jaccard over
     # hashed shingles equals Jaccard over shingles up to xxhash64
     # collisions (P ≈ |sh|²·2⁻⁶⁴ per doc — negligible).
-    d = spread(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
+    d = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(tokens(F.col(text_col)), shingle_n).alias("hs"),
     )
     # Seeded minhash family. The transform lambda MUST take exactly one
     # parameter: PySpark inspects lambda arity and passes (element,
@@ -178,7 +190,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{j}")
 
     sig = d.select("doc_id", "hs", *[_seeded_min(j) for j in range(n_hashes)])
-    bands = sig.select(
+    banded = sig.select(
         "doc_id",
         "hs",
         F.explode(
@@ -188,18 +200,18 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.col(f"mh{b * MINHASH_ROWS + r}")
-                                for r in range(MINHASH_ROWS)
+                                F.col(f"mh{b * rows + r}")
+                                for r in range(rows)
                             ]
                         ).alias("key"),
                     )
-                    for b in range(MINHASH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "hs", "bk.band", "bk.key")
     small = (
-        bands.groupBy("band", "key")
+        banded.groupBy("band", "key")
         .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
@@ -223,15 +235,27 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         # gate on the UNROUNDED similarity: rounding first would admit
-        # pairs with true jaccard in [0.49995, 0.5) through the >= 0.5
-        # contract; round only the reported column
-        .filter(F.col("_j") >= 0.5)
+        # pairs with true jaccard in [threshold-5e-5, threshold)
+        # through the >= threshold contract; round only the reported
+        # column
+        .filter(F.col("_j") >= threshold)
         .select(
             "doc_a",
             "doc_b",
             F.round(F.col("_j"), 4).alias("jaccard_sim"),
         )
     )
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL near-dup pairs (jaccard ≥ 0.5) from banded minhash — the
+    UNCAPPED frame consumers like corpus curation must use, i.e.
+    :func:`minhash_pair_frame` at the harness defaults over the
+    ``documents`` table. The registry query ``q_minhash_dedup`` is
+    this plus an order/limit for reporting; feeding the limited
+    top-100 into a purge would let pairs 101+ silently survive
+    curation at scale."""
+    return minhash_pair_frame(_t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -959,3 +959,37 @@ def test_multimodal_pipeline_topk_contract(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
     b = REGISTRY["q_multimodal_pipeline"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_minhash_pair_frame_generic_api(spark):
+    """The DataFrame-first near-dup operator works over ANY (id, text)
+    frame with caller-named columns and a caller threshold — planted
+    near-identical pairs surface with canonical (doc_a < doc_b,
+    jaccard_sim) output, unrelated rows do not pair, and a higher
+    threshold prunes the borderline pair."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        minhash_pair_frame,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (101, base),
+        (102, base + " lambda"),                     # near-dup of 101
+        (103, "totally different words entirely here now ok fine yes"),
+        (104, base.replace("alpha", "omega")),        # weaker overlap
+    ]
+    corpus = spark.createDataFrame(rows, "item_id long, body string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in minhash_pair_frame(
+            corpus, id_col="item_id", text_col="body", threshold=0.3
+        ).collect()
+    }
+    assert (101, 102) in got and got[(101, 102)] >= 0.5
+    assert all(103 not in pair for pair in got)
+    assert all(a < b for a, b in got)
+
+    strict = minhash_pair_frame(
+        corpus, id_col="item_id", text_col="body", threshold=0.9
+    ).collect()
+    assert all(r["jaccard_sim"] >= 0.9 for r in strict)
