@@ -1,0 +1,99 @@
+"""DataFrame-first similarity-search operators — the user-facing API
+behind the ``embeddings``-table queries (q_similarity_topk and
+q_ann_batch are these at the harness defaults). Works over ANY frame
+carrying an id column and an ``array<float/double>`` vector column.
+
+Shapes (both proven by the declared queries' plan pins):
+
+* :func:`cosine_topk` — one query vector, broadcast as a literal
+  array; ONE corpus scan into ``TakeOrderedAndProject`` (partial
+  top-k per partition, no global sort).
+* :func:`cosine_topk_batch` — a query FRAME (small: broadcast);
+  per-query ranking via a window whose ``rn <= k`` predicate gets
+  ``WindowGroupLimit`` pruning, so a whole query batch costs one
+  corpus pass regardless of query count.
+
+For the single-unbounded-query-set regime use the sign-LSH / IVF
+paths in ``plans/extensions_scale.py`` — these operators are the
+exact brute-force baseline those approximate paths are recalled
+against.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.functions.vectors import (
+    as_double,
+    cosine,
+)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-``k`` rows of ``emb`` for one ``query`` vector
+    (a driver-side sequence of floats — model-sized, embedded as a
+    literal array so the plan is map-only + partial top-k). Output:
+    (``id_col``, cos_sim) ordered by similarity desc, id asc."""
+    qv = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(F.col(vec_col)), qv), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "qv",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-``k`` per query for a whole query FRAME in one
+    corpus scan: ``queries`` (small — it is broadcast) carries
+    (``query_id_col``, ``query_vec_col``); output is one row per
+    (query, neighbor) with ``cos_sim``, ranked per query.
+    ``exclude_self`` drops neighbor rows whose id equals the query id
+    (the self-match every nearest-neighbor probe over its own corpus
+    would otherwise return)."""
+    e = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        as_double(F.col(query_vec_col)).alias("_qv"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).withColumn(
+        "_cos", cosine(F.col("_v"), F.col("_qv"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("_qid"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.desc("_cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_cos"), 4).alias("cos_sim"),
+        )
+    )

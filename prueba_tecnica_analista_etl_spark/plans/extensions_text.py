@@ -397,29 +397,15 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single scan beats index maintenance.",
 )
 def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from prueba_tecnica_analista_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", cosine(F.col("v"), F.col("qv")))
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("cos"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "q_id", "vec_id", F.round(F.col("cos"), 4).alias("cos_sim")
-        )
-    )
+    return cosine_topk_batch(e, q, k=3)
 
 
 TOKEN_HIST_TOP = 15

@@ -993,3 +993,49 @@ def test_minhash_pair_frame_generic_api(spark):
         corpus, id_col="item_id", text_col="body", threshold=0.9
     ).collect()
     assert all(r["jaccard_sim"] >= 0.9 for r in strict)
+
+
+def test_similarity_operators_generic_api(spark, sf_dir):
+    """The DataFrame-first similarity operators: cosine_topk over a
+    caller-named frame matches the declared brute-force query's
+    results on the embeddings table, and cosine_topk_batch respects
+    custom column names, k, and self-exclusion."""
+    from prueba_tecnica_analista_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    got = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), list(probe), k=10
+    ).collect()
+    want = REGISTRY["q_similarity_topk"].fn(spark, sf_dir).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+    renamed = emb.select(
+        F.col("vec_id").alias("item"), F.col("embedding").alias("emb")
+    )
+    q = renamed.filter(F.col("item") < 3).select(
+        F.col("item").alias("which"), F.col("emb").alias("v")
+    )
+    batch = cosine_topk_batch(
+        renamed,
+        q,
+        k=2,
+        id_col="item",
+        vec_col="emb",
+        query_id_col="which",
+        query_vec_col="v",
+    ).collect()
+    assert {r["which"] for r in batch} == {0, 1, 2}
+    for r in batch:
+        assert r["item"] != r["which"]  # self excluded
+    per_q = {}
+    for r in batch:
+        per_q.setdefault(r["which"], []).append(r["cos_sim"])
+    assert all(len(v) == 2 and v == sorted(v, reverse=True)
+               for v in per_q.values())
