@@ -853,3 +853,58 @@ def test_versioned_table_vacuum_never_drops_published(spark, sf_dir, tmp_path):
     assert 0 not in removed
     assert set(list_versions(table)) == {0, 3}
     assert read_snapshot(spark, table).count() == 1  # v0 readable
+
+
+def test_versioned_table_random_lifecycle_matches_model(
+    spark, sf_dir, tmp_path
+):
+    """Randomized lifecycle: a scripted sequence of commits, rollbacks
+    and vacuums must track a simple Python model of the published
+    chain — the published version's ROW COUNT always equals the
+    model's, every retained version stays readable with its original
+    count, and vacuumed versions raise. Exercises interleavings the
+    hand-written lifecycle test doesn't (rollback-of-rollback, vacuum
+    immediately after rollback, repeated vacuums)."""
+    import random
+
+    from prueba_tecnica_analista_etl_spark.sources.versioned import (
+        commit_snapshot,
+        current_version,
+        list_versions,
+        read_snapshot,
+        rollback,
+        vacuum,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "t")
+    rng = random.Random(7)
+
+    model_rows: dict[int, int] = {}  # version -> row count
+    published: int | None = None
+
+    for step in range(18):
+        action = rng.choice(["commit", "commit", "rollback", "vacuum"])
+        if action == "commit" or published is None:
+            n = rng.randint(1, 25)
+            v = commit_snapshot(nation.limit(n), table)
+            assert v not in model_rows  # versions never reused
+            model_rows[v] = n
+            published = v
+        elif action == "rollback":
+            target = rng.choice(sorted(model_rows))
+            v = rollback(table, target)
+            model_rows[v] = model_rows[target]
+            published = v
+        else:
+            keep = rng.randint(1, 3)
+            removed = vacuum(table, keep=keep)
+            for v in removed:
+                assert v != published
+                del model_rows[v]
+
+        assert current_version(table) == published
+        assert sorted(model_rows) == list_versions(table)
+        assert read_snapshot(spark, table).count() == model_rows[published]
+        for v, n in model_rows.items():
+            assert read_snapshot(spark, table, version=v).count() == n
