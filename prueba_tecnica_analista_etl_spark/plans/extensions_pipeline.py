@@ -1370,3 +1370,71 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "q_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, source,
+                      unnest(generate_series(1, greatest(len(toks) - 3,
+                                                         1))) AS i,
+                      toks
+               FROM t),
+         g AS (SELECT doc_id, source,
+                      array_to_string(list_slice(toks, i, i + 3), ' ')
+                        AS gram
+               FROM s),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         flagged AS (SELECT g.doc_id
+                     FROM g JOIN bench USING (gram)
+                     WHERE g.doc_id % 50 <> 0
+                     GROUP BY g.doc_id
+                     HAVING count(DISTINCT g.gram) >= {CONTAM_MIN_HITS})
+    SELECT d.doc_id, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+    doc="extension (decontamination APPLY — the filter q_contamination "
+    "only censuses): emit the training corpus minus every doc whose "
+    "distinct 4-gram overlap with the held-out benchmark reaches the "
+    f"drop threshold ({CONTAM_MIN_HITS} shared grams) — the actual "
+    "clean-corpus output a pretraining run consumes, same relation to "
+    "the contamination census as q_perplexity_buckets' split is to "
+    "the unigram census. Plan shape inherits the census's: the "
+    "benchmark gram set broadcasts, the corpus gram stream probes it "
+    "map-side (left-semi), only MATCHED grams shuffle into the "
+    "per-doc distinct count, and the flagged-id frame (tiny) "
+    "anti-joins the corpus — at 100 TB the full gram stream never "
+    "shuffles and the output scan is one pass.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = spread(d).select(
+        "doc_id",
+        F.explode(shingles(toks, 4)).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    flagged = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+        .filter(F.col("n_hits") >= CONTAM_MIN_HITS)
+        .select("doc_id")
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(flagged, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+    )

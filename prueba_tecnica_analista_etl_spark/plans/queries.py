@@ -1586,3 +1586,66 @@ def q_quantile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5, "p50"),
         pick(0.75, "p75"),
     )
+
+
+@query(
+    "q_hypertable_quantiles",
+    """
+    WITH v AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+                        AS day,
+                      value, event_id,
+                      row_number() OVER (
+                        PARTITION BY date_trunc('day', ts)
+                        ORDER BY value, event_id) AS rn,
+                      count(*) OVER (
+                        PARTITION BY date_trunc('day', ts)) AS n
+               FROM events WHERE value IS NOT NULL)
+    SELECT day,
+           CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p95
+    FROM v GROUP BY day
+    """,
+    doc="time-series percentiles (the latency-dashboard shape: p50/p95 "
+    "per day bucket) — q_quantile_census's discrete rank-selection "
+    "discipline applied over time buckets instead of categories: the "
+    "bucket value at exact integer rank floor(p*(n-1))+1 in (value, "
+    "event_id) order is an ACTUAL data point, so there is no "
+    "interpolation arithmetic for engines to disagree on. (0.95 is "
+    "not binary-exact, unlike 0.25/0.5/0.75 — but the rank is still "
+    "cross-engine-identical: both engines evaluate ONE IEEE multiply "
+    "of the same two operands, and correctly-rounded multiplication "
+    "is deterministic; only differently-ASSOCIATED float expressions "
+    "can disagree, and a single multiply has no association.) Plan "
+    "shape: "
+    "one hash(day-bucket) exchange shared by the ranking and count "
+    "windows, then a partial-agged census — per-bucket sort is the "
+    "bounded unit of work; at 100 TB with years of data the bucket "
+    "count grows while per-bucket work stays flat, the ideal "
+    "parallelism shape.",
+)
+def q_hypertable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.date_trunc("day", F.col("ts"))
+    wr = Window.partitionBy(bucket).orderBy("value", "event_id")
+    wn = Window.partitionBy(bucket)
+    v = ev.select(
+        F.date_format(bucket, "yyyy-MM-dd").alias("day"),
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        rank = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+        return F.max(
+            F.when(F.col("rn") == rank, F.col("value"))
+        ).alias(name)
+
+    return v.groupBy("day").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(0.5, "p50"),
+        pick(0.95, "p95"),
+    )
