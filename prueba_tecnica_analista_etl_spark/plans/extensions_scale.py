@@ -773,12 +773,15 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(assets, dim=16).filter(
         F.col("features").isNotNull()
     )
-    probe = feats.filter(F.col("asset_id") == 1).select(
-        F.col("features").alias("probe")
-    )
     # model-sized collect (one 16-float vector), the broadcast-probe
-    # pattern of q_similarity_topk
-    probe_vec = probe.first()["probe"]
+    # pattern of q_similarity_topk. The probe's extraction runs over a
+    # PRE-FILTERED one-row frame: predicates cannot push through an
+    # opaque mapInPandas stage, so filtering feats for asset 1 would
+    # re-run Arrow feature extraction over the corpus just to fetch
+    # one vector.
+    probe_vec = extract_features(
+        assets.filter(F.col("asset_id") == 1), dim=16
+    ).first()["features"]
     lit_probe = F.array(*[F.lit(float(x)) for x in probe_vec])
     return (
         feats.filter(F.col("asset_id") != 1)
@@ -844,9 +847,14 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    target = os.path.join(
-        tempfile.mkdtemp(prefix="cdc_stream_"), "target"
+    import shutil
+
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        DATA,
     )
+
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    target = os.path.join(root, "target")
     ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
     q = (
         stream.writeStream.foreachBatch(
@@ -864,6 +872,14 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(target, "data")).select(
+    # Materialize then reclaim: the snapshot is O(live keys) — the
+    # run_available_now cleanup discipline (windows.py) — so repeated
+    # invocations (bench warm-up + trials, parity tests) don't
+    # accumulate a full target snapshot + checkpoint per call in /tmp.
+    snap = spark.read.parquet(os.path.join(target, DATA)).select(
         "user_id", "event_id", "value"
     )
+    rows, schema = snap.collect(), snap.schema
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -119,9 +119,13 @@ def export_training_shards(
     cols = ["shard_id", "rows"] + (
         ["tokens"] if token_col is not None else []
     ) + ["checksum"]
+    # m.get, not m[...]: _shard_stats drops NULL aggregates (an
+    # all-NULL token column sums to NULL), and the manifest must
+    # record that NULL rather than crash mid-export with the data
+    # already written.
     spark.createDataFrame(
         [
-            tuple([sid] + [m[c] for c in cols[1:]])
+            tuple([sid] + [m.get(c) for c in cols[1:]])
             for sid, m in sorted(stats.items())
         ],
         ", ".join(f"{c} long" for c in cols),

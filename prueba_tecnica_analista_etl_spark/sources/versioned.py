@@ -64,6 +64,12 @@ def _publish_pointer(table: str, version: int) -> None:
     try:
         with os.fdopen(fd, "w") as fh:
             fh.write(str(version))
+            # fsync before rename: on delayed-allocation filesystems
+            # the rename metadata can reach disk before the data
+            # blocks, and a crash then publishes a ZERO-LENGTH
+            # pointer — the torn state this module promises away.
+            fh.flush()
+            os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(table, LATEST))
     finally:
         if os.path.exists(tmp):
@@ -159,6 +165,14 @@ def vacuum(table: str, keep: int = 2) -> list[int]:
     versions = list_versions(table)
     published = _read_pointer(table)
     removable = [v for v in versions[:-keep] if v != published]
+    removed = []
     for v in removable:
-        shutil.rmtree(_version_dir(table, v), ignore_errors=True)
-    return removable
+        d = _version_dir(table, v)
+        shutil.rmtree(d, ignore_errors=True)
+        # report a version removed only if its dir is actually GONE:
+        # a partially-failed rmtree (EACCES mid-tree, NFS
+        # silly-rename) must not claim success while a torn,
+        # silently-readable snapshot survives on disk.
+        if not os.path.isdir(d):
+            removed.append(v)
+    return removed
