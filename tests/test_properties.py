@@ -818,3 +818,26 @@ def test_cdc_apply_matches_python_fold(spark, base, log):
         else:
             state[k] = v
     assert got == state
+
+
+def test_decontaminate_consistent_with_contamination_census(
+    spark, sf_dir
+):
+    """The decontamination APPLY must tile with its census: clean docs
+    + flagged docs = the census's per-source doc totals, no benchmark
+    doc (doc_id % 50 == 0) ever appears in the output, and the clean
+    output's per-source counts equal docs - flagged_docs exactly."""
+    from prueba_tecnica_analista_etl_spark.plans import queries
+
+    q = queries()
+    census = {
+        r["source"]: r.asDict()
+        for r in q["q_contamination"](spark, sf_dir).collect()
+    }
+    clean = q["q_decontaminate"](spark, sf_dir).collect()
+    assert all(r["doc_id"] % 50 != 0 for r in clean)
+    per_source: dict = {}
+    for r in clean:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    for src, c in census.items():
+        assert per_source.get(src, 0) == c["docs"] - c["flagged_docs"], src

@@ -908,3 +908,26 @@ def test_versioned_table_random_lifecycle_matches_model(
         assert read_snapshot(spark, table).count() == model_rows[published]
         for v, n in model_rows.items():
             assert read_snapshot(spark, table, version=v).count() == n
+
+
+def test_export_training_shards_null_token_sum(spark, tmp_path):
+    """Regression (review finding): a shard whose token column is
+    entirely NULL must export successfully with a NULL tokens entry in
+    the manifest — the refactored manifest writer crashed with
+    KeyError after the data was already written."""
+    from prueba_tecnica_analista_etl_spark.sources.export import (
+        export_training_shards,
+        verify_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", None) for i in range(20)],
+        "id long, text string, n_tok long",
+    )
+    path = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        df, path, "id", n_shards=3, token_col="n_tok"
+    )
+    assert sum(m["rows"] for m in manifest.values()) == 20
+    assert all("tokens" not in m for m in manifest.values())
+    assert verify_training_shards(spark, path, token_col="n_tok") == {}
