@@ -278,25 +278,24 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ngram_jaccard",
-    None,
-    doc="n-gram Jaccard near-dup: trigram-shingle sets, candidates = "
-    "docs sharing the global min xxhash shingle (1-band minhash LSH), "
-    "exact Jaccard on candidates only. One groupBy(minhash) shuffle "
-    "replaces the n² comparison; oversized buckets are sub-split by a "
-    "secondary hash into <=BUCKET_CAP chunks (skew guard: a popular "
-    "min-shingle would otherwise create one quadratic bucket; "
-    "sub-splitting bounds work at n*cap while still emitting "
-    "intra-chunk pairs). Trigrams, not bigrams: "
-    "the corpus vocabulary is tiny (31 words → ~900 possible bigrams), "
-    "so bigram min-shingle buckets degenerate into near-all-pairs; "
-    "trigram space (27k observed) keeps fan-out bounded.",
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), 3)).alias("sh"),
+def ngram_pair_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Generic single-band min-shingle candidate pairs with exact
+    n-gram Jaccard over ANY (id, text) frame (the operator behind
+    ``q_ngram_jaccard``). One bucket per minimum shingle hash —
+    cheaper and lower-recall than full banded minhash
+    (:func:`minhash_pair_frame`); right for the
+    catch-obvious-rewrites tier. Output: (doc_a, doc_b,
+    jaccard_sim), uncapped."""
+    d = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            shingles(tokens(F.col(text_col)), shingle_n)
+        ).alias("sh"),
     )
     d = d.withColumn(
         "minhash",
@@ -326,6 +325,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_sim"
             ),
         )
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    None,
+    doc="n-gram Jaccard near-dup: trigram-shingle sets, candidates = "
+    "docs sharing the global min xxhash shingle (1-band minhash LSH), "
+    "exact Jaccard on candidates only. One groupBy(minhash) shuffle "
+    "replaces the n² comparison; oversized buckets are sub-split by a "
+    "secondary hash into <=BUCKET_CAP chunks (skew guard: a popular "
+    "min-shingle would otherwise create one quadratic bucket; "
+    "sub-splitting bounds work at n*cap while still emitting "
+    "intra-chunk pairs). Trigrams, not bigrams: "
+    "the corpus vocabulary is tiny (31 words → ~900 possible bigrams), "
+    "so bigram min-shingle buckets degenerate into near-all-pairs; "
+    "trigram space (27k observed) keeps fan-out bounded.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ngram_pair_frame(_t(spark, sf_dir, "documents"))
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )
@@ -336,25 +356,25 @@ N_BANDS = 4
 BAND_BITS = N_SIMHASH_BITS // N_BANDS
 
 
-@query(
-    "q_simhash_dedup",
-    None,
-    doc="SimHash near-dup: 64-bit majority signature over 3-shingle "
-    "xxhash64 features (JVM hashing + Arrow-batched numpy bit census), "
-    "banded 4×16 bits; candidates share a band value (one shuffle on "
-    "(band, value), buckets skew-capped), kept if hamming(sig) <= 8. "
-    "Features are shingles, not unigrams: the 31-word corpus "
-    "vocabulary makes unigram signatures collide for most docs "
-    "(degenerate bands → near-n² candidates).",
-)
-def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pair_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Generic banded-SimHash near-dup pairs over ANY (id, text)
+    frame (the operator behind ``q_simhash_dedup``): 64-bit majority
+    signature over ``shingle_n``-shingle features, 4×16-bit bands,
+    candidates kept at hamming distance ≤ ``max_hamming``. Output:
+    (doc_a, doc_b, hamming), uncapped."""
     sigs = (
-        spread(_t(spark, sf_dir, "documents"))
+        spread(docs)
         .select(
-            "doc_id",
-            F.array_distinct(shingles(tokens(F.col("text")), 3)).alias(
-                "sh"
-            ),
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                shingles(tokens(F.col(text_col)), shingle_n)
+            ).alias("sh"),
         )
         .select(
             "doc_id",
@@ -408,7 +428,24 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query(
+    "q_simhash_dedup",
+    None,
+    doc="SimHash near-dup: 64-bit majority signature over 3-shingle "
+    "xxhash64 features (JVM hashing + Arrow-batched numpy bit census), "
+    "banded 4×16 bits; candidates share a band value (one shuffle on "
+    "(band, value), buckets skew-capped), kept if hamming(sig) <= 8. "
+    "Features are shingles, not unigrams: the 31-word corpus "
+    "vocabulary makes unigram signatures collide for most docs "
+    "(degenerate bands → near-n² candidates).",
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        simhash_pair_frame(_t(spark, sf_dir, "documents"))
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(100)
     )

@@ -1039,3 +1039,39 @@ def test_similarity_operators_generic_api(spark, sf_dir):
         per_q.setdefault(r["which"], []).append(r["cos_sim"])
     assert all(len(v) == 2 and v == sorted(v, reverse=True)
                for v in per_q.values())
+
+
+def test_simhash_and_ngram_pair_frames_generic_api(spark):
+    """The remaining LSH families' DataFrame-first operators accept
+    caller-named columns and thresholds: a planted near-identical pair
+    surfaces from both, an unrelated row pairs with neither, and
+    simhash's hamming bound is honored."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        ngram_pair_frame,
+        simhash_pair_frame,
+    )
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+    )
+    base = (words * 5).strip()  # long doc: stable majority signature
+    corpus = spark.createDataFrame(
+        [
+            (7, base),
+            (8, base + " extra"),
+            (9, "unrelated totally different text with other words"),
+        ],
+        "item long, body string",
+    )
+    sim = simhash_pair_frame(
+        corpus, id_col="item", text_col="body", max_hamming=8
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in sim} == {(7, 8)}
+    assert all(r["hamming"] <= 8 for r in sim)
+
+    ng = ngram_pair_frame(
+        corpus, id_col="item", text_col="body"
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in ng} == {(7, 8)}
+    assert all(r["jaccard_sim"] > 0.5 for r in ng)
