@@ -931,3 +931,59 @@ def test_export_training_shards_null_token_sum(spark, tmp_path):
     assert sum(m["rows"] for m in manifest.values()) == 20
     assert all("tokens" not in m for m in manifest.values())
     assert verify_training_shards(spark, path, token_col="n_tok") == {}
+
+
+def test_versioned_snapshots_feed_cdc_generation(spark, sf_dir, tmp_path):
+    """Cross-module composition: two committed table versions diffed
+    with snapshot_diff yield exactly the I/U/D change feed between
+    them, and applying that feed to the OLD snapshot with cdc_apply
+    reproduces the NEW one — versioned time travel, CDC generate and
+    CDC apply close the loop."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        cdc_apply,
+        snapshot_diff,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.versioned import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "cust")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v0 = commit_snapshot(cust.limit(40), table)
+    newer = (
+        cust.limit(30)  # 10 keys deleted
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 1)
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.orderBy(F.desc("c_custkey")).limit(5)
+        )  # 5 inserts from the other end of the key range
+    )
+    v1 = commit_snapshot(newer, table)
+
+    old = read_snapshot(spark, table, version=v0)
+    new = read_snapshot(spark, table, version=v1)
+    feed = snapshot_diff(old, new, ["c_custkey"])
+    kinds = {
+        r["c_custkey"]: r["change_type"] for r in feed.collect()
+    }
+    assert sorted(kinds.values()).count("I") == 5
+    assert sorted(kinds.values()).count("D") == 10
+
+    # close the loop: old + feed == new (feed carries the NEW values)
+    applied = cdc_apply(
+        old,
+        feed.select(
+            "c_custkey", "c_name", "c_acctbal",
+            F.col("change_type").alias("op"),
+        ),
+        ["c_custkey"],
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
