@@ -149,3 +149,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API path."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def footer_stats_session(spark: SparkSession) -> SparkSession:
+    """Session clone configured for PARQUET AGGREGATE PUSHDOWN: a
+    filter-free MIN/MAX/COUNT over a parquet table is answered from
+    row-group FOOTER STATISTICS — zero data pages read — which at
+    100 TB turns full-table census queries (the reference's
+    row-count verification checks, S-family audits) from a complete
+    scan into a metadata pass.
+
+    Two confs, both scoped to the CLONE so the caller's session and
+    every recorded query plan stay untouched:
+
+    * ``spark.sql.parquet.aggregatePushdown=true`` — the feature
+      flag;
+    * ``spark.sql.sources.useV1SourceList=""`` — pushdown is a
+      DSv2-only capability; parquet reads default to the V1 source
+      where the flag is a no-op (measured: no ``PushedAggregation``
+      without this).
+
+    Semantics are unchanged — Spark falls back to a normal scan
+    whenever pushdown cannot answer exactly (filters present, nested
+    or unsupported-type columns, nulls where the stat is unusable) —
+    proven value-equal to the V1 path by
+    ``test_footer_stats_session_pushes_aggregates``.
+    """
+    s = spark.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    return s

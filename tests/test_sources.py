@@ -987,3 +987,51 @@ def test_versioned_snapshots_feed_cdc_generation(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_footer_stats_session_pushes_aggregates(spark, sf_dir):
+    """Footer-stats census: on the pushdown-configured session clone a
+    filter-free MIN/MAX and a COUNT(*) over parquet show
+    PushedAggregation in the scan (answered from row-group footers,
+    no data pages), values are identical to the default-session
+    computation, and a FILTERED aggregate correctly falls back to a
+    real scan (no pushdown) with the right answer."""
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        footer_stats_session,
+    )
+
+    path = f"{sf_dir}/orders.parquet"
+    s = footer_stats_session(spark)
+
+    pushed = s.read.parquet(path).agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [MIN(o_totalprice)" in plan
+    want = (
+        spark.read.parquet(path)
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    assert tuple(pushed.first()) == tuple(want)
+
+    filtered = (
+        s.read.parquet(path)
+        .filter(F.col("o_orderkey") > 100)
+        .agg(F.min("o_totalprice").alias("lo"))
+    )
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [MIN" not in fplan  # fallback to scan
+    assert (
+        filtered.first()["lo"]
+        == spark.read.parquet(path)
+        .filter(F.col("o_orderkey") > 100)
+        .agg(F.min("o_totalprice"))
+        .first()[0]
+    )
