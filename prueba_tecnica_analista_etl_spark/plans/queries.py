@@ -1649,3 +1649,42 @@ def q_hypertable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5, "p50"),
         pick(0.95, "p95"),
     )
+
+
+@query(
+    "q_footer_census",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    """,
+    doc="footer-statistics census (the zero-scan audit): COUNT/MIN/MAX "
+    "over orders answered from parquet row-group FOOTERS — the query "
+    "runs on the aggregate-pushdown session clone "
+    "(sources.tables.footer_stats_session; DSv2 parquet, "
+    "PushedAggregation in the scan), so at 100 TB this row-count-and-"
+    "range verification audit (the reference's sql:331-361 check "
+    "family) reads METADATA, not data pages. Hash-safe by "
+    "construction: count is an integer and min/max are pass-through "
+    "data values — no arithmetic, no rounding surface. The oracle "
+    "computes the same census the ordinary way, so the hash match "
+    "also proves the pushdown path returns exactly what a full scan "
+    "would.",
+)
+def q_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        footer_stats_session,
+    )
+
+    s = ensure_runtime_conf(footer_stats_session(spark))
+    orders = s.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
