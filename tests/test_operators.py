@@ -850,3 +850,119 @@ def test_ordered_funnel_parametrized_stages(spark):
     assert got == {"signup": 2, "error": 1}  # u2's error precedes signup
     with pytest.raises(ValueError):
         ordered_funnel(df, [])
+
+
+def test_hash_split_partitions_and_is_stable(spark, sf_dir):
+    """hash_split: every row lands in exactly one named split, the
+    assignment is a pure function of the key (byte-stable across
+    re-runs and repartitions; equal keys share a split), fractions
+    land near target, and salting re-draws deterministically."""
+    from prueba_tecnica_analista_etl_spark.operators.sampling import (
+        hash_split,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    n = docs.count()
+    by = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sum(by.values()) == n
+    assert by.get("train", 0) > by.get("val", 0)
+    assert 0.6 * n < by.get("train", 0) < 0.95 * n
+
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(
+            docs.repartition(13),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    )
+    assert a == b
+
+    salted = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(
+            docs, "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1}, salt="run2",
+        ).collect()
+    )
+    assert salted != a  # re-drawn...
+    assert sorted(s for _, s in salted) != []  # ...but still total
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_kfold_assignment_properties(spark, sf_dir):
+    """kfold: folds cover [0, k), tile the frame, are roughly
+    balanced, and every row of a key shares its fold (leakage
+    safety proven on a frame with repeated keys)."""
+    from prueba_tecnica_analista_etl_spark.operators.sampling import (
+        kfold,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    out = kfold(ev, "user_id", 5)
+    folds = {
+        r["fold"]: r["n"]
+        for r in out.groupBy("fold").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(folds) <= set(range(5)) and len(folds) == 5
+    assert sum(folds.values()) == ev.count()
+    # leakage safety: a user's rows never split across folds
+    assert (
+        out.groupBy("user_id")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_stratified_hash_sample_rates(spark, sf_dir):
+    """stratified_hash_sample: per-stratum override rates apply, the
+    sample is deterministic, and the sampled frame is a subset of the
+    input."""
+    from prueba_tecnica_analista_etl_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stratified_hash_sample(
+        ev,
+        "event_id",
+        0.1,
+        strata=["event_type"],
+        fractions={"view": 0.5},
+    )
+    n_view = ev.filter(F.col("event_type") == "view").count()
+    got_view = out.filter(F.col("event_type") == "view").count()
+    assert 0.3 * n_view < got_view < 0.7 * n_view
+    other = ev.filter(F.col("event_type") != "view").count()
+    got_other = out.filter(F.col("event_type") != "view").count()
+    assert got_other < 0.3 * other
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, stratified_hash_sample(
+            ev, "event_id", 0.1, strata=["event_type"],
+            fractions={"view": 0.5},
+        ).collect())
+    )
+    ids = {r["event_id"] for r in ev.collect()}
+    assert all(r["event_id"] in ids for r in out.collect())
