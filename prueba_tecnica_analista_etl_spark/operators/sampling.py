@@ -26,12 +26,19 @@ from pyspark.sql import functions as F
 _SPACE = 16**15
 
 
-def _variate(key: Column) -> Column:
+def _variate(key: Column, salt: str = "") -> Column:
     """Uniform integer variate in [0, 16^15) as a pure function of the
-    key (map-side, no shuffle)."""
-    return F.conv(
-        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    key (map-side, no shuffle). The ONE definition of the draw — the
+    three operators share it so salting and NULL handling can never
+    diverge between them. A NULL key hashes via a sentinel string, so
+    NULL-key rows get a real, deterministic draw (they all share one
+    split/fold — the same equal-keys-stay-together contract as any
+    other repeated key) instead of NULL-propagating into silent row
+    loss or last-split dumping."""
+    s = F.coalesce(key.cast("string"), F.lit("\x00__null_key__"))
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def hash_split(
@@ -54,11 +61,7 @@ def hash_split(
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions sum to {total}, expected 1.0")
-    v = _variate(
-        F.concat(F.col(key_col).cast("string"), F.lit(salt))
-        if salt
-        else F.col(key_col)
-    )
+    v = _variate(F.col(key_col), salt)
     expr: Column | None = None
     cum = 0.0
     names = list(fractions)
@@ -72,7 +75,7 @@ def hash_split(
             else expr.when(cond, name)
         )
     last = names[-1]
-    out = last if expr is None else expr.otherwise(last)
+    out = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
 
 
@@ -90,11 +93,7 @@ def kfold(
     stored assignment table."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    v = _variate(
-        F.concat(F.col(key_col).cast("string"), F.lit(salt))
-        if salt
-        else F.col(key_col)
-    )
+    v = _variate(F.col(key_col), salt)
     return df.withColumn(fold_col, (v % k).cast("int"))
 
 
@@ -113,9 +112,14 @@ def stratified_hash_sample(
     as the split operators, so the sample is stable under re-runs and
     composes with them (a row's sample draw and split draw use the
     same key but are independent given distinct salts)."""
-    v = _variate(
-        F.concat(F.col(key_col).cast("string"), F.lit("smp" + salt))
-    )
+    if fractions and not strata:
+        raise ValueError("fractions given without a strata column")
+    if len(strata) > 1:
+        raise ValueError(
+            "multi-column strata unsupported; pre-concat into one "
+            "column or call per stratum"
+        )
+    v = _variate(F.col(key_col), "smp" + salt)
     if fractions and strata:
         rate: Column = F.lit(float(fraction))
         for val, fr in fractions.items():

@@ -174,8 +174,23 @@ def footer_stats_session(spark: SparkSession) -> SparkSession:
     or unsupported-type columns, nulls where the stat is unusable) —
     proven value-equal to the V1 path by
     ``test_footer_stats_session_pushes_aggregates``.
+
+    The configured clone is MEMOIZED per parent session (the
+    _CONF_ENSURED pattern): session construction + conf py4j round
+    trips are the documented dominant driver-side cost of repeated
+    tiny queries, and un-cached clones would accumulate on the shared
+    SparkContext for the process lifetime.
     """
+    hit = _FOOTER_SESSIONS.get(id(spark))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     s = spark.newSession()
     s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     s.conf.set("spark.sql.sources.useV1SourceList", "")
+    _FOOTER_SESSIONS[id(spark)] = (spark, s)
     return s
+
+
+# parent-session id -> (parent, configured clone); parent held in the
+# value to make the identity check sound (id() reuse after GC).
+_FOOTER_SESSIONS: dict[int, tuple[SparkSession, SparkSession]] = {}

@@ -896,7 +896,8 @@ def test_hash_split_partitions_and_is_stable(spark, sf_dir):
         ).collect()
     )
     assert salted != a  # re-drawn...
-    assert sorted(s for _, s in salted) != []  # ...but still total
+    assert len(salted) == n  # ...but still total: every row assigned
+    assert {s for _, s in salted} <= {"train", "val", "test"}
 
     import pytest as _pytest
 
@@ -966,3 +967,50 @@ def test_stratified_hash_sample_rates(spark, sf_dir):
     )
     ids = {r["event_id"] for r in ev.collect()}
     assert all(r["event_id"] in ids for r in out.collect())
+
+
+def test_sampling_operators_handle_null_keys(spark):
+    """NULL keys get a real deterministic draw (sentinel-hashed), not
+    NULL propagation: kfold emits an in-range fold for NULL-key rows
+    (they all share it), hash_split assigns them a real named split,
+    stratified_hash_sample neither always-drops nor always-keeps them
+    across salts, and misuse raises (fractions without strata)."""
+    import pytest as _pytest
+
+    from prueba_tecnica_analista_etl_spark.operators.sampling import (
+        hash_split,
+        kfold,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c"), (2, "d")],
+        "k long, v string",
+    )
+    folds = kfold(df, "k", 3).collect()
+    null_folds = {r["fold"] for r in folds if r["k"] is None}
+    assert len(null_folds) == 1 and null_folds <= {0, 1, 2}
+
+    splits = hash_split(df, "k", {"x": 0.5, "y": 0.5}).collect()
+    null_splits = {r["split"] for r in splits if r["k"] is None}
+    assert len(null_splits) == 1 and null_splits <= {"x", "y"}
+
+    # single-name split works (the F.lit fix) and assigns every row
+    one = hash_split(df, "k", {"all": 1.0}).collect()
+    assert [r["split"] for r in one] == ["all"] * 4
+
+    kept = {
+        salt: any(
+            r["k"] is None
+            for r in stratified_hash_sample(
+                df, "k", 0.5, salt=salt
+            ).collect()
+        )
+        for salt in ("", "s1", "s2", "s3", "s4", "s5")
+    }
+    assert len(set(kept.values())) > 1  # draws vary by salt, not fixed
+
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(df, "k", 0.5, fractions={"a": 0.1})
+    with _pytest.raises(ValueError):
+        stratified_hash_sample(df, "k", 0.5, strata=["v", "v"])

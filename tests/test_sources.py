@@ -952,17 +952,20 @@ def test_versioned_snapshots_feed_cdc_generation(spark, sf_dir, tmp_path):
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    v0 = commit_snapshot(cust.limit(40), table)
+    # key-RANGE predicates, never limit(): unordered limits are not
+    # stable or prefix-consistent across scan layouts, which would
+    # make the I/U/D arithmetic below flake
+    v0 = commit_snapshot(cust.filter("c_custkey < 40"), table)
     newer = (
-        cust.limit(30)  # 10 keys deleted
+        cust.filter("c_custkey < 30")  # keys 30-39 deleted
         .withColumn(
             "c_acctbal",
             F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 1)
             .otherwise(F.col("c_acctbal")),
         )
         .unionByName(
-            cust.orderBy(F.desc("c_custkey")).limit(5)
-        )  # 5 inserts from the other end of the key range
+            cust.filter("c_custkey >= 40 AND c_custkey < 45")
+        )  # 5 inserts from outside the old range
     )
     v1 = commit_snapshot(newer, table)
 
