@@ -403,6 +403,9 @@ def test_values_invariant_to_reducer_count(spark, sf_dir):
         "q_window_rownum",
         "q_bm25",
         "q_token_histogram",
+        "q_quantile_census",
+        "q_hypertable_quantiles",
+        "q_source_priority_dedup",
     ]:
         base = sorted(
             map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
