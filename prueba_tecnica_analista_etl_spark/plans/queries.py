@@ -1688,3 +1688,41 @@ def q_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "q_window_rank_metrics",
+    """
+    SELECT event_id,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="relative-rank window completion (W-family): percent_rank and "
+    "cume_dist per user over purchase values — the normalized-rank "
+    "metrics dashboards and feature pipelines derive (where does "
+    "this purchase sit within the user's history). Hash-stable "
+    "without rounding: both metrics are a SINGLE division of exact "
+    "integers fixed by the SQL standard — (rank-1)/(n-1) and "
+    "peers_le/n — and one correctly-rounded IEEE division of "
+    "identical operands is deterministic across engines (the "
+    "q_hypertable_quantiles principle; only differently-associated "
+    "multi-op float expressions can diverge). The (value, event_id) "
+    "order is total, so ranks are identical integers everywhere. "
+    "Plan shape: one hash(user_id) exchange, both metrics share the "
+    "single window spec — per-user sort is the bounded unit at "
+    "100 TB.",
+)
+def q_window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
