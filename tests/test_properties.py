@@ -406,6 +406,7 @@ def test_values_invariant_to_reducer_count(spark, sf_dir):
         "q_quantile_census",
         "q_hypertable_quantiles",
         "q_source_priority_dedup",
+        "q_window_rank_metrics",
     ]:
         base = sorted(
             map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
