@@ -539,6 +539,86 @@ def _unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-integer fixed-point logarithm (shared by the Spark build and
+# the DuckDB oracle below).  ``nlp6(total, cnt)`` approximates
+# ln(total/cnt)*1e6 (max observed error < 3 grid units) using ONLY
+# 64-bit integer arithmetic, so every engine computes bit-identical
+# values by construction — the r7 form quantized a RUNTIME ``ln`` onto
+# the grid, and a 1-ulp libm disagreement at a grid boundary flipped
+# q_perplexity_buckets' driver hash two rounds running (CORRECTNESS
+# r06/r07).  Algorithm (the q_length_histogram binary-length trick
+# generalized to fractional bits):
+#
+# 1. integer part  e = floor(log2(total/cnt)) = length(bin(total div
+#    cnt)) - 1 (exact: total div cnt >= 2^b  iff  total/cnt >= 2^b);
+# 2. normalize     y = (total * 2^P) div (cnt * 2^e)  in [2^P, 2^(P+1))
+#    (cnt*2^e <= total < 2^63 so the denominator is a safe BIGINT; the
+#    numerator rides DECIMAL(38,0)/HUGEINT per the verified
+#    cross-engine div pattern);
+# 3. K fractional bits by renormalizing squaring: y <- y^2 div 2^(P+1)
+#    emitting bit 1 when y^2 >= 2^(2P+1), else y^2 div 2^P emitting 0.
+#    With P=30, y^2 < 2^62 never leaves BIGINT;
+# 4. scale log2 -> ln grid: nlp6 = (L*693147 + 2^(K-1)) div 2^K where
+#    L = e*2^K + frac and 693147 = round(ln(2)*1e6).
+_LOG_P = 30  # normalized-mantissa precision bits (y^2 < 2^62)
+_LOG_K = 20  # fractional bits (2^-20 < the 1e-6 grid in log2 units)
+_LN2_1E6 = 693147  # round(ln(2) * 1e6) — exact integer scale factor
+
+
+def _nlp6_spark_expr() -> str:
+    """Spark-SQL expression for nlp6 over columns (total, cnt) — one
+    ``aggregate`` higher-order fold, so the K-step iteration is a
+    single runtime loop, never K nested plan expressions."""
+    P, K = _LOG_P, _LOG_K
+    return f"""aggregate(
+      sequence(1, {K}),
+      named_struct(
+        'y', CAST((CAST(total AS DECIMAL(38,0)) * {1 << P})
+                  div shiftleft(cnt, length(bin(total div cnt)) - 1)
+             AS BIGINT),
+        'l', CAST(length(bin(total div cnt)) - 1 AS BIGINT)),
+      (acc, i) -> IF(acc.y * acc.y >= {1 << (2 * P + 1)}L,
+                     named_struct('y', (acc.y * acc.y) div {1 << (P + 1)}L,
+                                  'l', acc.l * 2L + 1L),
+                     named_struct('y', (acc.y * acc.y) div {1 << P}L,
+                                  'l', acc.l * 2L)),
+      acc -> (acc.l * {_LN2_1E6}L + {1 << (K - 1)}L) div {1 << K}L)"""
+
+
+def _nlp6_duckdb_ctes() -> "tuple[str, str]":
+    """(cte_chain, final_cte_name) for the same nlp6 in DuckDB SQL:
+    the K-step fold unrolled as generated chained CTEs over the vocab
+    frame (columns term, cnt, total from ``vocab CROSS JOIN n``).
+    DuckDB ``//`` on BIGINT is floor division — identical to Spark's
+    ``div`` for the all-positive operands here."""
+    P, K = _LOG_P, _LOG_K
+    steps = [
+        f"""v0 AS (SELECT term, cnt, total,
+          CAST((CAST(total AS HUGEINT) * {1 << P}) //
+               (CAST(cnt AS HUGEINT)
+                * (1::HUGEINT << (length(bin(total // cnt)) - 1)))
+               AS BIGINT) AS y,
+          CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS l
+          FROM vocab CROSS JOIN n)"""
+    ]
+    for i in range(1, K + 1):
+        steps.append(
+            f"""v{i} AS (SELECT term, cnt, total,
+          CASE WHEN (y*y) >= {1 << (2 * P + 1)}::BIGINT
+               THEN (y*y) // {1 << (P + 1)}::BIGINT
+               ELSE (y*y) // {1 << P}::BIGINT END AS y,
+          CASE WHEN (y*y) >= {1 << (2 * P + 1)}::BIGINT
+               THEN l*2 + 1 ELSE l*2 END AS l
+          FROM v{i - 1})"""
+        )
+    steps.append(
+        f"""vterm AS (SELECT term, cnt, total,
+          (l * {_LN2_1E6} + {1 << (K - 1)}) // {1 << K}::BIGINT AS nlp6
+          FROM v{K})"""
+    )
+    return ",\n         ".join(steps), "vterm"
+
+
 def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One explode+groupBy collapses the token stream to (doc, term,
     tf); the vocab census and the scoring join both run on THAT frame
@@ -550,13 +630,15 @@ def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
       consumers that round only REPORTED columns (q_unigram_logprob);
     * ``nlp_num``/``tf_sum`` (bigint) — the exact-integer form for
       consumers whose score feeds a sort/group KEY.  Each term's
-      -ln(p) is quantized ONCE onto a 1e-6 integer grid
-      (``floor(x*1e6 + 0.5)`` — one libm call per distinct term, the
-      only float op in the path), then ``sum(tf * nlp6)`` and
-      ``sum(tf)`` are 64-bit integer arithmetic: identical in every
-      engine regardless of accumulation order.  Rounding the float
-      MEAN instead (the r6 form) was hash-fragile: docs sit as close
-      as 1.2e-7 to a .00005 boundary, where engines disagree.
+      -ln(p) is the fixed-point integer logarithm ``nlp6`` (see
+      _LOG_P above): ZERO runtime transcendentals anywhere in the key
+      path — the r7 form's single quantized ``ln`` still flipped the
+      driver hash when the JVM's and DuckDB's libm disagreed by 1 ulp
+      at a 1e-6 grid boundary.  ``sum(tf * nlp6)`` and ``sum(tf)``
+      stay 64-bit integer arithmetic: identical in every engine
+      regardless of accumulation order.  nlp6 is computed once per
+      DISTINCT TERM on the vocab frame (O(|vocab|) folds), not per
+      doc-term row.
     """
     d = _t(spark, sf_dir, "documents")
     tf = (
@@ -576,13 +658,12 @@ def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("long").alias("cnt")
     )
     n = tf.agg(F.sum("tf").cast("long").alias("total"))
-    nlp6 = F.floor(
-        F.log(F.col("total").cast("double") / F.col("cnt")) * 1000000
-        + F.lit(0.5)
-    ).cast("long")
+    vterm = (
+        vocab.crossJoin(F.broadcast(n))
+        .withColumn("nlp6", F.expr(_nlp6_spark_expr()))
+    )
     return (
-        tf.join(vocab, "term")
-        .crossJoin(F.broadcast(n))
+        tf.join(vterm, "term")
         .groupBy("doc_id", "source")
         .agg(
             (
@@ -592,14 +673,21 @@ def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / F.sum("tf")
             ).alias("logprob"),
-            F.sum(F.col("tf") * nlp6).cast("long").alias("nlp_num"),
+            F.sum(F.col("tf") * F.col("nlp6"))
+            .cast("long")
+            .alias("nlp_num"),
             F.sum("tf").cast("long").alias("tf_sum"),
         )
     )
 
 
 # The shared scored-frame CTE prefix for the two unigram-LM oracles.
-_UNIGRAM_SCORED_SQL = """
+# nlp6 is the SAME exact-integer fixed-point logarithm the Spark build
+# computes (_nlp6_duckdb_ctes unrolls the fold as generated CTEs) —
+# both engines agree bit-for-bit by construction; ln() appears only in
+# the float `logprob` column, which no consumer keys on.
+_NLP6_CTES, _NLP6_FINAL = _nlp6_duckdb_ctes()
+_UNIGRAM_SCORED_SQL = f"""
     WITH toks AS (SELECT doc_id, source,
                          unnest(string_split(lower(text), ' ')) AS term
                   FROM documents),
@@ -609,15 +697,14 @@ _UNIGRAM_SCORED_SQL = """
          vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
                    FROM tf GROUP BY term),
          n AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+         {_NLP6_CTES},
          scored AS (SELECT tf.doc_id, tf.source,
-                           sum(tf.tf * ln(vocab.cnt / (n.total * 1.0)))
+                           sum(tf.tf * ln(v.cnt / (v.total * 1.0)))
                              / sum(tf.tf) AS logprob,
-                           CAST(sum(tf.tf * CAST(floor(
-                                ln(n.total / (vocab.cnt * 1.0))
-                                * 1000000 + 0.5) AS BIGINT))
-                             AS BIGINT) AS nlp_num,
+                           CAST(sum(tf.tf * v.nlp6) AS BIGINT)
+                             AS nlp_num,
                            CAST(sum(tf.tf) AS BIGINT) AS tf_sum
-                    FROM tf JOIN vocab USING (term) CROSS JOIN n
+                    FROM tf JOIN {_NLP6_FINAL} v USING (term)
                     GROUP BY tf.doc_id, tf.source)
 """
 
@@ -685,10 +772,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recipes keep head+middle or reweight by bucket). Per-doc scores "
     "come from the shared unigram frame (_unigram_scored) in their "
     "EXACT-INTEGER form: the sort key is -(nlp_num div (tf_sum*100)) "
-    "— a pure 64-bit integer floor-division of per-term-quantized "
-    "sums, so every engine computes bit-identical keys (rounding the "
-    "float mean, the r6 form, flipped at the driver: docs sat 1.2e-7 "
-    "from a .00005 boundary). doc_id makes the order total, so both "
+    "— a pure 64-bit integer floor-division of per-term fixed-point "
+    "integer-log weights (_nlp6_spark_expr: binary-length integer "
+    "part + renormalizing-squaring fractional bits — ZERO runtime "
+    "transcendentals in the key path, after the r6 float-mean AND the "
+    "r7 quantized-runtime-ln forms both flipped at the driver on "
+    "1-ulp libm disagreements), so every engine computes bit-"
+    "identical keys by construction. doc_id makes the order total, so both "
     "engines cut identical tertiles; the integer key scale-shifts to "
     "DECIMAL(18,4) by exact decimal multiply (never division) for "
     "reporting. The census reports per-bucket doc counts and logprob "
