@@ -1,6 +1,6 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 7):
+Registry-order note (transparent rotation, round 8):
 
 The external correctness harness records the FIRST 50 registry entries
 each round; the registry holds 90 queries (79 oracle-backed + 11
@@ -16,31 +16,31 @@ independently-recorded driver result:
 * round 5 gave the returning core seven fresh records on regenerated
   testdata, recorded two new twins, and gave the minhash/ngram/simhash
   rows-only trio their first rows>0 records;
-* round 6 completed the LSH/ANN sweep (q_ann_lsh/q_ann_ivf/
-  q_embed_neardup rows>0), returned all 13 r5-rotated queries, and
-  recorded first greens for nine late additions — every registry entry
-  now holds at least one external driver record;
-* round 7 (this rotation) runs the promised alternation the other way:
-  the 22 core queries r6 rotated out RETURN (their newest green is r5
-  — never more than one round old), q_funnel and q_retention (added
-  after the r6 window was fixed, zero records) take their FIRST
-  records, q_perplexity_buckets STAYS in-window to convert its r6 red
-  hash into a green under the new exact-integer score key
-  (extensions_pipeline.py), and the minhash/ngram/simhash rows-only
-  trio returns (newest record r5) while the ann/embed trio sits out on
-  fresh r6 records.  Paying for those 25 in-slots: the 24 oracle
-  queries in _R7_OUT below, every one holding a GREEN r6 record plus
-  3-6 earlier greens (the six-green exact-dedup/text family, the
-  r1-r4+r6 relational seven, and the r2-r6 five-green eleven), all
-  parity-checked against DuckDB on every test run like every
-  rotated-out query.  The eleven NEW round-7 queries
-  (q_source_priority_dedup, q_train_val_split, q_length_histogram,
-  q_token_histogram, q_bm25, q_cdc_apply, q_quantile_census,
-  q_decontaminate, q_hypertable_quantiles, q_footer_census,
-  q_window_rank_metrics — _R7_NEW below) were added
-  after this window was fixed and start OUTSIDE it, covered by the
-  per-test-run DuckDB parity check, first in line for r8 records —
-  the exact path q_funnel/q_retention took through r6→r7.
+* round 6 completed the LSH/ANN sweep and recorded first greens for
+  nine late additions — every registry entry then held at least one
+  external driver record;
+* round 7 returned the 22 r6-rotated core queries, recorded first
+  greens for q_funnel/q_retention, and re-recorded the minhash trio;
+  its ELEVEN post-window additions (_R8 docstring below) plus the new
+  rows-only q_stream_cdc_apply/q_multimodal_pipeline finished the
+  round with zero driver records — promised first slots in r8;
+* round 8 (this rotation) honours that promise: the 11 round-7
+  additions take their FIRST driver records, q_stream_cdc_apply and
+  q_multimodal_pipeline take their first rows>0 records, the 24
+  oracle queries r7 rotated out RETURN (their newest green is r6 —
+  never more than one round old), the ann/embed rows-only trio
+  returns (newest rows>0 record r6), and q_perplexity_buckets STAYS
+  in-window to convert its r6/r7 red hash into a green under the new
+  ZERO-transcendental exact-integer score key (the fixed-point
+  integer logarithm in extensions_pipeline — both engines now compute
+  bit-identical keys by construction).  Six r7-green anchors also
+  stay in (q_scan_project, q_inner_join, q_upsert_merge,
+  q_tumbling_window, q_unigram_logprob, q_tfidf — the last two share
+  the memoized unigram artifact with q_perplexity_buckets, so they
+  re-prove the rebuilt scoring path at near-zero marginal cost).
+  Paying for those 50 in-slots: the 37 oracle-backed queries in
+  _R8_OUT below, every one GREEN in CORRECTNESS_r07.json, and the
+  minhash/ngram/simhash rows-only trio (fresh r7 rows>0 records).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -74,86 +74,86 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-7 rotation (registry 90 = 79 oracle-backed + 11 rows-only;
-# window = 50 = 44 oracle + 6 rows-only, so 40 sit outside this
-# round: the 24 rotated-out oracle queries below, the 11 post-window
-# additions in _R7_NEW, the ann/embed rows-only trio that got its
-# r6 records, and the new rows-only q_multimodal_pipeline and
-# q_stream_cdc_apply (no records yet; sit with the unrecorded rest).
+# Round-8 rotation (registry 90 = 79 oracle-backed + 11 rows-only;
+# window = 50 = 42 oracle + 8 rows-only, so 40 sit outside this
+# round: the 37 rotated-out oracle queries below and the
+# minhash/ngram/simhash rows-only trio holding fresh r7 records).
 #
-# OUT this round — 24 oracle-backed queries, each green in
-# CORRECTNESS_r06 (so no rotated-out query's newest green is more
-# than one round old) with 3-6 recorded greens total, in-repo DuckDB
-# parity on every test run, and reference-golden or property coverage
-# of the same operators.
-_R7_OUT = [
-    # six greens (r1-r6):
-    "q_exact_dedup",
-    "q_token_count",
-    "q_quality_score",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_similarity_topk",
-    # five greens (r1-r4 + r6):
-    "q_groupby_count_sum",
-    "q_groupby_rollup",
-    "q_top_duplicates",
-    "q_pivot_wide",
-    "q_dedup_keep_first",
-    "q_window_rownum",
-    "q_regex_validate",
-    # five greens (r2-r6):
-    "q_cube",
-    "q_intersect_except",
-    "q_sliding_window",
-    "q_asof_join",
-    "q_stratified_sample",
-    "q_text_ratios",
-    "q_range_join",
-    "q_hypertable_rollup",
-    "q_winnow_fingerprint",
-    "q_ann_batch",
-    "q_multimodal_meta",
+# OUT this round — 37 oracle-backed queries, each GREEN in
+# CORRECTNESS_r07.json (so no rotated-out query's newest green is
+# more than one round old), with 2-7 recorded greens total, in-repo
+# DuckDB parity on every test run, and reference-golden or property
+# coverage of the same operators.
+_R8_OUT = [
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_semi_join",
+    "q_anti_join",
+    "q_ref_integrity",
+    "q_window_running_sum",
+    "q_string_clean",
+    "q_try_cast_json",
+    "q_split_part",
+    "q_null_range_checks",
+    "q_profile_stats",
+    "q_volume_by_day",
+    "q_sessionize_batch",
+    "q_scd2",
+    "q_snapshot_diff",
+    "q_trailing_window",
+    "q_funnel",
+    "q_retention",
+    "q_lang_stats",
+    "q_text_tokens",
+    "q_pii_scrub",
+    "q_doc_chunk",
+    "q_pack_sequences",
+    "q_contamination",
+    "q_repetition",
+    "q_embed_centroids",
+    "q_zscore_outliers",
+    "q_source_overlap",
+    "q_zscore_moments",
+    "q_pack_summary",
+    "q_dup_clusters",
+    "q_mixture_sample",
+    "q_group_sample",
 ]
 
-# IN this round: the minhash/ngram/simhash rows-only trio returns for
-# fresh records (newest rows>0 is r5 — the rows-only families
-# alternate rounds: minhash trio r5 → ann trio r6 → minhash trio r7).
-_R7_ROWS_ONLY_IN = [
-    "q_minhash_dedup",
-    "q_ngram_jaccard",
-    "q_simhash_dedup",
+# IN this round: the two unrecorded rows-only pipelines take their
+# first records, and the ann/embed trio returns for fresh ones
+# (newest rows>0 is r6 — the rows-only families alternate rounds:
+# minhash trio r5 → ann trio r6 → minhash trio r7 → ann trio r8).
+_R8_ROWS_ONLY_IN = [
+    "q_stream_cdc_apply",
+    "q_multimodal_pipeline",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_embed_neardup",
 ]
 
-# Added AFTER the r7 window was fixed — zero records anywhere yet, so
-# they cannot displace a window slot promised above (and the
-# alternation invariant exempts them: nothing rotated OUT, they were
-# never in).  Placed directly after the rotated-out queries; first in
-# line for the r8 window.
-_R7_NEW = [
-    "q_source_priority_dedup",
-    "q_train_val_split",
-    "q_length_histogram",
-    "q_token_histogram",
-    "q_bm25",
-    "q_cdc_apply",
-    "q_quantile_census",
-    "q_decontaminate",
-    "q_hypertable_quantiles",
-    "q_footer_census",
-    "q_window_rank_metrics",
-]
+# Oracle-backed queries added AFTER the r8 window was fixed — zero
+# records anywhere yet, so they cannot displace a window slot promised
+# above.  Placed directly after the rotated-out queries; first in line
+# for the r9 window (the exact path the eleven r7 additions took
+# through r7→r8).  Empty at rotation time by design — append here when
+# adding a query mid-round.
+_R8_NEW: list[str] = []
 
 
 def _apply_rotation() -> None:
-    """Order the registry per the documented round-7 rotation.
+    """Order the registry per the documented round-8 rotation.
 
     Window (first WINDOW=50) = oracle-backed queries in registration
-    order minus _R7_OUT and _R7_NEW, then the 3 flagship rows-only
-    pipelines, then the 3 returning rows-only dedup queries.  Beyond
+    order minus _R8_OUT and _R8_NEW, then the 3 flagship rows-only
+    pipelines, then the 5 rows-only entries rotating in.  Beyond
     the window: the rotated-out oracle queries, the post-window new
     queries, then the remaining rows-only.  Adding a query without
-    listing it in _R7_NEW (or resizing _R7_OUT) fails the arithmetic
+    listing it in _R8_NEW (or resizing _R8_OUT) fails the arithmetic
     assert below — update the rotation lists AND this module's
     docstring counts together (tests/test_doc_consistency.py
     cross-checks both).
@@ -162,17 +162,17 @@ def _apply_rotation() -> None:
         n
         for n, s in REGISTRY.items()
         if s.oracle is not None
-        and n not in _R7_OUT
-        and n not in _R7_NEW
+        and n not in _R8_OUT
+        and n not in _R8_NEW
     ]
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
     rows_in = [
         n
-        for n in _ROWS_ONLY_PRIORITY + _R7_ROWS_ONLY_IN
+        for n in _ROWS_ONLY_PRIORITY + _R8_ROWS_ONLY_IN
         if n in rows_only
     ]
-    rotated_out = [n for n in _R7_OUT if n in REGISTRY]
-    new = [n for n in _R7_NEW if n in REGISTRY]
+    rotated_out = [n for n in _R8_OUT if n in REGISTRY]
+    new = [n for n in _R8_NEW if n in REGISTRY]
     rest = [n for n in rows_only if n not in rows_in]
     ordered = {
         n: REGISTRY[n]
@@ -181,10 +181,10 @@ def _apply_rotation() -> None:
     assert len(ordered) == len(REGISTRY), "rotation dropped a registry entry"
     assert len(oracle_in_window) + len(rows_in) == WINDOW, (
         f"window arithmetic drifted: {len(oracle_in_window)} oracle + "
-        f"{len(rows_in)} rows-only != {WINDOW}; resize _R7_OUT"
+        f"{len(rows_in)} rows-only != {WINDOW}; resize _R8_OUT"
     )
     window = list(ordered)[:WINDOW]
-    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R7_ROWS_ONLY_IN)
+    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R8_ROWS_ONLY_IN)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -56,48 +56,65 @@ def test_window_arithmetic():
     rows-only query promised a record this round is inside it."""
     names = list(REGISTRY)
     window = set(names[: plans.WINDOW])
-    for n in plans._ROWS_ONLY_PRIORITY + plans._R7_ROWS_ONLY_IN:
+    for n in plans._ROWS_ONLY_PRIORITY + plans._R8_ROWS_ONLY_IN:
         assert n in window, n
     assert len(names) >= plans.WINDOW
 
 
 def test_rotation_out_list_arithmetic():
     """The out-list size is DERIVED, not hand-counted: the rotation
-    docstring's '24 oracle queries' claim must equal
+    docstring's '37 oracle queries' claim must equal
     n_oracle - (WINDOW - rows_in), so resizing the registry without
-    resizing _R7_OUT fails here by name (the r6 verdict flagged the
+    resizing _R8_OUT fails here by name (the r6 verdict flagged the
     r5 rotation paragraph going stale — this pins the arithmetic to
     the code instead of the prose)."""
     _, n_oracle, _ = _counts()
-    rows_in = plans._ROWS_ONLY_PRIORITY + plans._R7_ROWS_ONLY_IN
+    rows_in = plans._ROWS_ONLY_PRIORITY + plans._R8_ROWS_ONLY_IN
     expected_out = (
-        n_oracle - len(plans._R7_NEW) - (plans.WINDOW - len(rows_in))
+        n_oracle - len(plans._R8_NEW) - (plans.WINDOW - len(rows_in))
     )
-    assert len(plans._R7_OUT) == expected_out
+    assert len(plans._R8_OUT) == expected_out
     doc = open(plans.__file__).read()
-    assert f"the {len(plans._R7_OUT)} oracle\n# queries below" in doc or (
-        f"{len(plans._R7_OUT)} oracle-backed queries" in doc
-    ), "rotation comment out-count drifted from _R7_OUT"
+    assert f"the {len(plans._R8_OUT)} oracle\n# queries below" in doc or (
+        f"{len(plans._R8_OUT)} oracle-backed queries" in doc
+    ), "rotation comment out-count drifted from _R8_OUT"
+
+
+def _correctness_records() -> "dict[int, dict]":
+    """All committed CORRECTNESS_r*.json artifacts, keyed by round."""
+    import json
+    import re
+
+    out = {}
+    for f in os.listdir(ROOT):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if m:
+            out[int(m.group(1))] = json.load(open(os.path.join(ROOT, f)))
+    return out
 
 
 def test_rotation_alternation_invariant():
     """No rotated-out ORACLE query's newest green driver record may be
-    more than one round old: every _R7_OUT entry must be green in the
-    newest committed CORRECTNESS file. Read from the recorded
-    artifacts, so a future rotation that benches an unrecorded query
-    out of the window fails here."""
-    import json
-
-    newest = max(
-        (
-            f
-            for f in os.listdir(ROOT)
-            if f.startswith("CORRECTNESS_r") and f.endswith(".json")
-        ),
-    )
-    recorded = json.load(open(os.path.join(ROOT, newest)))
-    for n in plans._R7_OUT:
-        rec = recorded.get(n)
-        assert rec is not None and rec.get("hash_match") is True, (
-            f"{n} rotated out without a green {newest} record"
+    more than one round old: every _R8_OUT entry must be green in the
+    newest committed CORRECTNESS file that CONTAINS it, and that file
+    must be at most one round behind the newest file overall.  (The r7
+    form asserted green in the newest file unconditionally, which by
+    construction fails the moment the current round's record — whose
+    window excludes the rotated-out set — lands: an invariant test
+    that breaks when the process it guards runs correctly.  This form
+    stays green across the artifact drop and still catches the real
+    hazard: a query rotated out two rounds running, or rotated out
+    while red.)"""
+    records = _correctness_records()
+    newest_round = max(records)
+    for n in plans._R8_OUT:
+        holding = [
+            r
+            for r, rec in records.items()
+            if rec.get(n, {}).get("hash_match") is True
+        ]
+        assert holding, f"{n} rotated out with no green record ever"
+        assert max(holding) >= newest_round - 1, (
+            f"{n} rotated out but its newest green record is round "
+            f"{max(holding)} — more than one round behind r{newest_round}"
         )
