@@ -195,6 +195,16 @@ def cdc_apply(
     and the same idempotent-fixpoint property: re-applying the same
     log is a no-op. A delete for an absent key is a no-op (not an
     error) — at-least-once CDC feeds replay deletes.
+
+    **Key columns must be non-NULL.** SQL equi-joins never match NULL
+    keys, so a NULL-key log row cannot find its NULL-key base row: an
+    upsert APPENDS a second NULL-key row instead of replacing, and a
+    delete is a silent no-op. This matches MERGE-INTO semantics in
+    every SQL engine (NULL never equals NULL in ON clauses) but
+    diverges from the per-key contract above — pre-filter or repair
+    NULL keys upstream (q_cdc_apply filters ``user_id IS NOT NULL``;
+    the NULL-op column, by contrast, IS handled, via eqNullSafe
+    below).
     """
     compacted = keep_first(log, keys, order) if order else log
     rhs = F.broadcast(compacted) if broadcast_log else compacted

@@ -10,11 +10,18 @@ Design for 100 TB:
   and cluster sizes, so an incremental re-export reproduces byte-stable
   shard membership (the property that lets a training cluster cache
   shards by name). No global row_number, no single-partition window.
-* **The checksum is an order-insensitive fold** (``bit_xor`` of a
-  per-row 64-bit content hash): partitioning, task scheduling and
-  shuffle order cannot change it, yet any row mutation, loss or
-  duplication flips it. Validation re-derives it from the written
-  files with one scan (:func:`verify_training_shards`).
+* **The checksum is an order-insensitive fold**: the SUM of each
+  row's 64-bit content hash, accumulated in DECIMAL(38,0) and reduced
+  mod the largest sub-2^63 prime. Partitioning, task scheduling and
+  shuffle order cannot change it (wrapping addition is commutative),
+  and — unlike the earlier ``bit_xor`` fold, which is blind to
+  even-multiplicity changes (swap two copies of row A for two copies
+  of row B and XOR cancels) — summation is multiplicity-sensitive, so
+  row mutation, loss and duplication all move it. Collisions remain
+  possible (any 63-bit digest admits them) but require adversarial
+  construction, not a natural double-row slip. Validation re-derives
+  it from the written files with one scan
+  (:func:`verify_training_shards`).
 * **One job writes everything**: ``partitionBy(shard_id)`` emits every
   shard in a single pass; the manifest is a second, O(shards)
   aggregate over the same frame. ``tmp-then-rename`` makes the export
@@ -51,9 +58,18 @@ def _shard_stats(
     write it (over the freshly-written files) and to re-derive it at
     verification time, so the two can never drift apart."""
     content_cols = [c for c in frame.columns if c != SHARD_COL]
+    # multiplicity-sensitive order-insensitive fold: sum of row hashes
+    # in DECIMAL(38,0) (room for >10^19 rows before overflow, and no
+    # ANSI-mode overflow throw a plain BIGINT sum would risk), reduced
+    # mod the largest prime < 2^63 so the manifest column stays LONG.
     aggs = [
         F.count(F.lit(1)).cast("long").alias("rows"),
-        F.bit_xor(_row_hash(content_cols)).alias("checksum"),
+        F.pmod(
+            F.sum(_row_hash(content_cols).cast("decimal(38,0)")),
+            F.lit(9223372036854775783).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("checksum"),
     ]
     if token_col is not None:
         aggs.insert(
@@ -93,6 +109,21 @@ def export_training_shards(
         assert target_rows_per_shard is not None
         total = df.count()
         n_shards = max(1, math.ceil(total / target_rows_per_shard))
+        if total == 0:
+            raise ValueError(
+                "refusing to export an empty frame: zero-row input "
+                "writes no part files and cannot produce a valid "
+                "manifest (almost certainly an upstream bug)"
+            )
+    elif df.limit(1).count() == 0:
+        # same guard on the n_shards path: fail BEFORE writing, not
+        # mid-export with a dangling ._tmp dir (ADVICE r7 — the empty
+        # data dir breaks read-back schema inference).
+        raise ValueError(
+            "refusing to export an empty frame: zero-row input "
+            "writes no part files and cannot produce a valid "
+            "manifest (almost certainly an upstream bug)"
+        )
 
     sharded = df.withColumn(
         SHARD_COL,

@@ -260,9 +260,13 @@ def foreach_batch_upsert(
                     )
             elif op_col is not None:
                 # first batch: the target is born from the surviving
-                # (non-delete) final ops
+                # (non-delete) final ops.  eqNullSafe, matching
+                # cdc_apply's contract — a NULL op is an upsert, and
+                # `!= delete_value` would evaluate NULL and silently
+                # drop it on exactly (and only) the batch where the
+                # target does not exist yet.
                 merged = batch.filter(
-                    F.col(op_col) != delete_value
+                    ~F.col(op_col).eqNullSafe(delete_value)
                 ).drop(op_col)
             else:
                 merged = batch

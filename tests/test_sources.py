@@ -781,6 +781,60 @@ def test_export_training_shards_detects_tampering(spark, sf_dir, tmp_path):
     assert "checksum" in problems[2] or "rows" in problems[2]
 
 
+def test_export_training_shards_rejects_empty_frame(spark, tmp_path):
+    """ADVICE r7: a zero-row input used to write zero part files and
+    crash mid-export on read-back schema inference, stranding a
+    ``._tmp`` dir. Both sizing paths must now fail fast, BEFORE any
+    write."""
+    import os
+
+    import pytest as _pytest
+
+    from prueba_tecnica_analista_etl_spark.sources.export import (
+        export_training_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for kwargs in ({"n_shards": 4}, {"target_rows_per_shard": 100}):
+        path = str(tmp_path / f"empty_{'_'.join(kwargs)}")
+        with _pytest.raises(ValueError, match="empty frame"):
+            export_training_shards(empty, path, "doc_id", **kwargs)
+        assert not os.path.exists(path)
+        assert not os.path.exists(path + "._tmp"), (
+            "failed export left a dangling tmp dir"
+        )
+
+
+def test_export_checksum_catches_even_multiplicity_swap(spark, tmp_path):
+    """ADVICE r7: the old bit_xor content fold was blind to
+    even-multiplicity substitutions — two copies of row A swapped for
+    two copies of row B XOR-cancel to the same digest. The summing
+    fold must move. Construct the adversarial pair directly: same row
+    count, every row duplicated an even number of times."""
+    from prueba_tecnica_analista_etl_spark.sources.export import (
+        SHARD_COL,
+        _shard_stats,
+    )
+
+    a = spark.createDataFrame(
+        [(0, "A"), (0, "A"), (0, "C"), (0, "C")],
+        f"{SHARD_COL} int, text string",
+    )
+    b = spark.createDataFrame(
+        [(0, "B"), (0, "B"), (0, "C"), (0, "C")],
+        f"{SHARD_COL} int, text string",
+    )
+    ca = _shard_stats(a, None)[0]["checksum"]
+    cb = _shard_stats(b, None)[0]["checksum"]
+    assert ca != cb, "checksum blind to even-multiplicity row swap"
+    # and order-insensitivity still holds
+    a_rev = spark.createDataFrame(
+        [(0, "C"), (0, "A"), (0, "C"), (0, "A")],
+        f"{SHARD_COL} int, text string",
+    )
+    assert _shard_stats(a_rev, None)[0]["checksum"] == ca
+
+
 def test_versioned_table_commit_timetravel_rollback_vacuum(
     spark, sf_dir, tmp_path
 ):

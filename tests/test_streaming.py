@@ -1292,6 +1292,37 @@ def test_streaming_cdc_sink_applies_deletes(spark, sf_dir, tmp_path):
     assert got2 == got
 
 
+def test_streaming_cdc_sink_first_batch_null_op(spark, tmp_path):
+    """ADVICE r7 regression: a NULL-op row arriving in the FIRST batch
+    (target not born yet) must be kept as an upsert — the old
+    `op != delete_value` filter evaluated NULL and silently dropped
+    it, while the same row in any later batch survived via
+    cdc_apply's eqNullSafe path. First-batch and later-batch
+    semantics must agree."""
+    from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
+        foreach_batch_upsert,
+    )
+
+    target = str(tmp_path / "cdc_null_op")
+    process = foreach_batch_upsert(
+        spark,
+        target,
+        ["k"],
+        op_col="op",
+        cdc_order=[F.desc("seq")],
+    )
+    b0 = spark.createDataFrame(
+        [(1, "a", None, 1), (2, "b", "U", 1), (3, None, "D", 1)],
+        "k long, v string, op string, seq long",
+    )
+    process(b0, 0)
+    snap = spark.read.parquet(os.path.join(target, "data"))
+    got = {r["k"]: r["v"] for r in snap.collect()}
+    assert got == {1: "a", 2: "b"}, (
+        "NULL-op first-batch row must be upserted, delete dropped"
+    )
+
+
 def test_streaming_cdc_sink_rules_spare_delete_markers(
     spark, sf_dir, tmp_path
 ):
