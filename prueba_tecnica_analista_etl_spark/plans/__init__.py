@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 8):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 90 queries (79 oracle-backed + 11
-rows-only), so 40 must sit outside the recorded window in any given
+each round; the registry holds 95 queries (84 oracle-backed + 11
+rows-only), so 45 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -61,6 +61,7 @@ from prueba_tecnica_analista_etl_spark.plans.queries import (
 from prueba_tecnica_analista_etl_spark.plans import extensions_text  # noqa: E402,F401
 from prueba_tecnica_analista_etl_spark.plans import extensions_pipeline  # noqa: E402,F401
 from prueba_tecnica_analista_etl_spark.plans import extensions_scale  # noqa: E402,F401
+from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # noqa: E402,F401
 
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
@@ -74,10 +75,11 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-8 rotation (registry 90 = 79 oracle-backed + 11 rows-only;
-# window = 50 = 42 oracle + 8 rows-only, so 40 sit outside this
-# round: the 37 rotated-out oracle queries below and the
-# minhash/ngram/simhash rows-only trio holding fresh r7 records).
+# Round-8 rotation (registry 95 = 84 oracle-backed + 11 rows-only;
+# window = 50 = 42 oracle + 8 rows-only, so 45 sit outside this
+# round: the 37 rotated-out oracle queries below, the 5 post-window
+# round-8 additions in _R8_NEW, and the minhash/ngram/simhash
+# rows-only trio holding fresh r7 records).
 #
 # OUT this round — 37 oracle-backed queries, each GREEN in
 # CORRECTNESS_r07.json (so no rotated-out query's newest green is
@@ -142,7 +144,18 @@ _R8_ROWS_ONLY_IN = [
 # for the r9 window (the exact path the eleven r7 additions took
 # through r7→r8).  Empty at rotation time by design — append here when
 # adding a query mid-round.
-_R8_NEW: list[str] = []
+#
+# Round-8 additions (extensions_distributed): the distributed-algebra
+# pattern queries.  Added after the window was fixed, so they wait for
+# r9 for their first driver records; until then every one is
+# DuckDB-parity-checked on each test run like the rest of the registry.
+_R8_NEW: list[str] = [
+    "q_global_rank",
+    "q_incremental_agg_merge",
+    "q_bloom_semi_join",
+    "q_winsorize",
+    "q_filter_funnel",
+]
 
 
 def _apply_rotation() -> None:

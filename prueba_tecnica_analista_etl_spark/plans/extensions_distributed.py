@@ -1,0 +1,405 @@
+"""Distributed-algebra extension queries (round 8).
+
+Each query here demonstrates a SCALE PATTERN that naive SQL gets wrong
+at 100 TB, expressed so the result is still exactly ANSI-SQL-checkable
+against the DuckDB oracle:
+
+* ``q_global_rank``      — global RANK() without a SinglePartition
+                           window: bucket histogram + offset broadcast.
+* ``q_incremental_agg_merge`` — materialized-aggregate delta refresh:
+                           merge(partial states) == full re-aggregation.
+* ``q_bloom_semi_join``  — semi-join reduction: a broadcast bitset
+                           prefilter drops non-matching fact rows
+                           BEFORE the join shuffle.
+* ``q_winsorize``        — per-group percentile clamp with explicit
+                           integer rank arithmetic (cross-engine exact).
+* ``q_filter_funnel``    — multi-stage quality-gate survival census in
+                           one pass (conditional aggregation).
+
+Reference parity: these generalize the reference's §3 aggregate /
+quality-audit designs (seccion3_sql.sql:85-210 staging audits,
+nb:287-340 statistical profile) to cluster-scale idioms; none change
+WHAT is computed — the oracle for every query is plain SQL.
+
+Hash-stability follows plans/queries.py's conventions: pass-through
+doubles never rounded, computed money sums via DECIMAL(18,2), rank /
+count outputs are integers, percentile ranks in pure integer
+arithmetic (``(n+19) div 20``), never ``ceil(0.05*n)`` whose binary
+0.05 could straddle an integer boundary differently per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.plans.queries import (
+    _t,
+    dec2,
+    money_sum,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# Global rank without a single-partition window
+# ---------------------------------------------------------------------------
+
+_RANK_BUCKETS = 1024
+
+
+@query(
+    "q_global_rank",
+    """
+    SELECT event_id, value,
+           RANK() OVER (ORDER BY value) AS global_rank
+    FROM events
+    """,
+    doc="Distributed global RANK(): per-bucket rank + broadcast offsets; "
+    "no Exchange SinglePartition over fact rows (plan-asserted).",
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank over ``events.value`` as a two-pass distributed plan.
+
+    ``RANK() OVER (ORDER BY value)`` in one window forces every row
+    through a single reducer — the canonical 100 TB scale-killer. The
+    distributed form:
+
+    1. bucket each row by a fixed value-range grid (map-only);
+    2. collect the per-bucket histogram — bounded at ``_RANK_BUCKETS``
+       rows regardless of data size (a census-sized collect, same class
+       as the IVF model in functions/vectors.py);
+    3. broadcast-join each bucket's cumulative offset back and rank
+       WITHIN buckets (``Window.partitionBy(bucket)`` — sharded, not
+       SinglePartition).
+
+    Ties are safe across the seam: equal values land in the same
+    bucket, so ``offset + rank_within_bucket`` equals the global RANK
+    exactly. Bucket boundaries are engine-internal (the oracle never
+    sees them), so double arithmetic in the bucketing is harmless.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = max((hi - lo) / _RANK_BUCKETS, 1e-12)
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(_RANK_BUCKETS - 1),
+    ).alias("bucket")
+    bucketed = ev.select("event_id", "value", bucket)
+
+    # Census-sized: ≤ _RANK_BUCKETS histogram rows, whatever the fact
+    # size. Cumulative offsets computed driver-side in exact ints.
+    hist = sorted(
+        (r["bucket"], r["n"])
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for b, n in hist:
+        offsets.append((b, running))
+        running += n
+    off_df = spark.createDataFrame(offsets, "bucket long, offset long")
+
+    w = Window.partitionBy("bucket").orderBy("value")
+    return (
+        bucketed.join(F.broadcast(off_df), "bucket")
+        .select(
+            "event_id",
+            "value",
+            (F.col("offset") + F.rank().over(w)).alias("global_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-aggregate delta refresh
+# ---------------------------------------------------------------------------
+
+_SPLIT_TS = "2024-01-21 00:00:00"
+
+
+@query(
+    "q_incremental_agg_merge",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Materialized-view delta refresh: merge(base state, delta state) "
+    "== full re-aggregation; the oracle is the full recompute.",
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic merge of partial aggregate states.
+
+    The 100 TB pattern: a per-user aggregate table is maintained
+    incrementally — each new batch is aggregated ALONE (touching only
+    batch-sized data) and merged into the stored state with the
+    aggregate's combine function, instead of re-scanning the full
+    history. Here the 'stored state' is events before ``_SPLIT_TS`` and
+    the 'delta' is everything after; the oracle recomputes from scratch,
+    proving merge == recompute.
+
+    count merges by sum, sum by sum (exact DECIMAL so the merged total
+    is bit-identical to the one-pass total regardless of grouping),
+    min/max by min/max. Each leg partial-aggregates map-side; the merge
+    itself shuffles only user-cardinality state rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(_SPLIT_TS).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec2(F.col("value"))).alias("total_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = state(ev.filter(F.col("ts") < split))
+    delta = state(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_dec").cast("double").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style semi-join reduction
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192  # 128 longs — broadcast as one array literal
+
+
+@query(
+    "q_bloom_semi_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="Semi-join reduction: broadcast bitset prefilter on "
+    "xxhash64(custkey) drops non-matching fact rows before the join "
+    "shuffle; exact semi-join clears false positives.",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of BUILDING-segment customers via a bitset runtime filter.
+
+    At 100 TB the semi-join's shuffle of the FACT side dominates; the
+    fix is a runtime filter: hash the dim keys into a fixed bitset,
+    broadcast it (here: an array-of-longs literal, ``_BLOOM_BITS`` bits
+    total — size independent of dim cardinality), and test each fact
+    row map-side so only probable matches reach the join. False
+    positives are removed by the exact (broadcast) semi-join that
+    follows; false negatives are impossible (same hash both sides), so
+    the result is exactly the plain semi-join the oracle runs.
+
+    The driver-side ``collect`` gathers DISTINCT BUCKET IDS — bounded
+    at ``_BLOOM_BITS`` ints no matter how large the dim is.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(_BLOOM_BITS))  # noqa: E731
+    buckets = [
+        r[0]
+        for r in cust.select(bucket_of(F.col("c_custkey")).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    words = [0] * (_BLOOM_BITS // 64)
+    for b in buckets:
+        words[b // 64] |= 1 << (b % 64)
+    # Wrap to signed 64-bit so the literal fits Spark's LongType.
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    orders = _t(spark, sf_dir, "orders")
+    b = bucket_of(F.col("o_custkey"))
+    word = F.element_at(
+        F.lit(words), (b / 64).cast("int") + 1  # element_at is 1-based
+    )
+    hit = F.getbit(word, (b % 64).cast("int")) == 1
+    return (
+        orders.filter(hit)  # map-side prefilter: no shuffle, no scan re-read
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization with explicit integer rank arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_winsorize",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), cuts AS (
+        SELECT event_type,
+               MAX(n) AS n,
+               MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo_cut,
+               MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END)
+                 AS hi_cut
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(MAX(c.n) AS BIGINT) AS n_events,
+           MAX(c.lo_cut) AS lo_cut,
+           MAX(c.hi_cut) AS hi_cut,
+           CAST(SUM(CAST(LEAST(GREATEST(r.value, c.lo_cut), c.hi_cut)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+    FROM ranked r JOIN cuts c USING (event_type)
+    GROUP BY r.event_type
+    """,
+    doc="Per-group winsorization: clamp values to the explicit-rank "
+    "p05/p95 cut values; rank positions in pure integer arithmetic "
+    "so both engines pick identical cut rows.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamp ``events.value`` per event_type at explicit p05/p95 ranks.
+
+    Percentile CUT SELECTION is where engines diverge: interpolated
+    ``percentile()`` does float arithmetic, and ``ceil(0.05*n)`` can
+    straddle an integer boundary differently per libm. Here the cut row
+    is picked by pure integer arithmetic — ``(n+19) div 20`` and
+    ``(19n+19) div 20`` are ceil(n/20) and ceil(19n/20) exactly — and
+    the cut VALUES are pass-through doubles (never computed), so the
+    clamp is cross-engine bit-exact. The windows partition by
+    event_type (sharded); the cuts frame is group-cardinality and
+    broadcast back.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("value"))
+        ).alias("lo_cut"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("value")
+            )
+        ).alias("hi_cut"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut")
+    )
+    return (
+        ranked.select("event_type", "value")
+        .join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("n")).alias("n_events"),
+            F.max("lo_cut").alias("lo_cut"),
+            F.max("hi_cut").alias("hi_cut"),
+            F.sum(dec2(clamped)).cast("double").alias("winsorized_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate survival funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_funnel",
+    """
+    SELECT * FROM (
+        SELECT 0 AS stage, 'all' AS gate, COUNT(*) AS survivors
+        FROM documents
+        UNION ALL
+        SELECT 1, 'lang_known', COUNT(*) FROM documents
+        WHERE lang IS NOT NULL AND lang <> ''
+        UNION ALL
+        SELECT 2, 'length_ok', COUNT(*) FROM documents
+        WHERE lang IS NOT NULL AND lang <> ''
+          AND n_chars BETWEEN 80 AND 6000
+        UNION ALL
+        SELECT 3, 'has_terminal_punct', COUNT(*) FROM documents
+        WHERE lang IS NOT NULL AND lang <> ''
+          AND n_chars BETWEEN 80 AND 6000
+          AND (text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?')
+    )
+    ORDER BY stage
+    """,
+    doc="Corpus-curation observability: cumulative quality-gate "
+    "survival census in ONE scan (conditional aggregation), not one "
+    "scan per gate.",
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival counts through cumulative quality gates over documents.
+
+    The naive form scans the corpus once PER GATE (the oracle's UNION
+    ALL does exactly that — fine for DuckDB at sf0.01, catastrophic at
+    100 TB). The engine form computes every cumulative gate as a
+    conditional aggregate in ONE pass, then explodes the four counters
+    into rows — a single scan and a census-sized result regardless of
+    gate count. Mirrors the RefinedWeb/Gopher-style pipeline-stage
+    reporting a training-data curation run needs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    g1 = F.col("lang").isNotNull() & (F.col("lang") != "")
+    g2 = g1 & F.col("n_chars").between(80, 6000)
+    g3 = g2 & (
+        F.col("text").endswith(".")
+        | F.col("text").endswith("!")
+        | F.col("text").endswith("?")
+    )
+    counts = docs.agg(
+        F.count("*").alias("c0"),
+        F.count_if(g1).alias("c1"),
+        F.count_if(g2).alias("c2"),
+        F.count_if(g3).alias("c3"),
+    )
+    stages = F.array(
+        F.struct(F.lit(0).alias("stage"), F.lit("all").alias("gate"),
+                 F.col("c0").alias("survivors")),
+        F.struct(F.lit(1).alias("stage"), F.lit("lang_known").alias("gate"),
+                 F.col("c1").alias("survivors")),
+        F.struct(F.lit(2).alias("stage"), F.lit("length_ok").alias("gate"),
+                 F.col("c2").alias("survivors")),
+        F.struct(F.lit(3).alias("stage"),
+                 F.lit("has_terminal_punct").alias("gate"),
+                 F.col("c3").alias("survivors")),
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.gate", "s.survivors")
+        .orderBy("stage")
+    )

@@ -1,0 +1,174 @@
+"""Semantics + plan-shape tests for plans/extensions_distributed.py —
+the round-8 distributed-algebra patterns. Oracle parity is covered
+registry-wide by test_oracle_parity; these pin the SCALE claims the
+docstrings make (no SinglePartition rank, prefilter soundness,
+merge == recompute under arbitrary splits, funnel monotonicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+    _BLOOM_BITS,
+    q_bloom_semi_join,
+    q_filter_funnel,
+    q_global_rank,
+    q_incremental_agg_merge,
+    q_winsorize,
+)
+from prueba_tecnica_analista_etl_spark.plans.queries import _t, dec2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_rank_has_no_single_partition_window(spark, sf_dir):
+    """The whole point: global RANK() without funneling fact rows
+    through one reducer. The window must partition by bucket and the
+    only exchanges are hash exchanges + the offset broadcast."""
+    df = q_global_rank(spark, sf_dir)
+    plan = _plan(df)
+    assert "windowspecdefinition(bucket" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # the offsets frame
+
+
+def test_global_rank_matches_window_rank(spark, sf_dir):
+    """Bucketed rank == the single-window rank Spark itself computes
+    (independent of the DuckDB oracle): ties across the bucket seam
+    would break equality, so this pins the same-value-same-bucket
+    invariant."""
+    got = {
+        r["event_id"]: r["global_rank"]
+        for r in q_global_rank(spark, sf_dir).collect()
+    }
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    want = {
+        r["event_id"]: r["rank"]
+        for r in ev.select(
+            "event_id",
+            F.rank().over(Window.orderBy("value")).alias("rank"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_merge_equals_recompute_for_any_split(spark, sf_dir):
+    """merge(state(before), state(after)) == state(all) for several
+    split points, including degenerate ones (all data in one leg) —
+    the property that makes delta refresh sound."""
+    ev = _t(spark, sf_dir, "events")
+
+    def full():
+        return {
+            r["user_id"]: (r["n"], r["tot"], r["mn"], r["mx"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(dec2(F.col("value"))).cast("double").alias("tot"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+
+    import prueba_tecnica_analista_etl_spark.plans.extensions_distributed as xd
+
+    want = full()
+    for split in ("2024-01-01 00:00:00", "2024-01-15 12:00:00",
+                  "2031-01-01 00:00:00"):
+        old = xd._SPLIT_TS
+        xd._SPLIT_TS = split
+        try:
+            got = {
+                r["user_id"]: (
+                    r["n_events"], r["total_value"],
+                    r["min_value"], r["max_value"],
+                )
+                for r in q_incremental_agg_merge(spark, sf_dir).collect()
+            }
+        finally:
+            xd._SPLIT_TS = old
+        assert got == want, f"merge != recompute at split {split}"
+
+
+def test_bloom_prefilter_is_sound_and_selective(spark, sf_dir):
+    """No false negatives by construction (same hash both sides) and
+    the bitset actually drops most non-matching fact rows: with the
+    BUILDING segment ~1/5 of customers, the pass-through fraction must
+    sit well under 1 (false-positive rate ≤ load factor of the
+    bitset). Soundness is already proven by oracle parity; this pins
+    SELECTIVITY — the property that makes the prefilter worth its
+    cost at 100 TB."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    buckets = [
+        r[0]
+        for r in cust.select(
+            F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(_BLOOM_BITS))
+            .alias("b")
+        ).distinct().collect()
+    ]
+    load = len(buckets) / _BLOOM_BITS
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.count()
+    kept = orders.filter(
+        F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(_BLOOM_BITS)).isin(
+            buckets
+        )
+    ).count()
+    true_matches = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    ).count()
+    assert kept >= true_matches  # soundness: nothing true was dropped
+    # Selectivity: pass-through ≤ true fraction + bitset load factor
+    # (+small slack) — i.e. the filter is doing real work.
+    assert kept / total <= true_matches / total + load + 0.05
+
+
+def test_bloom_semi_join_plan_filters_before_join(spark, sf_dir):
+    """The bitset test must appear as a Filter below the broadcast
+    semi-join (map-side, pre-shuffle), not above it."""
+    plan = _plan(q_bloom_semi_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    jpos = plan.index("LeftSemi")
+    fpos = plan.index("getbit")
+    assert fpos > jpos  # executedPlan prints top-down: filter deeper
+
+
+def test_winsorize_clamps_within_cuts(spark, sf_dir):
+    """Every group's cut pair is ordered and the winsorized sum lies
+    between n*lo and n*hi — the invariant that survives any data."""
+    for r in q_winsorize(spark, sf_dir).collect():
+        assert r["lo_cut"] <= r["hi_cut"]
+        n, s = r["n_events"], r["winsorized_sum"]
+        assert n * r["lo_cut"] - 1e-6 <= s <= n * r["hi_cut"] + 1e-6
+
+
+def test_winsorize_integer_ranks_on_tiny_groups(spark):
+    """n=1 and n=20 edge cases of the integer rank arithmetic:
+    ceil(n/20) and ceil(19n/20) via (n+19) div 20 / (19n+19) div 20."""
+    for n, lo, hi in [(1, 1, 1), (19, 1, 19), (20, 1, 19), (21, 2, 20),
+                      (40, 2, 38)]:
+        assert (n + 19) // 20 == -(-n // 20) == lo
+        assert (19 * n + 19) // 20 == -(-19 * n // 20) == hi
+
+
+def test_filter_funnel_is_monotone_and_single_scan(spark, sf_dir):
+    df = q_filter_funnel(spark, sf_dir)
+    rows = df.collect()
+    survivors = [r["survivors"] for r in sorted(rows, key=lambda r: r["stage"])]
+    assert len(survivors) == 4
+    assert survivors == sorted(survivors, reverse=True)
+    # One scan: exactly one parquet FileScan of documents in the plan
+    # (AQE prints Final + Initial sections — count the final only).
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
