@@ -112,6 +112,61 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUFFLE_SEED = "shuffle-seed-42:"
+
+
+@query(
+    "q_train_order",
+    f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5('{_SHUFFLE_SEED}' || doc_id), doc_id
+           ) AS position
+    FROM documents
+    """,
+    doc="Reproducible global training order: seeded md5 shuffle key, "
+    "global position via the bucket-histogram rank pattern — no "
+    "SinglePartition window over the corpus.",
+)
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training-data emission.
+
+    Training runs need a REPRODUCIBLE corpus-wide shuffle: the same
+    seed must yield the same document order on any cluster size, and
+    assigning the order must not serialize the corpus through one
+    reducer. The shuffle key is ``md5(seed || doc_id)`` (cross-engine
+    identical hex, same trick as the sampling operators); the global
+    position reuses q_global_rank's histogram pattern with the
+    md5-hex PREFIX as the bucket — 256 buckets whose histogram is a
+    census-sized collect, uniform by construction (md5 prefixes are
+    uniform), so no skew guard is needed. ROW_NUMBER (not RANK)
+    semantics hold because the tiebreak (key, doc_id) is a total
+    order: ranks within a bucket never collide, and buckets
+    partition the keyspace by prefix so offsets compose exactly.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id")))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    keyed = docs.select(
+        "doc_id", key.alias("skey"), bucket.alias("bucket")
+    )
+    hist = sorted(
+        (r["bucket"], r["n"])
+        for r in keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for b, n in hist:
+        offsets.append((b, running))
+        running += n
+    off_df = spark.createDataFrame(offsets, "bucket int, offset long")
+    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    return keyed.join(F.broadcast(off_df), "bucket").select(
+        "doc_id",
+        (F.col("offset") + F.row_number().over(w)).alias("position"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Materialized-aggregate delta refresh
 # ---------------------------------------------------------------------------

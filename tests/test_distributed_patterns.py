@@ -57,6 +57,25 @@ def test_global_rank_matches_window_rank(spark, sf_dir):
     assert got == want
 
 
+def test_train_order_is_a_permutation_without_single_partition(spark, sf_dir):
+    """Positions are exactly 1..n (ROW_NUMBER semantics survive the
+    bucket seam) and the plan never funnels the corpus through one
+    reducer; rerunning yields the identical order (seeded shuffle)."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+        q_train_order,
+    )
+
+    df = q_train_order(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    rows = df.collect()
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(1, len(rows) + 1))
+    again = {r["doc_id"]: r["position"]
+             for r in q_train_order(spark, sf_dir).collect()}
+    assert again == {r["doc_id"]: r["position"] for r in rows}
+
+
 def test_incremental_merge_equals_recompute_for_any_split(spark, sf_dir):
     """merge(state(before), state(after)) == state(all) for several
     split points, including degenerate ones (all data in one leg) —
