@@ -1,0 +1,105 @@
+"""Distributed global ordering — rank/row_number over a whole table
+without an ``Exchange SinglePartition``.
+
+``RANK() OVER (ORDER BY k)`` in one window serializes every row
+through a single reducer — the canonical scale-killer. The
+distributed form used here (the classic two-pass / TeraSort-histogram
+scheme):
+
+1. assign each row a BUCKET that is monotone w.r.t. the sort key
+   (equal keys → equal bucket, bucket boundaries respect key order);
+2. collect the per-bucket histogram — census-sized (``n_buckets``
+   rows, independent of table size) — and prefix-sum it driver-side
+   into per-bucket OFFSETS;
+3. broadcast the offsets back and rank WITHIN buckets
+   (``Window.partitionBy(bucket)`` — a sharded window), adding the
+   bucket's offset.
+
+Correctness across the bucket seam:
+
+* ``rank``: ties carry equal keys, equal keys share a bucket, so a
+  tie group never spans buckets and ``offset + rank_within`` is the
+  global rank exactly.
+* ``row_number``: requires the window order to be a TOTAL order
+  (caller supplies tiebreak columns); then within-bucket numbering is
+  unambiguous and offsets compose exactly.
+
+Used by q_global_rank / q_train_order (plans/extensions_distributed)
+and unit-tested on adversarial distributions (all-equal keys, single
+row, heavy duplication) in tests/test_distributed_patterns.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET = "__rank_bucket"
+
+
+def numeric_bucket(
+    col: Column, lo: float, hi: float, n_buckets: int
+) -> Column:
+    """Monotone bucket id for a numeric sort key: fixed-width grid
+    over [lo, hi], clamped to [0, n_buckets-1]. Equal values always
+    land in the same bucket (pure function of the value), and the
+    grid respects numeric order, so both bucketed_rank methods apply.
+    Degenerate ranges (lo == hi) collapse to one bucket via the
+    width floor."""
+    width = max((hi - lo) / n_buckets, 1e-12)
+    return F.least(
+        F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+
+
+def md5_prefix_bucket(col: Column, *, salt: str = "") -> Column:
+    """Bucket id for ordering by ``md5(salt || col)``: the first two
+    hex chars of the same hash (256 uniform buckets). Monotone w.r.t.
+    the hex-string order by construction (a string sorts within its
+    own prefix range). Returns (bucket, key) — the caller orders by
+    the returned key."""
+    key = F.md5(F.concat(F.lit(salt), col))
+    return F.conv(F.substring(key, 1, 2), 16, 10).cast("long"), key
+
+
+def bucketed_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column | str],
+    *,
+    method: str = "rank",
+    out_col: str = "global_rank",
+) -> DataFrame:
+    """Attach ``out_col`` = global rank/row_number of each row under
+    ``ORDER BY order_cols``, computed with the two-pass histogram
+    scheme (module docstring). ``bucket`` must be monotone w.r.t. the
+    order and, for ``method='rank'``, constant on ties; for
+    ``method='row_number'`` the order must be total.
+
+    The histogram ``collect`` is bounded by the bucket-id cardinality
+    — a census-sized driver transfer in the same class as an IVF
+    model or a shard manifest, never O(rows)."""
+    if method not in ("rank", "row_number"):
+        raise ValueError(f"unknown method {method!r}")
+    keyed = df.withColumn(_BUCKET, bucket)
+    hist = sorted(
+        (r[_BUCKET], r["n"])
+        for r in keyed.groupBy(_BUCKET).agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for b, n in hist:
+        offsets.append((b, running))
+        running += n
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0)], f"{_BUCKET} long, __rank_offset long"
+    )
+    w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    within = F.rank() if method == "rank" else F.row_number()
+    return (
+        keyed.join(F.broadcast(off), _BUCKET)
+        .withColumn(out_col, F.col("__rank_offset") + within.over(w))
+        .drop(_BUCKET, "__rank_offset")
+    )

@@ -33,6 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prueba_tecnica_analista_etl_spark.operators.rank import (
+    bucketed_rank,
+    md5_prefix_bucket,
+    numeric_bucket,
+)
 from prueba_tecnica_analista_etl_spark.plans.queries import (
     _t,
     dec2,
@@ -74,42 +79,18 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties are safe across the seam: equal values land in the same
     bucket, so ``offset + rank_within_bucket`` equals the global RANK
-    exactly. Bucket boundaries are engine-internal (the oracle never
-    sees them), so double arithmetic in the bucketing is harmless.
+    exactly (operators/rank.py proves the seam invariants). Bucket
+    boundaries are engine-internal (the oracle never sees them), so
+    double arithmetic in the bucketing is harmless.
     """
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     lo, hi = ev.agg(F.min("value"), F.max("value")).first()
-    width = max((hi - lo) / _RANK_BUCKETS, 1e-12)
-    bucket = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(0)
-        ),
-        F.lit(_RANK_BUCKETS - 1),
-    ).alias("bucket")
-    bucketed = ev.select("event_id", "value", bucket)
-
-    # Census-sized: ≤ _RANK_BUCKETS histogram rows, whatever the fact
-    # size. Cumulative offsets computed driver-side in exact ints.
-    hist = sorted(
-        (r["bucket"], r["n"])
-        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
-        .collect()
-    )
-    offsets, running = [], 0
-    for b, n in hist:
-        offsets.append((b, running))
-        running += n
-    off_df = spark.createDataFrame(offsets, "bucket long, offset long")
-
-    w = Window.partitionBy("bucket").orderBy("value")
-    return (
-        bucketed.join(F.broadcast(off_df), "bucket")
-        .select(
-            "event_id",
-            "value",
-            (F.col("offset") + F.rank().over(w)).alias("global_rank"),
-        )
-    )
+    return bucketed_rank(
+        ev,
+        numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS),
+        ["value"],
+        method="rank",
+    ).select("event_id", "value", "global_rank")
 
 
 _SHUFFLE_SEED = "shuffle-seed-42:"
@@ -142,29 +123,18 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform), so no skew guard is needed. ROW_NUMBER (not RANK)
     semantics hold because the tiebreak (key, doc_id) is a total
     order: ranks within a bucket never collide, and buckets
-    partition the keyspace by prefix so offsets compose exactly.
+    partition the keyspace by prefix so offsets compose exactly
+    (operators/rank.py).
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id")))
-    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
-    keyed = docs.select(
-        "doc_id", key.alias("skey"), bucket.alias("bucket")
-    )
-    hist = sorted(
-        (r["bucket"], r["n"])
-        for r in keyed.groupBy("bucket").agg(F.count("*").alias("n"))
-        .collect()
-    )
-    offsets, running = [], 0
-    for b, n in hist:
-        offsets.append((b, running))
-        running += n
-    off_df = spark.createDataFrame(offsets, "bucket int, offset long")
-    w = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-    return keyed.join(F.broadcast(off_df), "bucket").select(
-        "doc_id",
-        (F.col("offset") + F.row_number().over(w)).alias("position"),
-    )
+    bucket, key = md5_prefix_bucket(F.col("doc_id"), salt=_SHUFFLE_SEED)
+    return bucketed_rank(
+        docs.withColumn("skey", key),
+        bucket,
+        ["skey", "doc_id"],
+        method="row_number",
+        out_col="position",
+    ).select("doc_id", "position")
 
 
 # ---------------------------------------------------------------------------

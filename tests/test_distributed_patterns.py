@@ -30,7 +30,7 @@ def test_global_rank_has_no_single_partition_window(spark, sf_dir):
     only exchanges are hash exchanges + the offset broadcast."""
     df = q_global_rank(spark, sf_dir)
     plan = _plan(df)
-    assert "windowspecdefinition(bucket" in plan
+    assert "windowspecdefinition(__rank_bucket" in plan
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastExchange" in plan  # the offsets frame
 
@@ -55,6 +55,46 @@ def test_global_rank_matches_window_rank(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_bucketed_rank_on_adversarial_distributions(spark):
+    """The operator itself on the seams the queries can't hit: all
+    rows tied (every rank 1), one row, heavy duplication across a
+    tiny grid, and a degenerate lo==hi range — each compared to the
+    single-window truth computed on the same frame."""
+    from pyspark.sql import Window
+
+    from prueba_tecnica_analista_etl_spark.operators.rank import (
+        bucketed_rank,
+        numeric_bucket,
+    )
+
+    cases = [
+        [5.0] * 40,                      # all tied
+        [1.0],                           # single row
+        [float(i % 3) for i in range(50)],  # 3 distinct over any grid
+        [float(i) for i in range(20)],   # strictly increasing
+    ]
+    for i, values in enumerate(cases):
+        df = spark.createDataFrame(
+            [(j, v) for j, v in enumerate(values)], "id long, v double"
+        )
+        lo, hi = min(values), max(values)
+        for n_buckets in (1, 4, 16):
+            got = {
+                r["id"]: r["global_rank"]
+                for r in bucketed_rank(
+                    df, numeric_bucket(F.col("v"), lo, hi, n_buckets),
+                    ["v"], method="rank",
+                ).collect()
+            }
+            want = {
+                r["id"]: r["rank"]
+                for r in df.select(
+                    "id", F.rank().over(Window.orderBy("v")).alias("rank")
+                ).collect()
+            }
+            assert got == want, f"case {i} buckets {n_buckets}"
 
 
 def test_train_order_is_a_permutation_without_single_partition(spark, sf_dir):
