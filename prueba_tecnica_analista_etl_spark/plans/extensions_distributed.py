@@ -357,6 +357,72 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POSTINGS_CAP = 8
+
+
+@query(
+    "q_inverted_index",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ) WHERE term <> ''
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           list_slice(list(doc_id ORDER BY doc_id), 1, {_POSTINGS_CAP})
+             AS postings
+    FROM pairs
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 20
+    """,
+    doc="Retrieval-index build: per-term document frequency + ordered "
+    "posting list capped at a fixed length (skew-safe); top-20 terms "
+    "by df with total-order tiebreak.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents table: term → (df, postings).
+
+    The retrieval-side artifact the BM25/TF-IDF queries score against.
+    Plan shape for 100 TB: explode → ONE (term, doc_id) dedup shuffle,
+    then df and postings both aggregate on the SAME term key. The
+    posting list is capped BEFORE aggregation by a rank filter
+    (``row_number() <= cap`` — Catalyst rewrites it to
+    WindowGroupLimit, which keeps only the top-cap rows per term
+    DURING the sort), so a stopword's aggregation buffer holds at most
+    ``_POSTINGS_CAP`` entries; ``collect_list`` over the full posting
+    set would be the unbounded-row skew case the LSH family also
+    guards against. Top-20 via TakeOrderedAndProject; (df DESC, term)
+    is a total order because term is unique per row.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1))
+    )
+    df_counts = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return (
+        df_counts.join(postings, "term")
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality-gate survival funnel
 # ---------------------------------------------------------------------------

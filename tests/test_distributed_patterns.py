@@ -221,6 +221,23 @@ def test_winsorize_integer_ranks_on_tiny_groups(spark):
         assert (19 * n + 19) // 20 == -(-19 * n // 20) == hi
 
 
+def test_inverted_index_caps_postings_via_window_group_limit(spark, sf_dir):
+    """The skew guard is structural: the rank filter must compile to
+    WindowGroupLimit (bounded per-term state during the sort), and no
+    emitted posting list may exceed the cap even when df does."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+        _POSTINGS_CAP,
+        q_inverted_index,
+    )
+
+    df = q_inverted_index(spark, sf_dir)
+    assert "WindowGroupLimit" in _plan(df)
+    for r in df.collect():
+        assert 1 <= len(r["postings"]) <= _POSTINGS_CAP
+        assert r["postings"] == sorted(r["postings"])
+        assert r["df"] >= len(r["postings"])
+
+
 def test_filter_funnel_is_monotone_and_single_scan(spark, sf_dir):
     df = q_filter_funnel(spark, sf_dir)
     rows = df.collect()
