@@ -33,6 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prueba_tecnica_analista_etl_spark.operators.bloom import (
+    bitset_semi_join,
+)
 from prueba_tecnica_analista_etl_spark.operators.rank import (
     bucketed_rank,
     md5_prefix_bucket,
@@ -236,36 +239,19 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is exactly the plain semi-join the oracle runs.
 
     The driver-side ``collect`` gathers DISTINCT BUCKET IDS — bounded
-    at ``_BLOOM_BITS`` ints no matter how large the dim is.
+    at ``_BLOOM_BITS`` ints no matter how large the dim is
+    (operators/bloom.py).
     """
     cust = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(_BLOOM_BITS))  # noqa: E731
-    buckets = [
-        r[0]
-        for r in cust.select(bucket_of(F.col("c_custkey")).alias("b"))
-        .distinct()
-        .collect()
-    ]
-    words = [0] * (_BLOOM_BITS // 64)
-    for b in buckets:
-        words[b // 64] |= 1 << (b % 64)
-    # Wrap to signed 64-bit so the literal fits Spark's LongType.
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-
     orders = _t(spark, sf_dir, "orders")
-    b = bucket_of(F.col("o_custkey"))
-    word = F.element_at(
-        F.lit(words), (b / 64).cast("int") + 1  # element_at is 1-based
-    )
-    hit = F.getbit(word, (b % 64).cast("int")) == 1
     return (
-        orders.filter(hit)  # map-side prefilter: no shuffle, no scan re-read
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
-              "left_semi")
+        bitset_semi_join(
+            orders, cust, "o_custkey", "c_custkey", bits=_BLOOM_BITS
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),

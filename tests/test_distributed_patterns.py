@@ -203,6 +203,33 @@ def test_bloom_semi_join_plan_filters_before_join(spark, sf_dir):
     assert fpos > jpos  # executedPlan prints top-down: filter deeper
 
 
+def test_bitset_semi_join_equals_plain_semi_join(spark):
+    """Operator-level property: identical rows to the plain semi-join
+    on frames with NULL keys, non-matching keys and an empty dim."""
+    from prueba_tecnica_analista_etl_spark.operators.bloom import (
+        bitset_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "c"), (5, "a"), (6, "z")],
+        "id long, k string",
+    )
+    for dim_rows in ([("a",), ("c",), (None,)], []):
+        dim = spark.createDataFrame(dim_rows, "dk string")
+        got = sorted(
+            r["id"]
+            for r in bitset_semi_join(fact, dim, "k", "dk", bits=64)
+            .collect()
+        )
+        want = sorted(
+            r["id"]
+            for r in fact.join(
+                dim, fact["k"] == dim["dk"], "left_semi"
+            ).collect()
+        )
+        assert got == want, f"dim={dim_rows}"
+
+
 def test_winsorize_clamps_within_cuts(spark, sf_dir):
     """Every group's cut pair is ordered and the winsorized sum lies
     between n*lo and n*hi — the invariant that survives any data."""
