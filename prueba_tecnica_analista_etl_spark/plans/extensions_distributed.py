@@ -5,12 +5,18 @@ at 100 TB, expressed so the result is still exactly ANSI-SQL-checkable
 against the DuckDB oracle:
 
 * ``q_global_rank``      — global RANK() without a SinglePartition
-                           window: bucket histogram + offset broadcast.
+                           window: bucket histogram + offset broadcast
+                           (operators/rank.py).
+* ``q_train_order``      — reproducible seeded global shuffle order
+                           for training emission (same rank pattern,
+                           md5-prefix buckets).
 * ``q_incremental_agg_merge`` — materialized-aggregate delta refresh:
                            merge(partial states) == full re-aggregation.
 * ``q_bloom_semi_join``  — semi-join reduction: a broadcast bitset
                            prefilter drops non-matching fact rows
-                           BEFORE the join shuffle.
+                           BEFORE the join shuffle (operators/bloom.py).
+* ``q_inverted_index``   — term → (df, posting list) with the posting
+                           cap applied DURING the sort (WindowGroupLimit).
 * ``q_winsorize``        — per-group percentile clamp with explicit
                            integer rank arithmetic (cross-engine exact).
 * ``q_filter_funnel``    — multi-stage quality-gate survival census in
