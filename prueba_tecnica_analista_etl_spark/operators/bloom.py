@@ -26,7 +26,16 @@ from pyspark.sql import functions as F
 
 
 def _bucket(col: Column, bits: int) -> Column:
-    return F.pmod(F.xxhash64(col), F.lit(bits))
+    # NULL-safe on purpose: xxhash64(NULL) is the SEED CONSTANT, so a
+    # bare hash would send every NULL key to one real bucket — NULL
+    # fact rows would then pass the prefilter whenever that bucket is
+    # occupied (and always, if the dim has a NULL key), surviving to
+    # the join they can never match. Propagating NULL instead makes
+    # the getbit test NULL → filter false → NULL keys die map-side,
+    # which is the equi-join semantics the docstring promises.
+    return F.when(
+        col.isNotNull(), F.pmod(F.xxhash64(col), F.lit(bits))
+    )
 
 
 def bitset_words(dim: DataFrame, dim_key: str, bits: int = 8192) -> list[int]:
@@ -39,6 +48,7 @@ def bitset_words(dim: DataFrame, dim_key: str, bits: int = 8192) -> list[int]:
         for r in dim.select(_bucket(F.col(dim_key), bits).alias("b"))
         .distinct()
         .collect()
+        if r[0] is not None  # NULL dim keys can never match anything
     ]
     words = [0] * (bits // 64)
     for b in buckets:

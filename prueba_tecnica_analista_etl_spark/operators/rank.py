@@ -45,15 +45,24 @@ def numeric_bucket(
     land in the same bucket (pure function of the value), and the
     grid respects numeric order, so both bucketed_rank methods apply.
     Degenerate ranges (lo == hi) collapse to one bucket via the
-    width floor."""
+    width floor. NULL values map to a NULL bucket EXPLICITLY — the
+    bare clamp would silently send them to bucket 0, because Spark's
+    ``greatest``/``least`` skip NULL operands instead of propagating
+    them; bucketed_rank then refuses the NULL rather than ranking a
+    keyless row."""
     width = max((hi - lo) / n_buckets, 1e-12)
-    return F.least(
-        F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(n_buckets - 1),
-    ).cast("long")
+    return F.when(
+        col.isNotNull(),
+        F.least(
+            F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_buckets - 1),
+        ).cast("long"),
+    )
 
 
-def md5_prefix_bucket(col: Column, *, salt: str = "") -> Column:
+def md5_prefix_bucket(
+    col: Column, *, salt: str = ""
+) -> tuple[Column, Column]:
     """Bucket id for ordering by ``md5(salt || col)``: the first two
     hex chars of the same hash (256 uniform buckets). Monotone w.r.t.
     the hex-string order by construction (a string sorts within its
@@ -83,11 +92,21 @@ def bucketed_rank(
     if method not in ("rank", "row_number"):
         raise ValueError(f"unknown method {method!r}")
     keyed = df.withColumn(_BUCKET, bucket)
-    hist = sorted(
-        (r[_BUCKET], r["n"])
-        for r in keyed.groupBy(_BUCKET).agg(F.count("*").alias("n"))
-        .collect()
-    )
+    hist_rows = keyed.groupBy(_BUCKET).agg(F.count("*").alias("n")).collect()
+    if any(r[_BUCKET] is None for r in hist_rows):
+        # A NULL bucket (NULL sort key through numeric_bucket /
+        # md5_prefix_bucket) has no place in the key order — and the
+        # inner offset join would silently DROP those rows, a worse
+        # failure than stopping. Engines disagree on NULL placement
+        # anyway (Spark windows default NULLS FIRST, DuckDB NULLS
+        # LAST), so the caller must decide: filter them out or
+        # coalesce to a sentinel key first.
+        raise ValueError(
+            "bucketed_rank: bucket expression produced NULL (NULL sort "
+            "key?) — filter NULL keys or coalesce them to a sentinel "
+            "before ranking"
+        )
+    hist = sorted((r[_BUCKET], r["n"]) for r in hist_rows)
     offsets, running = [], 0
     for b, n in hist:
         offsets.append((b, running))

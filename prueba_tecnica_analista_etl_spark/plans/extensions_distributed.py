@@ -67,6 +67,7 @@ _RANK_BUCKETS = 1024
     SELECT event_id, value,
            RANK() OVER (ORDER BY value) AS global_rank
     FROM events
+    WHERE value IS NOT NULL
     """,
     doc="Distributed global RANK(): per-bucket rank + broadcast offsets; "
     "no Exchange SinglePartition over fact rows (plan-asserted).",
@@ -92,8 +93,21 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are engine-internal (the oracle never sees them), so
     double arithmetic in the bucketing is harmless.
     """
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    # NULL measurements are excluded EXPLICITLY in both engines: their
+    # rank placement is an engine default (Spark NULLS FIRST, DuckDB
+    # NULLS LAST), exactly the ambiguity a declared query must not
+    # leave to chance; bucketed_rank refuses NULL keys for the same
+    # reason.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    if lo is None:  # zero surviving rows — rank of nothing is nothing
+        return ev.select(
+            "event_id", "value", F.lit(None).cast("long").alias("global_rank")
+        )
     return bucketed_rank(
         ev,
         numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS),
@@ -185,6 +199,11 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     split = F.lit(_SPLIT_TS).cast("timestamp")
+    # NULL-ts rows ride the BASE leg explicitly: both range predicates
+    # evaluate NULL for them (three-valued logic), so without the
+    # isNull() arm they would fall out of BOTH legs and merge !=
+    # recompute — the oracle aggregates every row unconditionally.
+    in_base = (F.col("ts") < split) | F.col("ts").isNull()
 
     def state(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
@@ -194,8 +213,8 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
 
-    base = state(ev.filter(F.col("ts") < split))
-    delta = state(ev.filter(F.col("ts") >= split))
+    base = state(ev.filter(in_base))
+    delta = state(ev.filter(~in_base))
     return (
         base.unionByName(delta)
         .groupBy("user_id")
@@ -280,6 +299,7 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events
+        WHERE value IS NOT NULL
     ), cuts AS (
         SELECT event_type,
                MAX(n) AS n,
@@ -312,9 +332,16 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut VALUES are pass-through doubles (never computed), so the
     clamp is cross-engine bit-exact. The windows partition by
     event_type (sharded); the cuts frame is group-cardinality and
-    broadcast back.
+    broadcast back. NULL measurements are excluded EXPLICITLY in both
+    engines (their rank placement is an engine default — Spark NULLS
+    FIRST vs DuckDB NULLS LAST — which would shift every rn by one
+    and move the cut rows).
     """
-    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = ev.select(
         "event_type",
@@ -397,8 +424,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
         )
         .filter(F.col("term") != "")
-        .groupBy("term", "doc_id")
-        .agg(F.lit(1))
+        # pure set-dedup (no survivor choice to declare): one shuffle
+        # on (term, doc_id), mirroring the oracle's SELECT DISTINCT
+        .distinct()
     )
     df_counts = pairs.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("term").orderBy("doc_id")

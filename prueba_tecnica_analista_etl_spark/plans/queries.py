@@ -88,27 +88,32 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-# Plan-construction caches. A DataFrame is an immutable logical plan,
+# Plan-construction cache. A DataFrame is an immutable logical plan,
 # so one per (session, sf_dir, table) can be shared by every query:
-# without this, each of the 44 declared queries pays its own parquet
-# file-listing + footer schema read + a round of conf.set py4j calls —
-# measured as the DOMINANT cost of the whole bench at sf0.1 (driver-side
-# plan building, not execution). Keyed by id(spark) with the session
-# object held in the value to make the identity check sound.
-_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
-_CONF_ENSURED: dict[int, SparkSession] = {}
+# without this, each declared query pays its own parquet file-listing
+# + footer schema read + a round of conf.set py4j calls — measured as
+# the DOMINANT cost of the whole bench at sf0.1 (driver-side plan
+# building, not execution). The cache lives ON the session object
+# (not in a module-level dict keyed by id(spark)): it is collected
+# with the session, so long-lived multi-session processes never pin
+# stopped sessions or their plans — the same lifetime hazard the r7
+# _FOOTER_SESSIONS fix addressed, solved here by ownership instead of
+# weakrefs. Creating the cache doubles as the once-per-session
+# ensure_runtime_conf gate.
+_PLAN_CACHE_ATTR = "_ptae_plan_cache"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if _CONF_ENSURED.get(id(spark)) is not spark:
+    cache = getattr(spark, _PLAN_CACHE_ATTR, None)
+    if cache is None:
         ensure_runtime_conf(spark)
-        _CONF_ENSURED[id(spark)] = spark
-    key = (id(spark), sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    df = load_table(spark, sf_dir, name)
-    _TABLE_CACHE[key] = (spark, df)
+        cache = {}
+        setattr(spark, _PLAN_CACHE_ATTR, cache)
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = load_table(spark, sf_dir, name)
+        cache[key] = df
     return df
 
 

@@ -42,6 +42,11 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest"
 DATA = "data"
 SHARD_COL = "shard_id"
+# Checksum definition identifier, recorded in every manifest. Bump it
+# whenever the fold changes (as bit_xor → this sum did) so a verifier
+# rejects the mismatch BY NAME instead of reporting phantom tampering
+# against manifests written under the old definition.
+CHECKSUM_ALGO = "sum-xxhash64-mod-p63"
 
 
 def _row_hash(cols: Sequence[str]):
@@ -115,15 +120,10 @@ def export_training_shards(
                 "writes no part files and cannot produce a valid "
                 "manifest (almost certainly an upstream bug)"
             )
-    elif df.limit(1).count() == 0:
-        # same guard on the n_shards path: fail BEFORE writing, not
-        # mid-export with a dangling ._tmp dir (ADVICE r7 — the empty
-        # data dir breaks read-back schema inference).
-        raise ValueError(
-            "refusing to export an empty frame: zero-row input "
-            "writes no part files and cannot produce a valid "
-            "manifest (almost certainly an upstream bug)"
-        )
+    # (The n_shards path checks emptiness AFTER the write, at file
+    # level — a pre-write limit(1).count() would execute the full
+    # upstream lineage one extra time, the exact double-scan this
+    # module's manifest design avoids.)
 
     sharded = df.withColumn(
         SHARD_COL,
@@ -135,6 +135,21 @@ def export_training_shards(
     sharded.write.partitionBy(SHARD_COL).mode("overwrite").parquet(
         os.path.join(tmp, DATA)
     )
+    # Empty-input guard (ADVICE r7): a zero-row frame writes no
+    # shard_id=* dirs, and reading the empty data dir back fails
+    # schema inference mid-export. Detect it from the WRITTEN FILES
+    # (free — one listdir, no extra lineage run), clean up the tmp
+    # dir, and fail with intent.
+    if not any(
+        e.startswith(f"{SHARD_COL}=")
+        for e in os.listdir(os.path.join(tmp, DATA))
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            "refusing to export an empty frame: zero-row input "
+            "writes no part files and cannot produce a valid "
+            "manifest (almost certainly an upstream bug)"
+        )
     # The manifest is derived from the WRITTEN FILES, never from the
     # input frame: re-evaluating `sharded` for the aggregate would (a)
     # run the full upstream lineage a second time — a double scan at
@@ -160,7 +175,16 @@ def export_training_shards(
             for sid, m in sorted(stats.items())
         ],
         ", ".join(f"{c} long" for c in cols),
-    ).withColumn(SHARD_COL, F.col(SHARD_COL).cast("int")).write.mode(
+    ).withColumn(SHARD_COL, F.col(SHARD_COL).cast("int")).withColumn(
+        # Version the checksum definition INTO the manifest: a
+        # verifier re-deriving with a different fold would otherwise
+        # report every shard as tampered (the bit_xor→sum migration
+        # would have done exactly that to pre-migration manifests).
+        # verify_training_shards refuses mismatched algos by name
+        # instead of crying corruption.
+        "checksum_algo",
+        F.lit(CHECKSUM_ALGO),
+    ).write.mode(
         "overwrite"
     ).parquet(os.path.join(tmp, MANIFEST))
 
@@ -173,16 +197,19 @@ def export_training_shards(
 
 def _manifest_dict(
     spark: SparkSession, path: str
-) -> dict[int, dict[str, int]]:
+) -> tuple[dict[int, dict[str, int]], str | None]:
+    """Per-shard numeric stats plus the recorded checksum algo
+    (None for manifests predating the algo marker)."""
     rows = spark.read.parquet(os.path.join(path, MANIFEST)).collect()
+    algo = rows[0]["checksum_algo"] if rows and "checksum_algo" in rows[0].asDict() else None
     return {
         int(r[SHARD_COL]): {
             k: int(v)
             for k, v in r.asDict().items()
-            if k != SHARD_COL and v is not None
+            if k not in (SHARD_COL, "checksum_algo") and v is not None
         }
         for r in rows
-    }
+    }, algo
 
 
 def verify_training_shards(
@@ -194,9 +221,22 @@ def verify_training_shards(
     ``{shard_id: reason}`` — a lost file, duplicated row, bit-flip or
     truncated write all surface as a named mismatch, before a training
     job consumes garbage."""
+    manifest, algo = _manifest_dict(spark, path)
+    if algo != CHECKSUM_ALGO:
+        # A manifest written under a different checksum definition
+        # CANNOT be content-verified by this code — surface that as a
+        # single named problem (sentinel shard -1), not as per-shard
+        # "corruption" that would be indistinguishable from real
+        # tampering.
+        return {
+            -1: (
+                f"manifest checksum algo {algo!r} is not the supported "
+                f"{CHECKSUM_ALGO!r}; re-export with the current writer "
+                "to make the shards verifiable"
+            )
+        }
     data = spark.read.parquet(os.path.join(path, DATA))
     derived = _shard_stats(data, token_col)
-    manifest = _manifest_dict(spark, path)
 
     problems: dict[int, str] = {}
     for sid in sorted(set(manifest) | set(derived)):

@@ -176,8 +176,9 @@ def footer_stats_session(spark: SparkSession) -> SparkSession:
     proven value-equal to the V1 path by
     ``test_footer_stats_session_pushes_aggregates``.
 
-    The configured clone is MEMOIZED per parent session (the
-    _CONF_ENSURED pattern): session construction + conf py4j round
+    The configured clone is MEMOIZED per parent session (same
+    rationale as plans/queries.py's per-session plan cache): session
+    construction + conf py4j round
     trips are the documented dominant driver-side cost of repeated
     tiny queries, and un-cached clones would accumulate on the shared
     SparkContext for the process lifetime.

@@ -203,6 +203,55 @@ def test_bloom_semi_join_plan_filters_before_join(spark, sf_dir):
     assert fpos > jpos  # executedPlan prints top-down: filter deeper
 
 
+def test_bucketed_rank_rejects_null_keys(spark):
+    """A NULL sort key has no defined place in the order (engines
+    disagree: Spark NULLS FIRST, DuckDB NULLS LAST) and the offset
+    join would silently DROP the row — the operator must stop with an
+    actionable error instead."""
+    import pytest
+
+    from prueba_tecnica_analista_etl_spark.operators.rank import (
+        bucketed_rank,
+        md5_prefix_bucket,
+        numeric_bucket,
+    )
+
+    with_null = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_rank(
+            with_null, numeric_bucket(F.col("v"), 2.0, 5.0, 4), ["v"]
+        ).collect()
+    docs = spark.createDataFrame([("a",), (None,)], "doc_id string")
+    bucket, key = md5_prefix_bucket(F.col("doc_id"))
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_rank(
+            docs.withColumn("k", key), bucket, ["k"], method="row_number"
+        ).collect()
+
+
+def test_bitset_prefilter_kills_null_keys_map_side(spark):
+    """The docstring's equi-join-parity claim for NULL keys must hold
+    at the PREFILTER, not only after the exact join: a bare
+    xxhash64(NULL) is the seed constant, which would let every
+    NULL-key fact row through whenever the dim occupies that bucket —
+    guaranteed when the dim itself has a NULL key."""
+    from prueba_tecnica_analista_etl_spark.operators.bloom import (
+        bitset_prefilter,
+        bitset_words,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, k string"
+    )
+    dim = spark.createDataFrame([("a",), (None,)], "dk string")
+    words = bitset_words(dim, "dk", bits=64)
+    kept = bitset_prefilter(fact, "k", words, bits=64).collect()
+    assert all(r["k"] is not None for r in kept)
+    assert {r["id"] for r in kept} >= {1}  # true match always survives
+
+
 def test_bitset_semi_join_equals_plain_semi_join(spark):
     """Operator-level property: identical rows to the plain semi-join
     on frames with NULL keys, non-matching keys and an empty dim."""

@@ -784,8 +784,11 @@ def test_export_training_shards_detects_tampering(spark, sf_dir, tmp_path):
 def test_export_training_shards_rejects_empty_frame(spark, tmp_path):
     """ADVICE r7: a zero-row input used to write zero part files and
     crash mid-export on read-back schema inference, stranding a
-    ``._tmp`` dir. Both sizing paths must now fail fast, BEFORE any
-    write."""
+    ``._tmp`` dir. Both sizing paths must fail with a clear error and
+    leave NOTHING behind — the target_rows path before any write (its
+    sizing count already proves emptiness), the n_shards path right
+    after the (empty, cheap) write via a file-level check, so the
+    guard never re-runs the upstream lineage."""
     import os
 
     import pytest as _pytest
@@ -1092,3 +1095,31 @@ def test_footer_stats_session_pushes_aggregates(spark, sf_dir):
         .agg(F.min("o_totalprice"))
         .first()[0]
     )
+
+
+def test_export_manifest_records_checksum_algo(spark, tmp_path):
+    """The checksum definition is versioned INTO the manifest: a
+    verifier facing a manifest written under a different fold must
+    refuse BY NAME (sentinel shard -1), never report per-shard
+    'corruption' indistinguishable from tampering (the bit_xor → sum
+    migration would have done exactly that to old manifests)."""
+    import prueba_tecnica_analista_etl_spark.sources.export as ex
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+    )
+    good = str(tmp_path / "good")
+    ex.export_training_shards(df, good, "doc_id", n_shards=4)
+    assert ex.verify_training_shards(spark, good) == {}
+
+    legacy = str(tmp_path / "legacy")
+    orig = ex.CHECKSUM_ALGO
+    ex.CHECKSUM_ALGO = "bit_xor-legacy"
+    try:
+        ex.export_training_shards(df, legacy, "doc_id", n_shards=4)
+    finally:
+        ex.CHECKSUM_ALGO = orig
+    problems = ex.verify_training_shards(spark, legacy)
+    assert set(problems) == {-1}
+    assert "bit_xor-legacy" in problems[-1]
+    assert "re-export" in problems[-1]
