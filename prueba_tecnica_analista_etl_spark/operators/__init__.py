@@ -22,6 +22,15 @@ from prueba_tecnica_analista_etl_spark.operators.events import (
     ordered_funnel,
 )
 from prueba_tecnica_analista_etl_spark.operators.upsert import snapshot_diff
+from prueba_tecnica_analista_etl_spark.operators.bloom import (
+    bitset_prefilter,
+    bitset_semi_join,
+)
+from prueba_tecnica_analista_etl_spark.operators.rank import (
+    bucketed_rank,
+    md5_prefix_bucket,
+    numeric_bucket,
+)
 
 __all__ = [
     "keep_first",
@@ -38,4 +47,9 @@ __all__ = [
     "snapshot_diff",
     "ordered_funnel",
     "cohort_retention",
+    "bitset_prefilter",
+    "bitset_semi_join",
+    "bucketed_rank",
+    "md5_prefix_bucket",
+    "numeric_bucket",
 ]
