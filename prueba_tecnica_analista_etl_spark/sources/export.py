@@ -97,6 +97,7 @@ def export_training_shards(
     n_shards: int | None = None,
     target_rows_per_shard: int | None = None,
     token_col: str | None = None,
+    order_col: str | None = None,
 ) -> dict[int, dict[str, int]]:
     """Write ``df`` as hash-sharded parquet plus a manifest; returns
     the manifest as ``{shard_id: {rows, tokens?, checksum}}``.
@@ -105,6 +106,14 @@ def export_training_shards(
     given (the latter costs one count to size the shard set). The
     manifest lives at ``{path}/_manifest`` (parquet) and every shard at
     ``{path}/data/shard_id={i}/``.
+
+    ``order_col`` emits each shard's rows SORTED by that column —
+    ``sortWithinPartitions``, a per-shard local sort with no extra
+    shuffle or global ordering cost — so a training job that pairs it
+    with a deterministic position (q_train_order's seeded global
+    shuffle rank) reads every shard in reproducible curriculum order.
+    The manifest checksum is order-insensitive, so ordered and
+    unordered exports of the same rows verify identically.
     """
     if (n_shards is None) == (target_rows_per_shard is None):
         raise ValueError(
@@ -129,6 +138,13 @@ def export_training_shards(
         SHARD_COL,
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int"),
     )
+    if order_col is not None:
+        # One shuffle co-locates each shard in a single task, then a
+        # LOCAL sort by (shard, order) makes every shard's file(s)
+        # internally ordered — no global sort, no single reducer.
+        sharded = sharded.repartition(
+            n_shards, F.col(SHARD_COL)
+        ).sortWithinPartitions(SHARD_COL, order_col)
 
     tmp = path + "._tmp"
     shutil.rmtree(tmp, ignore_errors=True)

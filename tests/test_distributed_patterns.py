@@ -74,6 +74,7 @@ def test_bucketed_rank_on_adversarial_distributions(spark):
         [1.0],                           # single row
         [float(i % 3) for i in range(50)],  # 3 distinct over any grid
         [float(i) for i in range(20)],   # strictly increasing
+        [(-1.0) ** i * i * 0.7 for i in range(30)],  # negatives + zero
     ]
     for i, values in enumerate(cases):
         df = spark.createDataFrame(

@@ -1123,3 +1123,57 @@ def test_export_manifest_records_checksum_algo(spark, tmp_path):
     assert set(problems) == {-1}
     assert "bit_xor-legacy" in problems[-1]
     assert "re-export" in problems[-1]
+
+
+def test_export_ordered_shards_compose_with_train_order(
+    spark, sf_dir, tmp_path
+):
+    """order_col: every shard's parquet rows come back in ascending
+    order of the seeded global-shuffle position (q_train_order), the
+    shard membership is unchanged vs an unordered export, and the
+    manifest still verifies (the checksum is order-insensitive)."""
+    from pyspark.sql import functions as F
+
+    import prueba_tecnica_analista_etl_spark.sources.export as ex
+    from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+        q_train_order,
+    )
+
+    ordered = q_train_order(spark, sf_dir)
+    path = str(tmp_path / "ordered_shards")
+    ex.export_training_shards(
+        ordered, path, "doc_id", n_shards=4, order_col="position"
+    )
+    assert ex.verify_training_shards(spark, path) == {}
+
+    import glob
+    import os
+
+    for shard_dir in sorted(
+        glob.glob(os.path.join(path, ex.DATA, f"{ex.SHARD_COL}=*"))
+    ):
+        files = sorted(glob.glob(os.path.join(shard_dir, "part-*")))
+        assert len(files) == 1, "a shard split across files breaks read order"
+        rows = spark.read.parquet(shard_dir).collect()
+        # parquet preserves row order within a file; re-reading one
+        # file yields write order
+        positions = [r["position"] for r in rows]
+        assert positions == sorted(positions), shard_dir
+
+    # membership is the hash of doc_id — independent of ordering
+    plain = str(tmp_path / "plain_shards")
+    ex.export_training_shards(ordered, plain, "doc_id", n_shards=4)
+    for sid in range(4):
+        a = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(path, ex.DATA, f"{ex.SHARD_COL}={sid}")
+            ).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(plain, ex.DATA, f"{ex.SHARD_COL}={sid}")
+            ).collect()
+        }
+        assert a == b
