@@ -39,6 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[
     tuple[int, str, str], tuple["weakref.ref[SparkSession]", DataFrame]
 ] = {}
+_VALUE_CACHE: dict[
+    tuple[int, str, str], tuple["weakref.ref[SparkSession]", object]
+] = {}
 # Consumers run CONCURRENTLY (the bench's 16-thread pass issues
 # q_unigram_logprob and q_perplexity_buckets together): _LOCK guards
 # the dict, and a per-key build lock makes "built once per corpus"
@@ -84,6 +87,45 @@ def corpus_artifact(
     return df
 
 
+def census_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], object],
+) -> object:
+    """Sibling store for DRIVER-SIDE census values — bucket
+    histograms, bitset words, min/max bounds: the model-sized Python
+    objects the distributed-pattern operators collect once per corpus
+    (operators/rank.py, operators/bloom.py). Same discipline as
+    corpus_artifact (weak session ref, per-key build lock, swept on
+    lookup) minus the checkpoint — these are plain values, not
+    frames. Only census-sized objects belong here: everything stored
+    must be O(buckets|bits|model), never O(rows)."""
+    key = (id(spark), sf_dir, f"census:{name}")
+    with _LOCK:
+        for k in [
+            k for k, (ref, _) in _VALUE_CACHE.items() if ref() is None
+        ]:
+            _VALUE_CACHE.pop(k, None)
+        hit = _VALUE_CACHE.get(key)
+        if hit is not None and hit[0]() is spark:
+            return hit[1]
+        build_lock = _BUILD_LOCKS.setdefault(key, threading.Lock())
+    with build_lock:
+        with _LOCK:
+            hit = _VALUE_CACHE.get(key)
+            if hit is not None and hit[0]() is spark:
+                return hit[1]
+        try:
+            value = build()
+        finally:
+            with _LOCK:
+                _BUILD_LOCKS.pop(key, None)
+        with _LOCK:
+            _VALUE_CACHE[key] = (weakref.ref(spark), value)
+    return value
+
+
 def clear_artifacts(
     spark: SparkSession | None = None, name: str | None = None
 ) -> None:
@@ -98,3 +140,10 @@ def clear_artifacts(
             and (name is None or k[2] == name)
         ]:
             _CACHE.pop(key, None)
+        for key in [
+            k
+            for k in _VALUE_CACHE
+            if (spark is None or k[0] == id(spark))
+            and (name is None or k[2] == f"census:{name}")
+        ]:
+            _VALUE_CACHE.pop(key, None)

@@ -72,6 +72,28 @@ def md5_prefix_bucket(
     return F.conv(F.substring(key, 1, 2), 16, 10).cast("long"), key
 
 
+def bucket_histogram(
+    df: DataFrame, bucket: Column
+) -> list[tuple[int, int]]:
+    """The census pass of bucketed_rank, exposed so callers can stage
+    it as a per-corpus artifact (artifacts.census_artifact) instead of
+    re-collecting on every invocation. Raises on NULL buckets — see
+    bucketed_rank for why a NULL sort key must not rank silently."""
+    rows = (
+        df.select(bucket.alias(_BUCKET))
+        .groupBy(_BUCKET)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if any(r[_BUCKET] is None for r in rows):
+        raise ValueError(
+            "bucketed_rank: bucket expression produced NULL (NULL sort "
+            "key?) — filter NULL keys or coalesce them to a sentinel "
+            "before ranking"
+        )
+    return sorted((r[_BUCKET], r["n"]) for r in rows)
+
+
 def bucketed_rank(
     df: DataFrame,
     bucket: Column,
@@ -79,6 +101,7 @@ def bucketed_rank(
     *,
     method: str = "rank",
     out_col: str = "global_rank",
+    hist: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Attach ``out_col`` = global rank/row_number of each row under
     ``ORDER BY order_cols``, computed with the two-pass histogram
@@ -88,25 +111,23 @@ def bucketed_rank(
 
     The histogram ``collect`` is bounded by the bucket-id cardinality
     — a census-sized driver transfer in the same class as an IVF
-    model or a shard manifest, never O(rows)."""
+    model or a shard manifest, never O(rows). Pass a staged
+    ``hist`` (from :func:`bucket_histogram`, memoized per corpus via
+    artifacts.census_artifact) to skip the census pass; it MUST come
+    from the same (df, bucket) pair or offsets will be wrong.
+
+    A NULL bucket (NULL sort key through numeric_bucket /
+    md5_prefix_bucket) has no place in the key order — and the inner
+    offset join would silently DROP those rows, a worse failure than
+    stopping. Engines disagree on NULL placement anyway (Spark
+    windows default NULLS FIRST, DuckDB NULLS LAST), so
+    bucket_histogram raises and the caller decides: filter NULLs out
+    or coalesce them to a sentinel key first."""
     if method not in ("rank", "row_number"):
         raise ValueError(f"unknown method {method!r}")
     keyed = df.withColumn(_BUCKET, bucket)
-    hist_rows = keyed.groupBy(_BUCKET).agg(F.count("*").alias("n")).collect()
-    if any(r[_BUCKET] is None for r in hist_rows):
-        # A NULL bucket (NULL sort key through numeric_bucket /
-        # md5_prefix_bucket) has no place in the key order — and the
-        # inner offset join would silently DROP those rows, a worse
-        # failure than stopping. Engines disagree on NULL placement
-        # anyway (Spark windows default NULLS FIRST, DuckDB NULLS
-        # LAST), so the caller must decide: filter them out or
-        # coalesce to a sentinel key first.
-        raise ValueError(
-            "bucketed_rank: bucket expression produced NULL (NULL sort "
-            "key?) — filter NULL keys or coalesce them to a sentinel "
-            "before ranking"
-        )
-    hist = sorted((r[_BUCKET], r["n"]) for r in hist_rows)
+    if hist is None:
+        hist = bucket_histogram(df, bucket)
     offsets, running = [], 0
     for b, n in hist:
         offsets.append((b, running))

@@ -39,10 +39,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prueba_tecnica_analista_etl_spark.artifacts import census_artifact
 from prueba_tecnica_analista_etl_spark.operators.bloom import (
     bitset_semi_join,
+    bitset_words,
 )
 from prueba_tecnica_analista_etl_spark.operators.rank import (
+    bucket_histogram,
     bucketed_rank,
     md5_prefix_bucket,
     numeric_bucket,
@@ -103,16 +106,29 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "value")
         .filter(F.col("value").isNotNull())
     )
-    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
-    if lo is None:  # zero surviving rows — rank of nothing is nothing
+
+    # The (bounds, histogram) pair is a CENSUS ARTIFACT of the corpus
+    # — computed once per (session, sf_dir) and reused by every
+    # invocation, exactly like the unigram score frame / IVF model.
+    def build():
+        lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+        if lo is None:  # zero surviving rows
+            return None
+        b = numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS)
+        return lo, hi, bucket_histogram(ev, b)
+
+    census = census_artifact(spark, sf_dir, "global_rank_census", build)
+    if census is None:  # rank of nothing is nothing
         return ev.select(
             "event_id", "value", F.lit(None).cast("long").alias("global_rank")
         )
+    lo, hi, hist = census
     return bucketed_rank(
         ev,
         numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS),
         ["value"],
         method="rank",
+        hist=hist,
     ).select("event_id", "value", "global_rank")
 
 
@@ -151,12 +167,19 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     bucket, key = md5_prefix_bucket(F.col("doc_id"), salt=_SHUFFLE_SEED)
+    hist = census_artifact(
+        spark,
+        sf_dir,
+        "train_order_hist",
+        lambda: bucket_histogram(docs, bucket),
+    )
     return bucketed_rank(
         docs.withColumn("skey", key),
         bucket,
         ["skey", "doc_id"],
         method="row_number",
         out_col="position",
+        hist=hist,
     ).select("doc_id", "position")
 
 
@@ -273,9 +296,16 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     orders = _t(spark, sf_dir, "orders")
+    words = census_artifact(
+        spark,
+        sf_dir,
+        "bloom_building_custkeys",
+        lambda: bitset_words(cust, "c_custkey", _BLOOM_BITS),
+    )
     return (
         bitset_semi_join(
-            orders, cust, "o_custkey", "c_custkey", bits=_BLOOM_BITS
+            orders, cust, "o_custkey", "c_custkey", bits=_BLOOM_BITS,
+            words=words,
         )
         .groupBy("o_orderpriority")
         .agg(
