@@ -21,6 +21,13 @@ against the DuckDB oracle:
                            integer rank arithmetic (cross-engine exact).
 * ``q_filter_funnel``    — multi-stage quality-gate survival census in
                            one pass (conditional aggregation).
+* ``q_unpivot_long``     — wide→long reshape (the q_pivot_wide
+                           inverse): map-only column explosion, no
+                           shuffle beyond the source aggregate.
+* ``q_rolling_distinct`` — trailing 7-day DISTINCT-user census (the
+                           rolling-MAU shape): dedup + bounded range
+                           expansion instead of a per-row DISTINCT
+                           window frame no engine can shard.
 
 Reference parity: these generalize the reference's §3 aggregate /
 quality-audit designs (seccion3_sql.sql:85-210 staging audits,
@@ -543,4 +550,138 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select(F.explode(stages).alias("s"))
         .select("s.stage", "s.gate", "s.survivors")
         .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide -> long reshape (the pivot inverse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot_long",
+    """
+    SELECT o_orderpriority, status, cnt FROM (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS F,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS O,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority
+    ) UNPIVOT (cnt FOR status IN (F, O, P))
+    """,
+    doc="A4 inverse (wide -> long reshape): DataFrame.unpivot over the "
+    "pivot result — the Power-Query 'unpivot columns' step the "
+    "reference's workbook world implies but never scripts; map-only "
+    "column explosion, no shuffle beyond the source aggregate.",
+)
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape: unpivot the q_pivot_wide matrix back to
+    (priority, status, cnt) rows.
+
+    Completes the reshape algebra: pivot (long -> wide,
+    operators/pivot.py) now has its inverse in the declared set, and
+    ``unpivot(pivot(x))`` round-trips exactly because the pivot's
+    explicit value list + zero-fill makes the matrix dense (the test
+    suite pins the round-trip; reference parity: the workbook's
+    cross-tab views, FIXTURES.md pivot family, xlsx §1).
+
+    Scale shape: unpivot is an Expand node — a MAP-ONLY per-row
+    column explosion (k output rows per input row, no shuffle, no
+    UDF). The only shuffle in this plan belongs to the upstream
+    aggregate. DuckDB's UNPIVOT default drops NULL cells; Spark's
+    keeps them — irrelevant here by construction (zero-fill above),
+    but a declared-semantics trap worth this comment for the next
+    wide->long query.
+    """
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("F", "O", "P")
+            ],
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct census (rolling MAU/WAU)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_distinct",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    doc="W3/A2 composite: trailing 7-day DISTINCT-user census per day "
+    "(rolling WAU) — dedup to (day,user), broadcast the day grid, "
+    "bounded x7 range expansion, count_distinct per anchor day; the "
+    "shape COUNT(DISTINCT) OVER a RANGE frame cannot take (neither "
+    "engine supports DISTINCT in window frames).",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users seen in the trailing 7 days, per day (rolling WAU).
+
+    The dashboard shape behind every DAU/WAU/MAU panel. No engine
+    allows ``COUNT(DISTINCT) OVER (RANGE ...)`` — and even if one did,
+    a per-row distinct frame re-counts each window from scratch. The
+    distributed form:
+
+    1. dedup events to (day, user_id) — ONE hash shuffle, and the
+       frame that every later step touches is O(users x active-days),
+       not O(events);
+    2. broadcast the day grid (O(days) rows — census-sized by
+       definition) against the dedup'd frame with a bounded
+       ``BETWEEN`` range: each (day, user) row expands to at most 7
+       anchor days, a FIXED fan-out, not a cross join;
+    3. count_distinct per anchor day — second hash shuffle, keyed on
+       day, skew-bounded because no day holds more than |users| rows.
+
+    At 100 TB the exact form's cost center is step 2's x7 row
+    expansion over the dedup'd frame; when even that is too much, the
+    mergeable-sketch twin (approx_count_distinct per day + HLL union
+    across the trailing window — operators/dedupe.py:167's sketch
+    family) answers the same dashboard within rsd. This is the exact
+    oracle-checkable form; NULL users are excluded explicitly in both
+    engines (three-valued BETWEEN would drop them asymmetrically
+    otherwise).
+
+    Reference parity: generalizes the daily-volume audit
+    (seccion3_sql.sql:85-210 staging audits; q_volume_by_day) from
+    per-day counts to overlapping-window distincts.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct().withColumnRenamed("day", "anchor")
+    joined = F.broadcast(days).join(
+        ud,
+        (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+        & (F.col("day") <= F.col("anchor")),
+    )
+    return (
+        joined.groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.col("anchor").alias("day"), "users_7d")
     )

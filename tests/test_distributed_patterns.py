@@ -325,3 +325,77 @@ def test_filter_funnel_is_monotone_and_single_scan(spark, sf_dir):
     # (AQE prints Final + Initial sections — count the final only).
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1
+
+
+def test_unpivot_round_trips_the_pivot(spark, sf_dir):
+    """unpivot(pivot(x)) must equal the plain long-form aggregate —
+    the reshape algebra is lossless because the pivot's explicit value
+    list + zero-fill makes the matrix dense. Also pins the scale
+    claim: unpivot compiles to Expand (map-only), never a shuffle of
+    its own."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+        q_unpivot_long,
+    )
+
+    df = q_unpivot_long(spark, sf_dir)
+    assert "Expand" in _plan(df)
+    got = {
+        (r["o_orderpriority"], r["status"]): r["cnt"] for r in df.collect()
+    }
+    o = _t(spark, sf_dir, "orders")
+    long = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["cnt"]
+        for r in o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # Dense matrix: every (priority, status in F/O/P) cell is present,
+    # zero-filled where the long form has no row.
+    statuses = {s for _, s in got}
+    assert statuses == {"F", "O", "P"}
+    for (pri, st), cnt in got.items():
+        assert cnt == long.get((pri, st), 0)
+    assert all((pri, st) in got for (pri, st) in long if st in statuses)
+
+
+def test_rolling_distinct_semantics_and_bounded_expansion(spark, sf_dir):
+    """Each day's users_7d must equal the brute-force distinct count
+    over the trailing 7 calendar days, sit between the single-day
+    distinct and the 7-day sum of single-day distincts, and the plan's
+    only non-equi join must be the broadcast of the census-sized day
+    grid (never a shuffled cartesian of the fact frame)."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+        q_rolling_distinct,
+    )
+
+    df = q_rolling_distinct(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "day-grid range join must broadcast the day grid"
+    )
+    assert "CartesianProduct" not in plan
+    got = {r["day"]: r["users_7d"] for r in df.collect()}
+
+    ev = _t(spark, sf_dir, "events")
+    per_day = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    day_users = defaultdict(set)
+    for r in per_day:
+        day_users[r["day"]].add(r["user_id"])
+    import datetime
+
+    for day, n in got.items():
+        window_users = set()
+        singles = 0
+        for back in range(7):
+            d = day - datetime.timedelta(days=back)
+            window_users |= day_users.get(d, set())
+            singles += len(day_users.get(d, set()))
+        assert n == len(window_users), day
+        assert len(day_users[day]) <= n <= singles
