@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from prueba_tecnica_analista_etl_spark.functions.vectors import (
     as_double,
     cosine,
+    dot,
+    norm,
 )
 
 
@@ -73,15 +75,25 @@ def cosine_topk_batch(
     ``exclude_self`` drops neighbor rows whose id equals the query id
     (the self-match every nearest-neighbor probe over its own corpus
     would otherwise return)."""
+    # Norms are hoisted BELOW the cross join: cosine(v, qv) inline
+    # would re-fold dot(v, v) once per (row, query) pair — |Q|× the
+    # necessary work, since Catalyst's subexpression elimination works
+    # within one row's projection, not across the join fan-out.
+    # Computing each side's norm once before the join cuts the fold
+    # count per pair from three to one, and the final expression
+    # dot/(norm*norm) is the exact same float-op sequence cosine()
+    # produces — bit-identical scores, just not recomputed.
     e = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    )
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_nv", norm(F.col("_v")))
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         as_double(F.col(query_vec_col)).alias("_qv"),
-    )
+    ).withColumn("_nq", norm(F.col("_qv")))
     scored = e.crossJoin(F.broadcast(q)).withColumn(
-        "_cos", cosine(F.col("_v"), F.col("_qv"))
+        "_cos",
+        dot(F.col("_v"), F.col("_qv")) / (F.col("_nv") * F.col("_nq")),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("_qid"))
