@@ -183,3 +183,57 @@ def approx_distinct_count_audit(
         F.count(F.lit(1)).alias("total"),
         F.approx_count_distinct(key, rsd).alias("uniq_approx"),
     )
+
+
+def rolling_distinct_sketch(
+    df: DataFrame,
+    time_col: str,
+    key: str,
+    window_days: int = 7,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Mergeable-sketch form of the trailing-window distinct census
+    (q_rolling_distinct's 100 TB twin): distinct ``key`` count per
+    trailing ``window_days`` calendar days, per day.
+
+    The exact form pays one dedup shuffle of O(keys × active-days)
+    rows plus a ×window re-expansion. This form aggregates each day
+    into ONE Datasketches HLL sketch (``hll_sketch_agg`` — fixed
+    ~2^lg_k bytes per day regardless of key cardinality, partial-merge
+    map-side like any algebraic agg), then unions the O(days × window)
+    census-sized sketch frame across the trailing window and reads the
+    estimate. After the daily aggregate NOTHING touches data-scale
+    rows — the trailing union joins a frame with one row per day.
+
+    Sketches are a hash census, not a sample: the estimate is
+    deterministic for a given dataset and lg_k, within the published
+    HLL error (~1.04/sqrt(2^lg_k) rsd, <1% at the default). Rows-only
+    semantics, same as approx_distinct_count_audit: another engine's
+    sketch bytes differ, so the proof is the tolerance test against
+    the exact query, not an oracle hash. Output: (day, {key}_7d_est
+    named ``est`` column) one row per day present in ``df``.
+    """
+    daily = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.to_date(time_col).alias("day"))
+        .agg(
+            F.expr(f"hll_sketch_agg({key}, {lg_k})").alias("_sk")
+        )
+    )
+    days = daily.select(F.col("day").alias("anchor"))
+    return (
+        F.broadcast(days)
+        .join(
+            daily,
+            (F.col("day") >= F.date_sub(F.col("anchor"), window_days - 1))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.expr(
+                "cast(hll_sketch_estimate(hll_union_agg(_sk, true)) "
+                "as bigint)"
+            ).alias("est")
+        )
+        .select(F.col("anchor").alias("day"), "est")
+    )
