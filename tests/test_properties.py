@@ -407,6 +407,11 @@ def test_values_invariant_to_reducer_count(spark, sf_dir):
         "q_hypertable_quantiles",
         "q_source_priority_dedup",
         "q_window_rank_metrics",
+        # round-8 additions whose census collect (bucket histogram)
+        # or bounded range expansion interacts with partitioning:
+        "q_global_rank",
+        "q_train_order",
+        "q_rolling_distinct",
     ]:
         base = sorted(
             map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
