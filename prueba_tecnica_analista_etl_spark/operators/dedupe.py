@@ -221,13 +221,20 @@ def rolling_distinct_sketch(
         )
     )
     days = daily.select(F.col("day").alias("anchor"))
+    # Same anchor-expansion shape as q_rolling_distinct: explode each
+    # day's sketch to the anchors it contributes to (map-only xwindow
+    # fan-out over the ONE-ROW-PER-DAY frame), equi-join the anchor
+    # grid — a range join would run as a nested-loop over the grid.
+    expanded = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("anchor"),
+        "_sk",
+    )
     return (
-        F.broadcast(days)
-        .join(
-            daily,
-            (F.col("day") >= F.date_sub(F.col("anchor"), window_days - 1))
-            & (F.col("day") <= F.col("anchor")),
-        )
+        expanded.join(F.broadcast(days), "anchor")
         .groupBy("anchor")
         .agg(
             F.expr(

@@ -632,10 +632,11 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.day
     """,
     doc="W3/A2 composite: trailing 7-day DISTINCT-user census per day "
-    "(rolling WAU) — dedup to (day,user), broadcast the day grid, "
-    "bounded x7 range expansion, count_distinct per anchor day; the "
-    "shape COUNT(DISTINCT) OVER a RANGE frame cannot take (neither "
-    "engine supports DISTINCT in window frames).",
+    "(rolling WAU) — dedup to (day,user), map-only sequence-explode "
+    "to the x7 anchor days, broadcast equi-join to the day grid, "
+    "count_distinct per anchor day; the shape COUNT(DISTINCT) OVER a "
+    "RANGE frame cannot take (neither engine supports DISTINCT in "
+    "window frames).",
 )
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users seen in the trailing 7 days, per day (rolling WAU).
@@ -648,10 +649,15 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. dedup events to (day, user_id) — ONE hash shuffle, and the
        frame that every later step touches is O(users x active-days),
        not O(events);
-    2. broadcast the day grid (O(days) rows — census-sized by
-       definition) against the dedup'd frame with a bounded
-       ``BETWEEN`` range: each (day, user) row expands to at most 7
-       anchor days, a FIXED fan-out, not a cross join;
+    2. explode each (day, user) row into the 7 anchor days it
+       contributes to (``sequence(day, day+6)`` — a MAP-ONLY fixed x7
+       fan-out), then broadcast-HASH-join the anchor against the
+       census-sized day grid to keep only anchors that exist in the
+       data. The naive form is a range join — which Spark can only
+       execute as a BroadcastNestedLoopJoin evaluating the BETWEEN
+       predicate against every grid row per fact row, O(|ud| x |days|)
+       comparisons; the explode form is O(|ud| x 7) rows into an
+       equi-join, unchanged as history grows from a month to years;
     3. count_distinct per anchor day — second hash shuffle, keyed on
        day, skew-bounded because no day holds more than |users| rows.
 
@@ -675,13 +681,15 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     days = ud.select("day").distinct().withColumnRenamed("day", "anchor")
-    joined = F.broadcast(days).join(
-        ud,
-        (F.col("day") >= F.date_sub(F.col("anchor"), 6))
-        & (F.col("day") <= F.col("anchor")),
+    expanded = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "user_id",
     )
     return (
-        joined.groupBy("anchor")
+        expanded.join(F.broadcast(days), "anchor")
+        .groupBy("anchor")
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.col("anchor").alias("day"), "users_7d")
     )

@@ -361,19 +361,22 @@ def test_unpivot_round_trips_the_pivot(spark, sf_dir):
 def test_rolling_distinct_semantics_and_bounded_expansion(spark, sf_dir):
     """Each day's users_7d must equal the brute-force distinct count
     over the trailing 7 calendar days, sit between the single-day
-    distinct and the 7-day sum of single-day distincts, and the plan's
-    only non-equi join must be the broadcast of the census-sized day
-    grid (never a shuffled cartesian of the fact frame)."""
+    distinct and the 7-day sum of single-day distincts, and the plan
+    must realize the trailing window as a map-only anchor expansion
+    into a broadcast HASH join — never a nested-loop range join
+    (O(|ud| x |days|) predicate evaluations) or a cartesian."""
     from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
         q_rolling_distinct,
     )
 
     df = q_rolling_distinct(spark, sf_dir)
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" in plan, (
-        "day-grid range join must broadcast the day grid"
+    assert "BroadcastHashJoin" in plan, (
+        "anchor-grid join must be a broadcast equi-join"
     )
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
     got = {r["day"]: r["users_7d"] for r in df.collect()}
 
     ev = _t(spark, sf_dir, "events")
