@@ -619,3 +619,79 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+BPE_PAIRS_TOP = 30
+
+
+@query(
+    "q_bpe_pairs",
+    f"""
+    WITH words AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf
+                FROM words WHERE length(w) >= 2 GROUP BY w),
+         idx AS (SELECT w, tf,
+                        unnest(generate_series(1, length(w) - 1)) AS i
+                 FROM wf),
+         pairs AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, tf
+                   FROM idx)
+    SELECT pair, CAST(sum(tf) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT {BPE_PAIRS_TOP}
+    """,
+    doc="extension (tokenizer build): adjacent character-pair census "
+    "— the first BPE merge iteration — computed over the tf-weighted "
+    "VOCABULARY frame, not the corpus: pair explosion costs "
+    "O(|vocab| x word-length) after one corpus-scale word-count "
+    f"shuffle. Top-{BPE_PAIRS_TOP} by frequency.",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequency census (BPE merge step 1).
+
+    A BPE tokenizer build's inner loop asks: which adjacent symbol
+    pair is most frequent, weighted by word frequency? The naive plan
+    explodes pairs over EVERY corpus token — O(corpus tokens x
+    word-length) generated rows. Production trainers
+    (SentencePiece/HF) instead count words first and explode pairs
+    over the DISTINCT vocabulary weighted by tf — this query is that
+    plan: one corpus-scale word-count shuffle (the same tf aggregate
+    q_token_histogram runs), then O(|vocab|) rows through the pair
+    explosion and a vocabulary-bounded pair aggregate into
+    TakeOrderedAndProject. At 100 TB the corpus pass is unavoidable;
+    everything after is vocab-sized.
+
+    Cross-engine trap pinned by the explicit ``length(w) >= 2``
+    filter in BOTH engines: Spark's ``sequence(1, 0)`` helpfully
+    auto-reverses to ``[1, 0]`` where DuckDB's ``generate_series(1,
+    0)`` is empty, so single-char words (which contribute no pairs by
+    definition) would otherwise emit phantom one-char 'pairs' in
+    Spark only. Declared semantics exclude them up front.
+
+    Reference parity: extends the reference's token/statistics tier
+    (nb:287-340 profile; q_token_histogram's Zipf head) toward the
+    tokenizer-artifact family (SURVEY §2 text analysis).
+    """
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        spread(d)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substr(w, i, 2))"
+            )
+        ).alias("pair"),
+        "tf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(BPE_PAIRS_TOP)
+    )
