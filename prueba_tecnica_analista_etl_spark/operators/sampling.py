@@ -129,3 +129,51 @@ def stratified_hash_sample(
     else:
         rate = F.lit(float(fraction))
     return df.filter(v < (rate * _SPACE).cast("long"))
+
+
+def split_leakage_census(
+    df: DataFrame,
+    content_col: str,
+    split_col: str = "split",
+    reference: str = "train",
+    audited: tuple[str, ...] = ("val", "test"),
+) -> DataFrame:
+    """Content-leakage audit across an assigned split: for each
+    ``audited`` split, how many of its rows carry content whose
+    fingerprint ALSO appears in the ``reference`` split.
+
+    :func:`hash_split` guarantees a KEY never straddles splits — but
+    two different keys can carry byte-identical content (mirrors,
+    re-crawls, boilerplate), and that is the leakage an eval split
+    actually suffers: the model has seen the val document, under
+    another id. This census quantifies it before anyone trains.
+
+    Shape: ONE hash shuffle keyed on the md5 content fingerprint
+    (conditional counts per split), then a census-sized global
+    aggregate per audited split (partial-agged — the exchange carries
+    one row per partition). Join-free: the per-fingerprint frame
+    already knows both sides. Output: (split, docs, leaked), one row
+    per audited split.
+    """
+    fp = F.md5(F.col(content_col))
+    s = df.select(F.col(split_col).alias("_split"), fp.alias("_fp"))
+    aggs = [
+        F.count_if(F.col("_split") == reference).alias("_n_ref")
+    ] + [
+        F.count_if(F.col("_split") == a).alias(f"_n_{a}")
+        for a in audited
+    ]
+    g = s.groupBy("_fp").agg(*aggs)
+    out: DataFrame | None = None
+    for a in audited:
+        n = F.col(f"_n_{a}")
+        part = g.agg(
+            F.lit(a).alias("split"),
+            F.sum(n).cast("long").alias("docs"),
+            F.sum(F.when(F.col("_n_ref") > 0, n).otherwise(0))
+            .cast("long")
+            .alias("leaked"),
+        )
+        out = part if out is None else out.unionByName(part)
+    assert out is not None, "audited must be non-empty"
+    return out

@@ -1528,3 +1528,76 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).cast("long").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q_split_leakage",
+    """
+    WITH s AS (
+      SELECT md5(text) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    g AS (SELECT fp,
+            CAST(count(CASE WHEN split = 'train' THEN 1 END) AS BIGINT)
+              AS n_train,
+            CAST(count(CASE WHEN split = 'val' THEN 1 END) AS BIGINT)
+              AS n_val,
+            CAST(count(CASE WHEN split = 'test' THEN 1 END) AS BIGINT)
+              AS n_test
+          FROM s GROUP BY fp)
+    SELECT 'val' AS split, CAST(sum(n_val) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
+                AS BIGINT) AS leaked
+    FROM g
+    UNION ALL
+    SELECT 'test', CAST(sum(n_test) AS BIGINT),
+           CAST(sum(CASE WHEN n_train > 0 THEN n_test ELSE 0 END)
+                AS BIGINT)
+    FROM g
+    """,
+    doc="extension (split hygiene): content-leakage census across the "
+    "q_train_val_split assignment — per eval split, how many docs "
+    "carry content whose md5 fingerprint also appears in train. "
+    "Hash-of-id splitting keeps an ID from straddling splits; this "
+    "audits the case it cannot prevent: byte-identical content under "
+    "DIFFERENT ids (mirrors, re-crawls). One fingerprint-keyed "
+    "shuffle of conditional counts, join-free census after "
+    "(operators/sampling.py split_leakage_census).",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content leakage from train into val/test under the
+    deterministic nibble split.
+
+    Composes q_train_val_split's assignment (same first-md5-nibble
+    cuts — bit-identical in both engines) with the content-fingerprint
+    leakage census. The testdata REALLY leaks at sf0.1 (4 fingerprints
+    span splits); at sf0.01 the true answer is zero and the oracle
+    verifies the zero. The near-dup analogue (leak = MinHash pair
+    across the boundary, not byte equality) composes the same census
+    with cached_minhash_pairs — rows-only territory; this is the
+    exact, oracle-checkable tier.
+
+    Scale: one md5(text) shuffle (the q_exact_dedup cost family), then
+    two census-sized partial-agged global aggregates. Join-free — the
+    per-fingerprint conditional counts already see both sides of the
+    boundary.
+    """
+    from prueba_tecnica_analista_etl_spark.operators.sampling import (
+        split_leakage_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", "train")
+        .when(nib < "e", "val")
+        .otherwise("test")
+    )
+    return split_leakage_census(
+        d.select(split.alias("split"), "text"), "text"
+    )

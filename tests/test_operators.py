@@ -1069,3 +1069,53 @@ def test_rolling_distinct_sketch_tracks_exact(spark, sf_dir):
     assert set(syn_est) == set(syn_exact)
     for day, n in syn_exact.items():
         assert abs(syn_est[day] - n) <= 0.02 * n, (day, n, syn_est[day])
+
+
+def test_split_leakage_census_counts_injected_leaks(spark):
+    """Synthetic proof the census fires: content duplicated across the
+    split boundary under DIFFERENT ids is counted per audited split;
+    clean content is not; reference-internal dups don't count."""
+    from prueba_tecnica_analista_etl_spark.operators.sampling import (
+        split_leakage_census,
+    )
+
+    rows = [
+        # leaked: same content in train and val (different ids)
+        ("train", "alpha"), ("val", "alpha"),
+        # leaked twice into test
+        ("train", "beta"), ("test", "beta"), ("test", "beta"),
+        # train-internal dup — not leakage
+        ("train", "gamma"), ("train", "gamma"),
+        # clean eval docs
+        ("val", "delta"), ("test", "epsilon"),
+        # val/test overlap WITHOUT train — not leakage from train
+        ("val", "zeta"), ("test", "zeta"),
+    ]
+    df = spark.createDataFrame(rows, ["split", "text"])
+    got = {
+        r["split"]: (r["docs"], r["leaked"])
+        for r in split_leakage_census(df, "text").collect()
+    }
+    assert got == {"val": (3, 1), "test": (4, 2)}
+
+
+def test_split_leakage_query_finds_real_leaks_at_sf01(spark):
+    """The sf0.1 documents table genuinely contains cross-split exact
+    dups — the query must report nonzero leakage there (guards against
+    a census that silently always answers zero)."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        q_split_leakage,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    rows = {r["split"]: r for r in q_split_leakage(spark, sf01).collect()}
+    assert set(rows) == {"val", "test"}
+    assert sum(r["leaked"] for r in rows.values()) > 0
+    for r in rows.values():
+        assert 0 <= r["leaked"] <= r["docs"]
