@@ -164,16 +164,33 @@ def split_leakage_census(
         for a in audited
     ]
     g = s.groupBy("_fp").agg(*aggs)
-    out: DataFrame | None = None
+    # ONE global aggregate carries every audited split's sums (a
+    # union of per-split aggregates would recompute the scan AND the
+    # fingerprint shuffle once per split); the 2x|audited| counters
+    # then explode into per-split rows — the q_filter_funnel
+    # one-pass census pattern.
+    if not audited:
+        raise ValueError("audited must be non-empty")
+    sums = []
     for a in audited:
         n = F.col(f"_n_{a}")
-        part = g.agg(
-            F.lit(a).alias("split"),
-            F.sum(n).cast("long").alias("docs"),
+        sums.append(F.sum(n).cast("long").alias(f"_docs_{a}"))
+        sums.append(
             F.sum(F.when(F.col("_n_ref") > 0, n).otherwise(0))
             .cast("long")
-            .alias("leaked"),
+            .alias(f"_leaked_{a}")
         )
-        out = part if out is None else out.unionByName(part)
-    assert out is not None, "audited must be non-empty"
-    return out
+    totals = g.agg(*sums)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("split"),
+                F.col(f"_docs_{a}").alias("docs"),
+                F.col(f"_leaked_{a}").alias("leaked"),
+            )
+            for a in audited
+        ]
+    )
+    return totals.select(F.explode(rows).alias("_r")).select(
+        "_r.split", "_r.docs", "_r.leaked"
+    )

@@ -1583,9 +1583,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, oracle-checkable tier.
 
     Scale: one md5(text) shuffle (the q_exact_dedup cost family), then
-    two census-sized partial-agged global aggregates. Join-free — the
-    per-fingerprint conditional counts already see both sides of the
-    boundary.
+    ONE census-sized partial-agged global aggregate exploded into
+    per-split rows (a per-split union would rescan and reshuffle once
+    per split). Join-free — the per-fingerprint conditional counts
+    already see both sides of the boundary.
     """
     from prueba_tecnica_analista_etl_spark.operators.sampling import (
         split_leakage_census,

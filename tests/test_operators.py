@@ -1119,3 +1119,21 @@ def test_split_leakage_query_finds_real_leaks_at_sf01(spark):
     assert sum(r["leaked"] for r in rows.values()) > 0
     for r in rows.values():
         assert 0 <= r["leaked"] <= r["docs"]
+
+
+def test_split_leakage_census_is_single_pass(spark, sf_dir):
+    """The census must scan the corpus and shuffle fingerprints ONCE
+    regardless of how many splits are audited — one global aggregate
+    exploded into rows, never a per-split union of aggregates."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        q_split_leakage,
+    )
+
+    plan = (
+        q_split_leakage(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 1
