@@ -6,7 +6,7 @@ fingerprinting, brute-force cosine top-k).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prueba_tecnica_analista_etl_spark.functions.text import (
@@ -556,66 +556,98 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     "integral divide) and HUGEINT in DuckDB — verified to agree "
     "bit-for-bit past 2^63. The BIGINT denominator's own bound is "
     "tf*T < 9.2e17, i.e. a 2.5e13-token (100 TB) corpus is safe for "
-    "any per-doc term frequency below ~3.6e4. Plan shape: one "
-    "token explode "
-    "feeds both the dl census and the term-filtered tf/df "
-    "aggregates; df and the 2-scalar frame broadcast; the scored "
-    "join carries only docs CONTAINING query terms (candidate set, "
-    "not corpus); TakeOrderedAndProject yields the top-10 — "
-    "per-partition partial top-k, no global sort.",
+    "any per-doc term frequency below ~3.6e4. Plan shape: for a "
+    "FIXED query-term set every per-doc quantity (dl and each "
+    "term's tf) is computed IN-ROW from the token array, so scoring "
+    "is map-only — the only exchange is the ONE-ROW census "
+    "(n_docs, t_tokens, per-term df) partial-agged and broadcast "
+    "back; two corpus scans, ZERO corpus shuffles, "
+    "TakeOrderedAndProject yields the top-10 — per-partition "
+    "partial top-k, no global sort.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle's CTE chain (corpus explode -> dl/tf/df aggregates ->
+    # 3-way join) is the textbook BM25 plan — and at cluster scale its
+    # cost center is the doc-keyed shuffle joining tf back to dl. For
+    # a FIXED query-term set none of that is necessary: every per-doc
+    # quantity (dl, and tf of each query term) is computable IN-ROW
+    # from the token array, so scoring is map-only and the only data
+    # that crosses the wire is the ONE-ROW census (n_docs, t_tokens,
+    # per-term df — partial-agged booleans/sums) broadcast back. Two
+    # corpus scans (census + scoring), ZERO corpus shuffles, top-10
+    # via TakeOrderedAndProject. Values identical to the oracle's
+    # exploded form: size() counts exactly the non-empty tokens,
+    # zero-token docs drop from the census as the explode drops them,
+    # and docs containing no query term are excluded (the inner tf
+    # join's semantics) by an explicit exists() filter.
     d = _t(spark, sf_dir, "documents")
-    t = (
+    toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+
+    def tf_of(term: str) -> Column:
+        # NB: a `lambda x, t=term:` closure would read as a TWO-arg
+        # higher-order function, and pyspark passes the array INDEX
+        # as the second argument — silently overriding the default.
+        return F.size(
+            F.filter(toks, lambda x: x == F.lit(term))
+        ).cast("long")
+
+    per_doc = (
         spread(d)
         .select(
             "doc_id",
             "source",
-            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+            F.size(toks).cast("long").alias("dl"),
+            *[
+                tf_of(t).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
         )
-        .filter(F.col("term") != "")
+        .filter(F.col("dl") > 0)
     )
-    dl = t.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
-    )
-    sc = dl.agg(
+    census = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).cast("long").alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
     )
-    qt = t.filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
-    tf = qt.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dfq = qt.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("long").alias("df")
-    )
-    scored = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(sc))
-        .withColumn(
-            "idf6",
+    # Per-term contribution: idf on the 1e-6 integer grid (ONE libm ln
+    # per term, computed from census scalars — identical expression to
+    # the oracle's), saturation multiplied through into the exact
+    # all-integer form; DECIMAL(38,0) numerator because idf6*22*tf*T
+    # overflows int64 near tf*T ~ 2e10 (Spark's `div` stays an exact
+    # integral divide and matches DuckDB's HUGEINT `//` past 2^63).
+    contribs = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
             F.expr(
-                "CAST(floor(ln(CAST(2 * n_docs + 2 AS DOUBLE)"
-                " / (2 * df + 1)) * 1000000 + 0.5) AS BIGINT)"
+                f"(CAST(CAST(floor(ln(CAST(2 * n_docs + 2 AS DOUBLE)"
+                f" / (2 * df_{i} + 1)) * 1000000 + 0.5) AS BIGINT)"
+                f" AS DECIMAL(38,0)) * 22 * tf_{i} * t_tokens)"
+                f" div (10 * tf_{i} * t_tokens + 3 * t_tokens"
+                f"  + 9 * dl * n_docs)"
             ),
-        )
-        .withColumn(
-            "c",
-            # DECIMAL(38,0) numerator: Spark's `div` on decimals is
-            # still an exact integral divide returning BIGINT, and it
-            # matches DuckDB's HUGEINT `//` bit-for-bit past 2^63 —
-            # the int64-only form overflowed near tf*T ~ 2e10.
-            F.expr(
-                "(CAST(idf6 AS DECIMAL(38,0)) * 22 * tf * t_tokens)"
-                " div (10 * tf * t_tokens + 3 * t_tokens"
-                "  + 9 * dl * n_docs)"
-            ),
-        )
-    )
+        ).otherwise(F.lit(0))
+        for i in range(len(BM25_QUERY_TERMS))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    matched = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        cond = F.col(f"tf_{i}") > 0
+        matched = cond if matched is None else (matched | cond)
     return (
-        scored.groupBy("doc_id", "source")
-        .agg(F.sum("c").cast("long").alias("score_micro"))
+        per_doc.crossJoin(F.broadcast(census))
+        .filter(matched)
+        .select(
+            "doc_id",
+            "source",
+            total.cast("long").alias("score_micro"),
+        )
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(10)
     )
