@@ -470,25 +470,36 @@ def pair_combos(arr, a_name: str, b_name: str):
     "combinations are generated inline from that array (k sources → "
     "k(k-1)/2 structs, pure codegen, ordering guaranteed by the "
     "sorted set); the per-source sizes ride a 1-row broadcast map "
-    "(O(|sources|) entries — the unigram total-N pattern). Heavy "
-    "subtree runs twice (pairs + sizes), not four times.",
+    "(O(|sources|) entries — the unigram total-N pattern). The "
+    "heavy subtree runs ONCE per corpus: the per-fp source-set "
+    "frame is a checkpointed corpus artifact (the "
+    "cached_minhash_pairs class — O(distinct shingles) rows), and "
+    "pairs + sizes both read the checkpoint instead of re-deriving "
+    "the explode+distinct chain per consumer.",
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    fp = (
-        spread(d)
-        .select(
-            "source",
-            F.explode(shingles(toks, 8)).alias("gram"),
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        toks = F.split(F.lower(F.col("text")), " ")
+        fp = (
+            spread(d)
+            .select(
+                "source",
+                F.explode(shingles(toks, 8)).alias("gram"),
+            )
+            .select("source", F.md5("gram").alias("fp"))
+            .distinct()
         )
-        .select("source", F.md5("gram").alias("fp"))
-        .distinct()
-    )
-    # one row per fingerprint, sources sorted ascending
-    g = fp.groupBy("fp").agg(
-        F.sort_array(F.collect_set("source")).alias("srcs")
-    )
+        # one row per fingerprint, sources sorted ascending
+        return fp.groupBy("fp").agg(
+            F.sort_array(F.collect_set("source")).alias("srcs")
+        )
+
+    g = corpus_artifact(spark, sf_dir, "source_overlap_fp_sources", build)
     combos = pair_combos(F.col("srcs"), "src_a", "src_b")
     pairs = (
         g.filter(F.size("srcs") >= 2)
@@ -497,8 +508,12 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # per-source distinct-shingle size = how many fp rows carry the
+    # source — derived from the checkpointed g, not a second pass
+    # over the corpus.
     sizes = (
-        fp.groupBy("source")
+        g.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.map_from_entries(
