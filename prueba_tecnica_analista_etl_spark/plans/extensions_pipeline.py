@@ -600,38 +600,46 @@ def _nlp6_spark_expr() -> str:
       acc -> (acc.l * {_LN2_1E6}L + {1 << (K - 1)}L) div {1 << K}L)"""
 
 
-def _nlp6_duckdb_ctes() -> "tuple[str, str]":
+def _nlp6_duckdb_ctes(
+    prefix: str = "v",
+    src: str = "vocab CROSS JOIN n",
+    keys: "tuple[str, ...]" = ("term",),
+) -> "tuple[str, str]":
     """(cte_chain, final_cte_name) for the same nlp6 in DuckDB SQL:
-    the K-step fold unrolled as generated chained CTEs over the vocab
-    frame (columns term, cnt, total from ``vocab CROSS JOIN n``).
-    DuckDB ``//`` on BIGINT is floor division — identical to Spark's
-    ``div`` for the all-positive operands here."""
+    the K-step fold unrolled as generated chained CTEs over a frame
+    with columns ``keys`` + (cnt, total) — default the corpus vocab
+    (``vocab CROSS JOIN n``).  ``prefix`` namespaces the generated
+    CTEs so two independent chains (e.g. corpus-level and per-source,
+    q_source_divergence) can coexist in one WITH clause.  DuckDB
+    ``//`` on BIGINT is floor division — identical to Spark's ``div``
+    for the all-positive operands here."""
     P, K = _LOG_P, _LOG_K
+    cols = ", ".join(keys)
     steps = [
-        f"""v0 AS (SELECT term, cnt, total,
+        f"""{prefix}0 AS (SELECT {cols}, cnt, total,
           CAST((CAST(total AS HUGEINT) * {1 << P}) //
                (CAST(cnt AS HUGEINT)
                 * (1::HUGEINT << (length(bin(total // cnt)) - 1)))
                AS BIGINT) AS y,
           CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS l
-          FROM vocab CROSS JOIN n)"""
+          FROM {src})"""
     ]
     for i in range(1, K + 1):
         steps.append(
-            f"""v{i} AS (SELECT term, cnt, total,
+            f"""{prefix}{i} AS (SELECT {cols}, cnt, total,
           CASE WHEN (y*y) >= {1 << (2 * P + 1)}::BIGINT
                THEN (y*y) // {1 << (P + 1)}::BIGINT
                ELSE (y*y) // {1 << P}::BIGINT END AS y,
           CASE WHEN (y*y) >= {1 << (2 * P + 1)}::BIGINT
                THEN l*2 + 1 ELSE l*2 END AS l
-          FROM v{i - 1})"""
+          FROM {prefix}{i - 1})"""
         )
     steps.append(
-        f"""vterm AS (SELECT term, cnt, total,
+        f"""{prefix}term AS (SELECT {cols}, cnt, total,
           (l * {_LN2_1E6} + {1 << (K - 1)}) // {1 << K}::BIGINT AS nlp6
-          FROM v{K})"""
+          FROM {prefix}{K})"""
     )
-    return ",\n         ".join(steps), "vterm"
+    return ",\n         ".join(steps), f"{prefix}term"
 
 
 def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +843,144 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lp").cast("decimal(18,4)").alias("lo_logprob"),
             F.max("lp").cast("decimal(18,4)").alias("hi_logprob"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture divergence census (round 8)
+# ---------------------------------------------------------------------------
+
+# Per-source chain over svocab (keys source+term) + the corpus chain —
+# the SAME fixed-point integer logarithm, namespaced so both unrolled
+# folds coexist in one WITH clause.
+_SRC_NLP6_CTES, _SRC_NLP6_FINAL = _nlp6_duckdb_ctes(
+    prefix="s", src="svocab", keys=("source", "term")
+)
+_SOURCE_DIVERGENCE_SQL = f"""
+    WITH toks AS (SELECT source,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         t AS (SELECT source, term FROM toks WHERE term <> ''),
+         stf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+                 FROM t GROUP BY source, term),
+         stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+                  FROM stf GROUP BY source),
+         vocab AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM stf GROUP BY term),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM stf),
+         {_NLP6_CTES},
+         svocab AS (SELECT stf.source, stf.term, stf.cnt, stot.total
+                    FROM stf JOIN stot USING (source)),
+         {_SRC_NLP6_CTES},
+         j AS (SELECT s.source, s.cnt, s.total,
+                      s.nlp6 AS nlp_p, v.nlp6 AS nlp_q
+               FROM {_SRC_NLP6_FINAL} s
+               JOIN {_NLP6_FINAL} v USING (term)),
+         m AS (SELECT source,
+                      CAST(max(total) AS BIGINT) AS tokens,
+                      count(*) AS terms,
+                      CAST(CAST(sum(CAST(cnt AS HUGEINT) * nlp_q)
+                                AS HUGEINT) // max(total)
+                           AS BIGINT) AS xent_micro,
+                      CAST(CAST(sum(CAST(cnt AS HUGEINT) * nlp_p)
+                                AS HUGEINT) // max(total)
+                           AS BIGINT) AS ent_micro
+               FROM j GROUP BY source)
+    SELECT source, tokens, terms, xent_micro, ent_micro,
+           xent_micro - ent_micro AS kl_micro
+    FROM m
+"""
+
+
+@query(
+    "q_source_divergence",
+    _SOURCE_DIVERGENCE_SQL,
+    doc="extension (DoReMi/importance-sampling mixture signal): per-"
+    "source unigram cross-entropy vs the corpus distribution, own "
+    "entropy, and their difference — KL(source ‖ corpus) — in "
+    "micro-nats/token. This is the distributional-distance census a "
+    "mixture-reweighting pass reads before setting per-source "
+    "sampling rates (a source whose token distribution diverges "
+    "hard from the pool is either a distinct domain worth "
+    "upweighting or boilerplate worth capping; the entropy column "
+    "separates the two). Every reported number is pure 64-bit/"
+    "decimal INTEGER arithmetic: both -ln(p) families are the "
+    "fixed-point integer logarithm nlp6 (binary-length integer part "
+    "+ renormalizing-squaring fractional bits — the exact-key "
+    "discipline that converted q_perplexity_buckets' driver hash), "
+    "per-term products accumulate in DECIMAL(38,0)/HUGEINT so the "
+    "sums cannot wrap even at 100 TB token counts, and the per-token "
+    "normalization is a positive floor division (Spark div == "
+    "DuckDB //). Plan shape: ONE explode+groupBy collapses the "
+    "token stream to (source, term, cnt); the corpus vocab, the "
+    "per-source totals (|sources| rows, broadcast), and both nlp6 "
+    "folds all derive from THAT frame, so the only wide exchanges "
+    "are the (source,term) partial-agg shuffle and the term-keyed "
+    "scoring join — O(source-term pairs), never O(tokens); the "
+    "result is O(|sources|) rows. nlp6 costs one 20-step fold per "
+    "distinct (source,term) / term — compute-bounded by vocab size, "
+    "not corpus size.",
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    stf = (
+        spread(d)
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stot = stf.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total")
+    )
+    vocab = stf.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    n = stf.agg(F.sum("cnt").cast("long").alias("total"))
+    vterm = vocab.crossJoin(F.broadcast(n)).withColumn(
+        "nlp6", F.expr(_nlp6_spark_expr())
+    )
+    sterm = stf.join(F.broadcast(stot), "source").withColumn(
+        "nlp6", F.expr(_nlp6_spark_expr())
+    )
+    j = sterm.select(
+        "source",
+        "term",
+        "cnt",
+        "total",
+        F.col("nlp6").alias("nlp_p"),
+    ).join(vterm.select("term", F.col("nlp6").alias("nlp_q")), "term")
+    m = j.groupBy("source").agg(
+        F.max("total").alias("tokens"),
+        F.count(F.lit(1)).alias("terms"),
+        # DECIMAL(38,0) accumulation: cnt*nlp6 fits BIGINT at harness
+        # scale but not at 100 TB token counts (cnt ~1e12 × nlp6
+        # ~3e7 > 2^63) — cast BEFORE the multiply so the product
+        # never wraps.
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("nlp_q"))
+        .alias("xe_num"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("nlp_p"))
+        .alias("en_num"),
+    )
+    return m.select(
+        "source",
+        "tokens",
+        "terms",
+        F.expr("CAST(xe_num div tokens AS BIGINT)").alias(
+            "xent_micro"
+        ),
+        F.expr("CAST(en_num div tokens AS BIGINT)").alias(
+            "ent_micro"
+        ),
+        (
+            F.expr("CAST(xe_num div tokens AS BIGINT)")
+            - F.expr("CAST(en_num div tokens AS BIGINT)")
+        ).alias("kl_micro"),
     )
 
 
