@@ -850,3 +850,62 @@ def test_decontaminate_consistent_with_contamination_census(
         per_source[r["source"]] = per_source.get(r["source"], 0) + 1
     for src, c in census.items():
         assert per_source.get(src, 0) == c["docs"] - c["flagged_docs"], src
+
+
+def test_source_divergence_hand_computed_values(spark, tmp_path):
+    """Semantic pin for q_source_divergence on a corpus small enough
+    to hand-compute (parity only proves Spark == DuckDB; this proves
+    the numbers mean what the docstring claims).
+
+    Two equal-mass single-term sources: each source's distribution is
+    a point mass, the corpus is the 50/50 mixture, so per source
+    xent = -ln(1/2) = ln 2, ent = -ln(1) = 0, KL = ln 2 — and on the
+    integer grid ln 2 is EXACTLY the _LN2_1E6 scale constant (the
+    ratio 2 hits the fixed-point logarithm's integer part with zero
+    fractional bits, so no rounding is involved)."""
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        _LN2_1E6,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x x x x"), (2, "b", "y y y y")],
+        "doc_id long, source string, text string",
+    )
+    d = str(tmp_path / "div_sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in REGISTRY["q_source_divergence"].fn(spark, d).collect()
+    }
+    assert set(out) == {"a", "b"}
+    for src in ("a", "b"):
+        assert out[src]["tokens"] == 4
+        assert out[src]["terms"] == 1
+        assert out[src]["xent_micro"] == _LN2_1E6
+        assert out[src]["ent_micro"] == 0
+        assert out[src]["kl_micro"] == _LN2_1E6
+
+
+def test_source_divergence_zero_for_corpus_identical_source(
+    spark, tmp_path
+):
+    """A source distributed exactly like the corpus has KL = 0 — not
+    approximately: identical (total, cnt) ratios feed the identical
+    integer log fold, so nlp_p == nlp_q term-by-term and the
+    difference of the two floor-divided sums is exactly zero. Two
+    sources carrying the same token mix pin it."""
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "x x y")],
+        "doc_id long, source string, text string",
+    )
+    d = str(tmp_path / "div0_sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = REGISTRY["q_source_divergence"].fn(spark, d).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["kl_micro"] == 0
+        assert r["xent_micro"] == r["ent_micro"]
+        assert r["xent_micro"] > 0  # mixed tokens: entropy is positive
