@@ -447,3 +447,17 @@ def test_r8_late_additions_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_unpivot_long")
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_source_divergence_plan_shape(spark, sf_dir):
+    """q_source_divergence's promised shape: every frame derives from
+    the one (source,term) partial-agged shuffle; the per-source totals
+    and the scored vocab join as hash joins (broadcast at harness SF);
+    the ONLY nested-loop is the one-row corpus-total cross join; the
+    final census aggregate is partial-agged map-side."""
+    plan = _plan(spark, sf_dir, "q_source_divergence")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total
+    assert "BroadcastHashJoin [term" in plan  # scoring join, hashed
+    assert "Exchange hashpartitioning(source" in plan
+    assert "partial_sum" in plan
