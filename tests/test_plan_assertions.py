@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from prueba_tecnica_analista_etl_spark.plans import REGISTRY
 
 
@@ -447,6 +449,48 @@ def test_r8_late_additions_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_unpivot_long")
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(
+    spark, sf_dir, tmp_path
+):
+    """A date-partitioned fact joined to a selectively-filtered dim
+    must scan only the matching partitions: Spark plants a
+    ``dynamicpruningexpression`` subquery in the fact scan's
+    PartitionFilters, fed by the reused dim broadcast.  This is the
+    100 TB star-join survival feature — without it a one-week dim
+    filter reads every day of a year-partitioned lake — and nothing
+    else in the suite exercises a hive-partitioned READ path (the
+    shard exporter writes partitioned, but its reader targets one
+    shard by static path)."""
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    fact_dir = str(tmp_path / "fact")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_dir)
+    days = sorted(
+        r["day"] for r in ev.select("day").distinct().collect()
+    )
+    keep = days[:2]
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(d, "keep" if d in keep else "drop") for d in days],
+        "day date, tag string",
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+
+    expected = ev.filter(F.col("day").isin(keep)).count()
+    assert joined.count() == expected
 
 
 def test_source_divergence_plan_shape(spark, sf_dir):
