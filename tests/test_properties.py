@@ -909,3 +909,89 @@ def test_source_divergence_zero_for_corpus_identical_source(
         assert r["kl_micro"] == 0
         assert r["xent_micro"] == r["ent_micro"]
         assert r["xent_micro"] > 0  # mixed tokens: entropy is positive
+
+
+DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", ""]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=DOCS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_source_divergence_matches_python_bigint_fold(spark, docs):
+    """Property: the census equals an independent pure-Python
+    arbitrary-precision-integer replay on arbitrary tiny corpora —
+    including empty tokens (double spaces), sources whose every doc
+    is blank (they must vanish, not report zeros), and single-term
+    sources. Guards the Spark expression and the oracle's unrolled
+    CTE chain against refactors with a third implementation that
+    shares no code with either."""
+    import tempfile
+    from collections import Counter
+
+    from tests.test_intlog import _nlp6_py
+
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    stf: Counter = Counter()
+    for src, text in docs:
+        for tok in text.lower().split(" "):
+            if tok:
+                stf[(src, tok)] += 1
+    expected = {}
+    if stf:
+        total = sum(stf.values())
+        vocab: Counter = Counter()
+        stot: Counter = Counter()
+        for (s, t), c in stf.items():
+            vocab[t] += c
+            stot[s] += c
+        for s in stot:
+            xe = sum(
+                c * _nlp6_py(total, vocab[t])
+                for (s2, t), c in stf.items()
+                if s2 == s
+            )
+            en = sum(
+                c * _nlp6_py(stot[s], c)
+                for (s2, t), c in stf.items()
+                if s2 == s
+            )
+            xent, ent = xe // stot[s], en // stot[s]
+            expected[s] = (
+                stot[s],
+                sum(1 for (s2, _) in stf if s2 == s),
+                xent,
+                ent,
+                xent - ent,
+            )
+
+    d = tempfile.mkdtemp(prefix="divprop_")
+    spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["source"]: (
+            r["tokens"],
+            r["terms"],
+            r["xent_micro"],
+            r["ent_micro"],
+            r["kl_micro"],
+        )
+        for r in REGISTRY["q_source_divergence"].fn(spark, d).collect()
+    }
+    assert got == expected
