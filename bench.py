@@ -12,7 +12,12 @@ The default entrypoint therefore runs $SPARK_GRAFT_BENCH_TRIALS (=3)
 FULL process invocations (fresh JVM each) of itself with ``--single``
 and reports the MEDIAN wall alongside best and the raw trials; BASELINE
 comparisons quote the median. ``--single`` preserves the old one-process
-behavior (used by the orchestrator and for quick iteration).
+behavior (used by the orchestrator and for quick iteration). The
+per-query sequential detail pass runs only in trial 1; later trials
+receive its timings via ``--lpt-from`` (for LPT submission order) and
+skip the pass — at registry size 100+ that ~60 s saving is what keeps
+a 3-trial median inside the wall budget instead of truncating to a
+2-trial mean that one loaded trial can drag.
 
 Within one trial, results are executed via the ``noop`` sink (full
 pipeline runs, nothing collected to the driver) so timings measure the
@@ -69,12 +74,42 @@ def single() -> None:
     # degrade monotonically (measured 6.5 → 28.8 s over 4 passes).
     gc.collect()
 
-    # Measured pass 1: sequential, per-query latencies.
+    # Measured pass 1: sequential, per-query latencies. Runs once per
+    # BENCH, not once per trial: the orchestrator passes trial 1's
+    # timings to later trials via --lpt-from, which skips this pass
+    # (it exists for the per-query detail and the LPT order, neither
+    # of which needs remeasuring) — the saved ~60 s per trial is what
+    # lets a 3-trial median fit the wall budget at registry size 100+.
+    lpt_from = next(
+        (
+            a.split("=", 1)[1]
+            for a in sys.argv[1:]
+            if a.startswith("--lpt-from=")
+        ),
+        None,
+    )
     timings: dict[str, float] = {}
-    for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        run_query(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    if lpt_from is not None:
+        with open(lpt_from) as fh:
+            timings = json.load(fh)
+        # Equalize warmth with detail trials: the sequential pass this
+        # trial skips was also a second full warm pass (JIT tiers,
+        # page cache); without a stand-in the measured concurrent
+        # walls of --lpt-from trials start colder than trial 1's. A
+        # concurrent warm pass costs ~20 s vs the ~60 s sequential.
+        gc.collect()
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(
+                ex.map(
+                    lambda spec: run_query(spec.fn(spark, sf_dir)),
+                    REGISTRY.values(),
+                )
+            )
+    else:
+        for name, spec in sorted(REGISTRY.items()):
+            t0 = time.perf_counter()
+            run_query(spec.fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     # Measured pass 2: the whole declared workload submitted through a
     # thread pool — Spark's scheduler interleaves independent jobs, so
@@ -163,9 +198,14 @@ def orchestrate() -> None:
     bench_t0 = time.perf_counter()
     trials: list[dict] = []
     durations: list[float] = []
+    lpt_path: str | None = None
     for i in range(trials_n):
+        # Project the NEXT trial's cost from the most recent trial:
+        # trial 1 carries the ~60 s sequential-detail pass that later
+        # trials skip (--lpt-from), so max() would over-project and
+        # prematurely truncate to 2 trials.
         if trials and (
-            time.perf_counter() - bench_t0 + max(durations) > budget_s
+            time.perf_counter() - bench_t0 + durations[-1] > budget_s
         ):
             print(
                 f"bench budget {budget_s}s would be exceeded by trial "
@@ -174,8 +214,11 @@ def orchestrate() -> None:
             )
             break
         t0 = time.perf_counter()
+        argv = [sys.executable, os.path.abspath(__file__), "--single"]
+        if lpt_path is not None:
+            argv.append(f"--lpt-from={lpt_path}")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single"],
+            argv,
             stdout=subprocess.PIPE,
             text=True,
         )
@@ -203,6 +246,16 @@ def orchestrate() -> None:
             sys.exit(1)
         trials.append(json.loads(line))
         durations.append(time.perf_counter() - t0)
+        if lpt_path is None:
+            # Hand trial 1's per-query timings to later trials: they
+            # reuse the LPT order and skip the sequential pass.
+            import tempfile
+
+            fd, lpt_path = tempfile.mkstemp(
+                prefix="bench_lpt_", suffix=".json"
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(trials[0].get("queries", {}), fh)
         print(
             f"bench trial {i + 1}/{trials_n}: "
             f"total={trials[-1]['value']} "
@@ -231,7 +284,8 @@ def orchestrate() -> None:
                 t["oracle_subset_wall"] for t in trials
             ],
             "mode": f"median-of-{len(trials)}-process-invocations "
-            "(concurrent-16-threads-best-of-2 within each)",
+            "(concurrent-16-threads-best-of-2 within each; "
+            "per-query sequential detail measured in trial 1)",
         }
     )
     # Two-line output (r6 driver record had "parsed": null — the
@@ -240,6 +294,11 @@ def orchestrate() -> None:
     # the per-query dict for humans and archives; line 2 — LAST, so a
     # bounded tail always contains it whole — is the compact summary
     # with every headline number and no per-query payload.
+    if lpt_path is not None:
+        try:
+            os.unlink(lpt_path)
+        except OSError:
+            pass
     queries = out.pop("queries", {})
     out["queries_n"] = len(queries)
     print(json.dumps({"detail": "per_query_sequential_sec", "queries": queries}))
