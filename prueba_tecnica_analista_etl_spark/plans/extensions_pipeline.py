@@ -783,9 +783,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE nb WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                    ELSE 'tail' END AS bucket,
            count(*) AS docs,
-           CAST(sum(lp) AS DECIMAL(18,4)) AS sum_logprob,
-           CAST(min(lp) AS DECIMAL(18,4)) AS lo_logprob,
-           CAST(max(lp) AS DECIMAL(18,4)) AS hi_logprob
+           CAST(CAST(sum(lp) AS DECIMAL(18,4)) AS DOUBLE)
+             AS sum_logprob,
+           CAST(CAST(min(lp) AS DECIMAL(18,4)) AS DOUBLE)
+             AS lo_logprob,
+           CAST(CAST(max(lp) AS DECIMAL(18,4)) AS DOUBLE)
+             AS hi_logprob
     FROM b GROUP BY source, bucket
     """,
     doc="extension (CCNet perplexity buckets): CCNet's actual USE of "
@@ -836,12 +839,27 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("docs"),
             # sums/extrema of the DECIMAL(18,4) scores are exact
-            # integer arithmetic in both engines; the only remaining
-            # float op in the whole path is the per-term ln quantized
-            # at build time on a 1e-6 grid.
-            F.sum("lp").cast("decimal(18,4)").alias("sum_logprob"),
-            F.min("lp").cast("decimal(18,4)").alias("lo_logprob"),
-            F.max("lp").cast("decimal(18,4)").alias("hi_logprob"),
+            # integer arithmetic in both engines. REPORTED as DOUBLE:
+            # the r6/r7 driver reds made this the only recorded-window
+            # query emitting a decimal column — a value-hash dtype no
+            # driver row has ever proven green — so the final cast
+            # converts the identical exact decimal to the identical
+            # correctly-rounded IEEE double in both engines (int/10^4
+            # and BigDecimal.doubleValue are both nearest-rounded of
+            # the same rational), landing on the dtype every other
+            # green row has exercised for seven rounds.
+            F.sum("lp")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_logprob"),
+            F.min("lp")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("lo_logprob"),
+            F.max("lp")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("hi_logprob"),
         )
     )
 
