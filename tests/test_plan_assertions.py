@@ -451,6 +451,43 @@ def test_r8_late_additions_plan_shapes(spark, sf_dir):
     assert "Join" not in plan
 
 
+# Output dtypes with at least one green driver value-hash on record
+# (CORRECTNESS_r01–r07). decimal is deliberately NOT here: the only
+# decimal-emitting window query (q_perplexity_buckets) was the only
+# red hash two rounds running, so decimal stringification was never
+# proven — its reported columns now cast to double, and this lint
+# keeps any future window entry from re-introducing an unproven hash
+# dtype unnoticed.
+_DRIVER_PROVEN_DTYPES = {"bigint", "date", "double", "int", "string"}
+
+
+def test_recorded_window_emits_only_driver_proven_dtypes(
+    spark, sf_dir
+):
+    """Every ORACLE-BACKED query inside the recorded window (the
+    first WINDOW registry entries — the rows the external harness
+    value-hashes) must emit only column dtypes some driver record has
+    already proven green. Rows-only entries are exempt (the driver
+    never hashes their values; q_stream_dedupe's timestamp column is
+    the standing example)."""
+    from prueba_tecnica_analista_etl_spark import plans
+
+    names = list(REGISTRY)[: plans.WINDOW]
+    offenders = {}
+    for n in names:
+        spec = REGISTRY[n]
+        if spec.oracle is None:
+            continue
+        df = spec.fn(spark, sf_dir)
+        novel = {
+            f.dataType.simpleString().split("(")[0]
+            for f in df.schema.fields
+        } - _DRIVER_PROVEN_DTYPES
+        if novel:
+            offenders[n] = sorted(novel)
+    assert not offenders, offenders
+
+
 def test_dynamic_partition_pruning_prunes_fact_scan(
     spark, sf_dir, tmp_path
 ):
