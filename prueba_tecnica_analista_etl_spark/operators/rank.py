@@ -143,3 +143,86 @@ def bucketed_rank(
         .withColumn(out_col, F.col("__rank_offset") + within.over(w))
         .drop(_BUCKET, "__rank_offset")
     )
+
+
+def bucket_totals(
+    df: DataFrame, bucket: Column, sum_cols: list[str]
+) -> list[tuple[int, tuple[int, ...]]]:
+    """The census pass of :func:`bucketed_prefix_sums`: per-bucket
+    totals of ``sum_cols`` — ``n_buckets`` rows regardless of table
+    size, the same bounded-collect class as :func:`bucket_histogram`.
+    Raises on NULL buckets for the same reason bucket_histogram does."""
+    rows = (
+        df.select(bucket.alias(_BUCKET), *sum_cols)
+        .groupBy(_BUCKET)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    if any(r[_BUCKET] is None for r in rows):
+        raise ValueError(
+            "bucketed_prefix_sums: bucket expression produced NULL "
+            "(NULL order key?) — filter NULL keys or coalesce them to "
+            "a sentinel before summing"
+        )
+    return sorted(
+        (r[_BUCKET], tuple(r[c] for c in sum_cols)) for r in rows
+    )
+
+
+def bucketed_prefix_sums(
+    df: DataFrame,
+    bucket: Column,
+    order_col: Column | str,
+    sum_cols: list[str],
+    *,
+    hist: list[tuple[int, tuple[int, ...]]] | None = None,
+    out_prefix: str = "cum_",
+) -> DataFrame:
+    """Attach ``{out_prefix}{c}`` = EXCLUSIVE prefix sum of each
+    ``c in sum_cols`` under ``ORDER BY order_col`` — the sum over all
+    rows STRICTLY before this one — without an ``Exchange
+    SinglePartition``: the rank scheme's histogram pass generalized
+    from row counts to column totals.
+
+    ``SUM(c) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`` serializes
+    the table through one reducer exactly like global RANK does; the
+    distributed form buckets rows monotonically, collects per-bucket
+    TOTALS (bounded at the bucket cardinality — :func:`bucket_totals`),
+    prefix-sums them driver-side into per-bucket starting offsets, and
+    runs the running sum WITHIN buckets (a sharded window), adding the
+    offset.
+
+    Requirements: ``bucket`` monotone w.r.t. ``order_col``, and AT
+    MOST ONE ROW PER DISTINCT ``order_col`` value (the callers pass
+    grouped per-key frames) — with ties "strictly before" would be
+    ambiguous across the bucket seam. ``hist`` (from
+    :func:`bucket_totals`, staged via artifacts.census_artifact) skips
+    the census pass; it MUST come from the same (df, bucket, sum_cols)
+    triple or offsets will be wrong."""
+    keyed = df.withColumn(_BUCKET, bucket)
+    if hist is None:
+        hist = bucket_totals(df, bucket, sum_cols)
+    offsets: list[tuple] = []
+    running = [0] * len(sum_cols)
+    for b, totals in hist:
+        offsets.append((b, *running))
+        running = [r + (t or 0) for r, t in zip(running, totals)]
+    off_cols = [f"__psum_off_{c}" for c in sum_cols]
+    schema = ", ".join(
+        [f"{_BUCKET} long"] + [f"{c} long" for c in off_cols]
+    )
+    off = df.sparkSession.createDataFrame(
+        offsets or [tuple([0] * (len(sum_cols) + 1))], schema
+    )
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = keyed.join(F.broadcast(off), _BUCKET)
+    for c, oc in zip(sum_cols, off_cols):
+        out = out.withColumn(
+            out_prefix + c,
+            F.col(oc) + F.coalesce(F.sum(c).over(w), F.lit(0)),
+        )
+    return out.drop(_BUCKET, *off_cols)

@@ -28,6 +28,16 @@ against the DuckDB oracle:
                            rolling-MAU shape): dedup + bounded range
                            expansion instead of a per-row DISTINCT
                            window frame no engine can shard.
+* ``q_eval_auc``         — tie-adjusted Mann-Whitney AUC of a score
+                           column vs a binary label in exact integer
+                           rank-sum arithmetic; the global cumulative
+                           count uses the histogram scheme generalized
+                           to prefix SUMS (bucketed_prefix_sums).
+* ``q_ks_distance``      — two-sample Kolmogorov-Smirnov distance
+                           between two sources' score distributions:
+                           max |F1-F2| cross-multiplied into integers
+                           (|cum_a*n_b - cum_b*n_a|), same distributed
+                           prefix-sum frame.
 
 Reference parity: these generalize the reference's §3 aggregate /
 quality-audit designs (seccion3_sql.sql:85-210 staging audits,
@@ -53,6 +63,8 @@ from prueba_tecnica_analista_etl_spark.operators.bloom import (
 )
 from prueba_tecnica_analista_etl_spark.operators.rank import (
     bucket_histogram,
+    bucket_totals,
+    bucketed_prefix_sums,
     bucketed_rank,
     md5_prefix_bucket,
     numeric_bucket,
@@ -692,4 +704,252 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor")
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.col("anchor").alias("day"), "users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation metrics over the distributed prefix-sum frame
+# ---------------------------------------------------------------------------
+
+
+def _value_bucket_census(spark, sf_dir, name, g, sum_cols):
+    """(lo, hi, per-bucket totals) census for a per-distinct-`value`
+    frame ``g`` — the bucketed_prefix_sums inputs, staged once per
+    corpus like q_global_rank's histogram. None when ``g`` is empty."""
+
+    def build():
+        lo, hi = g.agg(F.min("value"), F.max("value")).first()
+        if lo is None:
+            return None
+        b = numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS)
+        return lo, hi, bucket_totals(g, b, sum_cols)
+
+    return census_artifact(spark, sf_dir, name, build)
+
+
+@query(
+    "q_eval_auc",
+    """
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT value, COUNT(*) AS cnt, SUM(lab) AS pos
+      FROM s GROUP BY value
+    ),
+    c AS (
+      SELECT value, cnt, pos,
+             COALESCE(SUM(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_cnt
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(pos * (2*cum_cnt + cnt + 1)) AS BIGINT) AS r2,
+             CAST(SUM(pos) AS BIGINT) AS npos,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT npos, n - npos AS nneg,
+           CASE WHEN npos * (n - npos) > 0 THEN
+             CAST(r2 - npos*(npos+1) AS DOUBLE)
+               / CAST(2 * npos * (n - npos) AS DOUBLE)
+           END AS auc
+    FROM t
+    """,
+    doc="Distributed tie-adjusted AUC (Mann-Whitney rank-sum): exact "
+    "integer arithmetic end-to-end, global cumulative count via "
+    "bucketed prefix sums — no SinglePartition window.",
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval census: AUC of ``events.value`` as a score for the
+    binary label ``event_type = 'purchase'`` — the ranking-quality
+    metric every training pipeline reports next to its loss.
+
+    The rank-sum identity makes AUC a one-pass aggregate over the
+    per-distinct-score frame: with ``cnt``/``pos`` the total/positive
+    count at each score and ``cum_cnt`` the count strictly below it,
+    the doubled tie-adjusted positive rank sum is ``r2 = sum(pos *
+    (2*cum_cnt + cnt + 1))`` (each tied group contributes its average
+    rank ``cum_cnt + (cnt+1)/2`` per positive, doubled to stay
+    integral), and ``AUC = (r2 - npos*(npos+1)) / (2*npos*nneg)``.
+
+    Every quantity up to the final division is a 64-bit integer
+    computed identically in both engines — the SURVEY §2.11
+    hash-stability discipline; the single closing division is one
+    correctly-rounded IEEE op on identical integers, so the DOUBLE
+    output is bit-identical by construction (r2 <= 2n^2 stays inside
+    int64 to n ~ 2.1e9 rows; past that, lift r2 to DECIMAL(38,0)).
+    Degenerate label distributions (no positives / no negatives) yield
+    NULL AUC explicitly in both engines.
+
+    The scale pattern: ``SUM() OVER (ORDER BY value)`` — the textbook
+    cumulative — serializes the frame through one reducer exactly as
+    global RANK does. bucketed_prefix_sums (operators/rank.py) shards
+    it: monotone value buckets, a census-sized per-bucket totals
+    collect (staged per corpus), broadcast offsets, within-bucket
+    running sums. NULL scores are excluded explicitly in both engines
+    (their rank placement is an engine default, q_global_rank's rule).
+
+    Reference parity: extends the reference's §3 quality-audit
+    aggregates (seccion3_sql.sql:85-210) with the evaluation-side
+    census a curation pipeline needs before shipping a training set.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("lab"),
+        )
+    )
+    g = ev.groupBy("value").agg(
+        F.count("*").alias("cnt"), F.sum("lab").alias("pos")
+    )
+    census = _value_bucket_census(spark, sf_dir, "eval_auc_census", g, ["cnt"])
+    if census is None:  # empty input: the oracle's aggregate-of-nothing row
+        c = g.withColumn("cum_cnt", F.lit(0).cast("long"))
+    else:
+        lo, hi, totals = census
+        c = bucketed_prefix_sums(
+            g,
+            numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS),
+            "value",
+            ["cnt"],
+            hist=totals,
+        )
+    t = c.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_cnt") + F.col("cnt") + 1)
+        ).alias("r2"),
+        F.sum("pos").alias("npos"),
+        F.sum("cnt").alias("n"),
+    )
+    nneg = F.col("n") - F.col("npos")
+    return t.select(
+        "npos",
+        nneg.alias("nneg"),
+        F.when(
+            F.col("npos") * nneg > 0,
+            (F.col("r2") - F.col("npos") * (F.col("npos") + 1)).cast("double")
+            / (2 * F.col("npos") * nneg).cast("double"),
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_ks_distance",
+    """
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    g AS (SELECT value, SUM(a) AS ca, SUM(b) AS cb FROM s GROUP BY value),
+    c AS (
+      SELECT value, ca, cb,
+             COALESCE(SUM(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_ca,
+             COALESCE(SUM(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_cb
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM g
+    )
+    SELECT na, nb,
+           CAST(MAX(ABS((cum_ca + ca) * nb - (cum_cb + cb) * na))
+                AS BIGINT) AS ks_num,
+           CASE WHEN na * nb > 0 THEN
+             CAST(MAX(ABS((cum_ca + ca) * nb - (cum_cb + cb) * na))
+                  AS DOUBLE) / CAST(na * nb AS DOUBLE)
+           END AS ks
+    FROM c CROSS JOIN tot
+    GROUP BY na, nb
+    """,
+    doc="Two-sample Kolmogorov-Smirnov distance in exact cross-"
+    "multiplied integers (max |cum_a*n_b - cum_b*n_a|), cumulatives "
+    "via the same bucketed prefix-sum frame as q_eval_auc.",
+)
+def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift census: the two-sample Kolmogorov-Smirnov
+    distance between the ``purchase`` and ``click`` populations'
+    ``value`` distributions — the rank-based companion to
+    q_source_divergence's KL (which compares token FREQUENCIES; KS
+    compares a numeric column's empirical CDFs, the drift test a
+    data-quality gate runs between ingestion batches).
+
+    ``KS = max over values of |F_a(v) - F_b(v)|`` where F is the
+    inclusive empirical CDF. Cross-multiplying by the sample sizes
+    keeps it integral: ``ks_num = max |cum_a(v)*n_b - cum_b(v)*n_a|``
+    over the per-distinct-value frame, with the cumulatives from the
+    same bucketed_prefix_sums pattern as q_eval_auc (one shared scan,
+    two summed columns, census-sized offsets; cum*n <= n_a*n_b stays
+    inside int64 while n_a*n_b < 2^63). The reported ``ks`` divides
+    the two exact integers once — bit-identical IEEE result in both
+    engines; degenerate inputs (an empty side) yield NULL explicitly.
+
+    The max itself is a plain aggregate (partial max per partition,
+    one scalar to merge) — the census frame never converges on a
+    single reducer.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("a"),
+            (F.col("event_type") == "click").cast("long").alias("b"),
+        )
+    )
+    g = ev.groupBy("value").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    census = _value_bucket_census(
+        spark, sf_dir, "ks_distance_census", g, ["ca", "cb"]
+    )
+    if census is None:
+        c = g.withColumn("cum_ca", F.lit(0).cast("long")).withColumn(
+            "cum_cb", F.lit(0).cast("long")
+        )
+    else:
+        lo, hi, totals = census
+        c = bucketed_prefix_sums(
+            g,
+            numeric_bucket(F.col("value"), lo, hi, _RANK_BUCKETS),
+            "value",
+            ["ca", "cb"],
+            hist=totals,
+        )
+    tot = g.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diff = F.abs(
+        (F.col("cum_ca") + F.col("ca")) * F.col("nb")
+        - (F.col("cum_cb") + F.col("cb")) * F.col("na")
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(diff).alias("ks_num"))
+        .select(
+            "na",
+            "nb",
+            "ks_num",
+            F.when(
+                F.col("na") * F.col("nb") > 0,
+                F.col("ks_num").cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+            ).alias("ks"),
+        )
     )

