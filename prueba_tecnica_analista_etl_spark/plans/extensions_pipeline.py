@@ -1795,3 +1795,105 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_census(
         d.select(split.alias("split"), "text"), "text"
     )
+
+
+@query(
+    "q_neardup_scores",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 7,
+                                                         1))) AS i
+               FROM t),
+         fp AS (SELECT DISTINCT doc_id,
+                       md5(array_to_string(list_slice(toks, i, i + 7),
+                                           ' ')) AS fp
+                FROM s),
+         e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS shared
+               FROM fp a
+               JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id)
+    SELECT e.doc_a, e.doc_b, e.shared, sa.n AS n_a, sb.n AS n_b,
+           CAST(e.shared AS DOUBLE)
+             / CAST(sa.n + sb.n - e.shared AS DOUBLE) AS jaccard_sim
+    FROM e
+    JOIN sz sa ON sa.doc_id = e.doc_a
+    JOIN sz sb ON sb.doc_id = e.doc_b
+    """,
+    doc="extension (near-dup scoring, ORACLE-BACKED tier): exact "
+    "Jaccard similarity for every candidate pair of the shared-"
+    "shingle graph — md5 fingerprints end-to-end, so unlike the "
+    "xxhash64 minhash/simhash tiers (rows-only by necessity) the "
+    "full candidate-generation + scoring path is value-hash-checked "
+    "against SQL. Candidates: docs sharing >=3 distinct 8-token "
+    "shingle fingerprints (shingle_edges — one fingerprint-keyed "
+    "shuffle, inline a<b pair expansion, max_df boilerplate cap "
+    "available at scale); scores: |A∩B| = the pair's shared-"
+    "fingerprint count the edge aggregate already holds, |A∪B| = "
+    "n_a + n_b − shared from the per-doc distinct-fingerprint "
+    "census, so scoring never touches the shingle sets again — no "
+    "second pass, no array intersections, just two integer-keyed "
+    "joins of a census-sized frame onto the edge list. jaccard_sim "
+    "is ONE IEEE division of exact integers (bit-identical across "
+    "engines); any downstream THRESHOLD should compare integers "
+    "(keep iff (1+tau)*shared >= tau*(n_a+n_b), exact) rather than "
+    "the double.",
+)
+def q_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pair scores over the shingle-fingerprint graph.
+
+    The rows-only LSH tiers (minhash/simhash/ngram-jaccard) trade
+    oracle-checkability for speed by hashing with xxhash64; this query
+    is the exact tier a curation run uses to AUDIT them: the same
+    candidate edges q_dup_clusters clusters (docs sharing >=
+    CLUSTER_MIN_SHARED 8-token md5 shingle fingerprints), each scored
+    with its true Jaccard over distinct shingle sets.
+
+    |A∩B| is free — it IS the edge's ``shared`` count; |A∪B| comes
+    from the per-doc distinct-fingerprint census joined twice onto
+    the edge list (hash joins keyed on doc_id; the census is one row
+    per doc, Exchange-reused across both sides at scale). Reference
+    parity: the duplicate-detection design of nb:150-160 (exact
+    drop_duplicates) extended to graded near-duplicates.
+    """
+    d = _t(spark, sf_dir, "documents")
+    edges = shingle_edges(d)
+    toks = F.split(F.lower(F.col("text")), " ")
+    sz = (
+        spread(d)
+        .select("doc_id", F.explode(shingles(toks, 8)).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("fp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        edges.join(
+            sz.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sz.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("shared")
+                ).cast("double")
+            ).alias("jaccard_sim"),
+        )
+    )
