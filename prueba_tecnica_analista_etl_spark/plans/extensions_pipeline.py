@@ -1854,19 +1854,42 @@ def q_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     |A∩B| is free — it IS the edge's ``shared`` count; |A∪B| comes
     from the per-doc distinct-fingerprint census joined twice onto
-    the edge list (hash joins keyed on doc_id; the census is one row
-    per doc, Exchange-reused across both sides at scale). Reference
-    parity: the duplicate-detection design of nb:150-160 (exact
-    drop_duplicates) extended to graded near-duplicates.
+    the edge list (hash joins keyed on doc_id). Both the edge list
+    and the size census derive from the SAME fingerprint-grouped
+    frame ``g`` (each fp's deduped member-id array): edges explode
+    its a<b pairs, sizes explode its ids — so the corpus-scale
+    explode+md5 subtree and its fp-keyed Exchange run ONCE
+    (ReusedExchange, plan-pinned), and the corpus is scanned once.
+    Reference parity: the duplicate-detection design of nb:150-160
+    (exact drop_duplicates) extended to graded near-duplicates.
     """
     d = _t(spark, sf_dir, "documents")
-    edges = shingle_edges(d)
     toks = F.split(F.lower(F.col("text")), " ")
-    sz = (
+    fp = (
         spread(d)
         .select("doc_id", F.explode(shingles(toks, 8)).alias("gram"))
         .select("doc_id", F.md5("gram").alias("fp"))
-        .distinct()
+    )
+    # Same g as shingle_edges builds internally (collect_set dedups
+    # (fp, doc) pairs map-side); inlined here so the size census can
+    # share it instead of re-exploding the corpus.
+    g = fp.groupBy("fp").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    edges = (
+        g.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(pair_combos(F.col("ids"), "doc_a", "doc_b")).alias(
+                "p"
+            )
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= CLUSTER_MIN_SHARED)
+    )
+    sz = (
+        g.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

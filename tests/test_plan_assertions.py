@@ -542,3 +542,34 @@ def test_source_divergence_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin [term" in plan  # scoring join, hashed
     assert "Exchange hashpartitioning(source" in plan
     assert "partial_sum" in plan
+
+
+def test_eval_census_plan_shapes(spark, sf_dir):
+    """Plan pins for the evaluation censuses:
+
+    - q_eval_auc / q_ks_distance: the global cumulative runs as a
+      window partitioned by the rank bucket — never SinglePartition
+      over the per-score frame (the only SinglePartition allowed is
+      the closing census-sized scalar aggregate);
+    - q_neardup_scores: pair expansion stays inline (array combos —
+      no cartesian/nested-loop join anywhere), and AQE resolves the
+      shared fingerprint-grouped frame to a scale-appropriate shape:
+      ReusedExchange of the one fp-keyed Exchange (verified at
+      sf0.01, where the census sides are too big to broadcast) or
+      broadcast of the census sides (tiny SFs). Both keep the
+      corpus-scale explode+shuffle single-execution.
+    """
+    for name in ("q_eval_auc", "q_ks_distance"):
+        plan = _plan(spark, sf_dir, name)
+        assert "windowspecdefinition(__rank_bucket" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    df = REGISTRY["q_neardup_scores"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert (
+        final.count("ReusedExchange") >= 2
+        or "BroadcastHashJoin" in final
+    )
