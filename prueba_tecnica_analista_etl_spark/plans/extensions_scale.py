@@ -920,3 +920,94 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "q_lsh_recall",
+    None,
+    doc="LSH quality audit: candidate-stage RECALL of the banded "
+    "minhash tier against exhaustive ground truth. Truth = every "
+    "pair with exact Jaccard >= 0.5 over the same 3-token shingle "
+    "hashes, candidate-generated COMPLETELY by share-any-shingle "
+    "bucketing (a pair with jaccard > 0 shares a shingle by "
+    "definition, so no true pair can escape the bucket join — "
+    "unlike the min-shingle or banded tiers, which trade recall "
+    "for one bucket per doc[-band]). Found = the memoized banded "
+    "minhash pair frame. found ⊆ truth by construction (identical "
+    "shingling, identical similarity predicate), so recall = "
+    "n_found/n_true exactly; the banding-theory target at s=0.5 "
+    "with 4x3 bands is 1-(1-0.5^3)^4 ≈ 0.41 BEFORE the exact "
+    "re-rank, and every emitted pair survives the rerank, so "
+    "measured recall audits the real banding+cap loss. Scale: the "
+    "share-any-shingle join is the O(df^2) exhaustive tier — at "
+    "100 TB run it on a hash-sample of docs (the truth side only "
+    "needs an unbiased estimate); here the harness corpus is small "
+    "enough for the census to be exact.",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the minhash LSH near-dup tier (rows-only: the
+    shingle hashing is xxhash64, engine-specific by design).
+
+    The output row is the audit census a curation run reads before
+    trusting the LSH tier's purge: n_true (exhaustive pairs at the
+    threshold), n_found (of those, how many the banded tier
+    surfaced), n_missed, and recall. A recall collapse (e.g. the
+    seeded-minhash arity bug this module's comments document, which
+    silently collapses all hash functions into one) shows up here as
+    a number, not as a silent corpus quality loss.
+    """
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        cached_minhash_pairs,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        pair_combos,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
+    )
+    sh = d.select(
+        "doc_id", "hs", F.explode("hs").alias("h")
+    )
+    g = (
+        sh.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    # array_sort on array<struct> orders by doc_id (first field), so
+    # pair_combos' i<j expansion yields doc_a < doc_b directly; the
+    # same pair re-surfacing from every shared shingle dedups on the
+    # pair key.
+    combos = pair_combos(F.array_sort("docs"), "a", "b")
+    truth = (
+        g.select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            jaccard(F.col("p.a.hs"), F.col("p.b.hs")).alias("_j"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        # the EXACT predicate minhash_pair_frame gates on — unrounded
+        .filter(F.col("_j") >= 0.5)
+    )
+    found = cached_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_found"),
+        )
+        .select(
+            "n_true",
+            "n_found",
+            (F.col("n_true") - F.col("n_found")).alias("n_missed"),
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_found").cast("double")
+                / F.col("n_true").cast("double"),
+            ).alias("recall"),
+        )
+    )

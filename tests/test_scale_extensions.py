@@ -1075,3 +1075,20 @@ def test_simhash_and_ngram_pair_frames_generic_api(spark):
     ).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in ng} == {(7, 8)}
     assert all(r["jaccard_sim"] > 0.5 for r in ng)
+
+
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """found ⊆ truth must make the audit's recall a true fraction:
+    0 <= n_found <= n_true, n_missed complements, and the harness
+    corpus's near-identical duplicate families (jaccard ≈ 1, where
+    banding probability ≈ 1) must be fully recalled."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        q_lsh_recall,
+    )
+
+    row = q_lsh_recall(spark, sf_dir).collect()[0]
+    assert row["n_true"] > 0
+    assert 0 <= row["n_found"] <= row["n_true"]
+    assert row["n_missed"] == row["n_true"] - row["n_found"]
+    assert row["recall"] == row["n_found"] / row["n_true"]
+    assert row["recall"] == 1.0
