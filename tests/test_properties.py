@@ -995,3 +995,56 @@ def test_source_divergence_matches_python_bigint_fold(spark, docs):
         for r in REGISTRY["q_source_divergence"].fn(spark, d).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # distinct keys later
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_buckets=st.sampled_from([1, 3, 8, 64]),
+)
+@SLOW
+def test_bucketed_prefix_sums_equals_window_form(spark, rows, n_buckets):
+    """bucketed_prefix_sums == the single-window exclusive cumulative
+    on any generated per-key frame, for any bucket granularity —
+    including negative sum values (offsets must carry signs), keys
+    denser than the grid, and the one-bucket degenerate grid."""
+    from prueba_tecnica_analista_etl_spark.operators.rank import (
+        bucketed_prefix_sums,
+        numeric_bucket,
+    )
+    from pyspark.sql import Window
+
+    # one row per distinct key (the operator's contract)
+    dedup = {}
+    for k, a, b in rows:
+        dedup.setdefault(k, (a, b))
+    frame = [(float(k), a, b) for k, (a, b) in dedup.items()]
+    df = spark.createDataFrame(frame, "v double, ca long, cb long")
+    lo = min(r[0] for r in frame)
+    hi = max(r[0] for r in frame)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: (r["x"], r["y"])
+        for r in df.select(
+            "v",
+            F.coalesce(F.sum("ca").over(w), F.lit(0)).alias("x"),
+            F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("y"),
+        ).collect()
+    }
+    got = {
+        r["v"]: (r["cum_ca"], r["cum_cb"])
+        for r in bucketed_prefix_sums(
+            df,
+            numeric_bucket(F.col("v"), lo, hi, n_buckets),
+            "v",
+            ["ca", "cb"],
+        ).collect()
+    }
+    assert got == want
