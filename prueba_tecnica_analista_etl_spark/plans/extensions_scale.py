@@ -1011,3 +1011,68 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "q_ann_recall",
+    None,
+    doc="ANN quality audit: recall@10 of BOTH approximate tiers "
+    "(sign-LSH hamming prefilter, IVF nprobe=4/16) against the exact "
+    "brute-force cosine top-10 for the same probe vector — the "
+    "similarity-search twin of q_lsh_recall's dedup audit. All three "
+    "rankings use the identical (round-4 cosine DESC, vec_id ASC) "
+    "total order, so the intersection is well-defined; the audit "
+    "itself is two joins of top-10 frames plus census-sized "
+    "aggregates — entirely in-plan, no driver collect beyond the "
+    "IVF model the index already owns.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 census for the approximate similarity tiers.
+
+    An IVF index with too few probes or an over-tight hamming radius
+    silently degrades retrieval; this census turns that degradation
+    into a number per method (method, n_exact, n_hit, recall) the
+    way q_lsh_recall does for the dedup tier. Ground truth is the
+    exact brute-force top-10 (q_similarity_topk's frame); hits are
+    inner joins on vec_id. The probe-side cost is three top-10
+    frames — at scale each is TakeOrderedAndProject over its
+    (pruned) scan, and the audit adds joins of 10-row frames.
+
+    Reading the numbers: the two tiers trade recall DIFFERENTLY by
+    design. IVF prunes partitions but re-ranks with exact cosine, so
+    its recall@10 stays high wherever the true neighbors share the
+    probed clusters (~0.9 on the harness corpus at nprobe=4/16).
+    The sign-LSH tier's hamming<=4-of-16 radius targets the NEAR-DUP
+    regime (cos >= 0.95, where P(bit agree) -> 1): on a corpus whose
+    true top-10 sits at moderate cosine, those neighbors' signatures
+    are near-random relative to the probe and recall@10 is honestly
+    low — the census is exactly how a pipeline discovers it must use
+    IVF (or widen the radius) for top-k RETRIEVAL while keeping
+    sign-LSH for duplicate DETECTION.
+    """
+    from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
+        q_similarity_topk,
+    )
+
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+
+    def audit(method: str, approx: DataFrame) -> DataFrame:
+        hits = exact.join(approx.select("vec_id"), "vec_id")
+        return (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hit",
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.col("n_hit").cast("double")
+                    / F.col("n_exact").cast("double"),
+                ).alias("recall"),
+            )
+        )
+
+    return audit("sign_lsh", q_ann_lsh(spark, sf_dir)).unionByName(
+        audit("ivf", ann_ivf(spark, sf_dir, k=16, nprobe=4, iters=2))
+    )

@@ -1092,3 +1092,22 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     assert row["n_missed"] == row["n_true"] - row["n_found"]
     assert row["recall"] == row["n_found"] / row["n_true"]
     assert row["recall"] == 1.0
+
+
+def test_ann_recall_audit_invariants(spark, sf_dir):
+    """The ANN audit must report both tiers against a 10-deep exact
+    truth, recall must be the exact hit fraction, and the IVF tier
+    (exact re-rank over probed clusters) must stay high-recall at
+    harness scale; sign-LSH's dup-regime radius may score low on
+    top-k retrieval (documented) but must stay a valid fraction."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        q_ann_recall,
+    )
+
+    rows = {r["method"]: r for r in q_ann_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"sign_lsh", "ivf"}
+    for r in rows.values():
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall"] == r["n_hit"] / r["n_exact"]
+    assert rows["ivf"]["recall"] >= 0.8
