@@ -226,6 +226,7 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
         "q_simhash_dedup",
         "q_ann_lsh",
         "q_ann_ivf",
+        "q_ann_recall",  # composes the two Arrow-allowed ANN tiers
         "q_embed_neardup",
     }
     SKIP = {
