@@ -905,6 +905,10 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The max itself is a plain aggregate (partial max per partition,
     one scalar to merge) — the census frame never converges on a
     single reducer.
+
+    Reference parity: generalizes the reference's statistical-profile
+    / staging-audit designs (nb:287-340, seccion3_sql.sql:85-210)
+    from per-batch scalar checks to a between-population drift test.
     """
     ev = (
         _t(spark, sf_dir, "events")
@@ -1015,6 +1019,10 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back); binning is map-only; the decile histogram is a
     10-row partial-agged groupBy. Degenerate lo == hi collapses to
     bin 0 explicitly in both engines.
+
+    Reference parity: the reference's quality-audit conditional
+    aggregates (seccion3_sql.sql:85-210) extended to the
+    score-vs-outcome census its §3 verdict checks imply.
     """
     s = (
         _t(spark, sf_dir, "events")
