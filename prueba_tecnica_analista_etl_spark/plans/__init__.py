@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 8):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 108 queries (95 oracle-backed + 13
-rows-only), so 58 must sit outside the recorded window in any given
+each round; the registry holds 109 queries (96 oracle-backed + 13
+rows-only), so 59 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -75,9 +75,9 @@ _ROWS_ONLY_PRIORITY = [
     "q_stream_sessionize",
 ]
 
-# Round-8 rotation (registry 108 = 95 oracle-backed + 13 rows-only;
-# window = 50 = 42 oracle + 8 rows-only, so 58 sit outside this
-# round: the 37 rotated-out oracle queries below, the 16 post-window
+# Round-8 rotation (registry 109 = 96 oracle-backed + 13 rows-only;
+# window = 50 = 42 oracle + 8 rows-only, so 59 sit outside this
+# round: the 37 rotated-out oracle queries below, the 17 post-window
 # oracle additions plus the post-window rows-only q_lsh_recall and
 # q_ann_recall audits
 # round-8 additions in _R8_NEW, and the minhash/ngram/simhash
@@ -168,6 +168,7 @@ _R8_NEW: list[str] = [
     "q_ks_distance",
     "q_neardup_scores",
     "q_calibration_bins",
+    "q_eval_auc_daily",
 ]
 
 

@@ -44,6 +44,11 @@ against the DuckDB oracle:
                            rate; mean score deliberately omitted (a
                            reassociating double SUM is not
                            cross-engine stable).
+* ``q_eval_auc_daily``   — per-day AUC drift census: the rank-sum
+                           identity per calendar day; the cumulative
+                           partitions BY DAY, so it is natively
+                           shardable — the deliberate contrast with
+                           the global form's bucketed scheme.
 
 Reference parity: these generalize the reference's §3 aggregate /
 quality-audit designs (seccion3_sql.sql:85-210 staging audits,
@@ -1056,4 +1061,105 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("lab").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("pos_rate"),
+    )
+
+
+@query(
+    "q_eval_auc_daily",
+    """
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT day, value, COUNT(*) AS cnt, SUM(lab) AS pos
+      FROM s GROUP BY day, value
+    ),
+    c AS (
+      SELECT day, value, cnt, pos,
+             COALESCE(SUM(cnt) OVER (PARTITION BY day ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_cnt
+      FROM g
+    ),
+    t AS (
+      SELECT day,
+             CAST(SUM(pos * (2*cum_cnt + cnt + 1)) AS BIGINT) AS r2,
+             CAST(SUM(pos) AS BIGINT) AS npos,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM c GROUP BY day
+    )
+    SELECT day, npos, n - npos AS nneg,
+           CASE WHEN npos * (n - npos) > 0 THEN
+             CAST(r2 - npos*(npos+1) AS DOUBLE)
+               / CAST(2 * npos * (n - npos) AS DOUBLE)
+           END AS auc
+    FROM t
+    """,
+    doc="Per-day AUC census (eval drift over time): q_eval_auc's "
+    "exact integer rank-sum identity per calendar day. The "
+    "cumulative window partitions by day, so it is NATIVELY "
+    "shardable — the deliberate contrast with the global form, "
+    "which needs the bucketed prefix-sum scheme; same integer "
+    "discipline, one closing IEEE division per day.",
+)
+def q_eval_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily AUC of ``events.value`` vs the purchase label — the
+    drift companion to q_eval_auc: a score whose corpus-level AUC
+    looks healthy can still decay across time slices, and this census
+    is how an eval pipeline sees it per ingestion day.
+
+    Same rank-sum identity and 64-bit-integer discipline as
+    q_eval_auc, but the cumulative count partitions BY DAY — a
+    sharded window Spark executes with one hash exchange on day, no
+    bucketed scheme required (the scale lesson in reverse: global
+    cumulatives need the histogram trick, per-group cumulatives are
+    already distributed). Degenerate days (single-class) yield NULL
+    AUC explicitly in both engines; NULL scores and NULL timestamps
+    are excluded explicitly.
+
+    Reference parity: the reference's per-day volume audit
+    (seccion3_sql.sql:85-210; q_volume_by_day) upgraded from counts
+    to a per-day ranking-quality metric.
+    """
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("lab"),
+        )
+    )
+    g = s.groupBy("day", "value").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("lab").alias("pos")
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn(
+        "cum_cnt", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    t = c.groupBy("day").agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_cnt") + F.col("cnt") + 1)
+        ).alias("r2"),
+        F.sum("pos").alias("npos"),
+        F.sum("cnt").alias("n"),
+    )
+    nneg = F.col("n") - F.col("npos")
+    return t.select(
+        "day",
+        "npos",
+        nneg.alias("nneg"),
+        F.when(
+            F.col("npos") * nneg > 0,
+            (F.col("r2") - F.col("npos") * (F.col("npos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("npos") * nneg).cast("double"),
+        ).alias("auc"),
     )
