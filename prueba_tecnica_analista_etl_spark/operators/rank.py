@@ -78,20 +78,14 @@ def bucket_histogram(
     """The census pass of bucketed_rank, exposed so callers can stage
     it as a per-corpus artifact (artifacts.census_artifact) instead of
     re-collecting on every invocation. Raises on NULL buckets — see
-    bucketed_rank for why a NULL sort key must not rank silently."""
-    rows = (
-        df.select(bucket.alias(_BUCKET))
-        .groupBy(_BUCKET)
-        .agg(F.count("*").alias("n"))
-        .collect()
+    bucketed_rank for why a NULL sort key must not rank silently.
+    Implemented as :func:`bucket_totals` over a constant-1 column
+    (``sum(1) == count(*)``) so the two census schemes share one
+    collector."""
+    rows = bucket_totals(
+        df.withColumn("__bh_one", F.lit(1)), bucket, ["__bh_one"]
     )
-    if any(r[_BUCKET] is None for r in rows):
-        raise ValueError(
-            "bucketed_rank: bucket expression produced NULL (NULL sort "
-            "key?) — filter NULL keys or coalesce them to a sentinel "
-            "before ranking"
-        )
-    return sorted((r[_BUCKET], r["n"]) for r in rows)
+    return [(b, t[0]) for b, t in rows]
 
 
 def bucketed_rank(
@@ -148,10 +142,13 @@ def bucketed_rank(
 def bucket_totals(
     df: DataFrame, bucket: Column, sum_cols: list[str]
 ) -> list[tuple[int, tuple[int, ...]]]:
-    """The census pass of :func:`bucketed_prefix_sums`: per-bucket
+    """The shared census collector of the bucketed schemes: per-bucket
     totals of ``sum_cols`` — ``n_buckets`` rows regardless of table
-    size, the same bounded-collect class as :func:`bucket_histogram`.
-    Raises on NULL buckets for the same reason bucket_histogram does."""
+    size. :func:`bucketed_prefix_sums` consumes it directly;
+    :func:`bucket_histogram` (the rank scheme's pass) is the
+    constant-1 special case. Raises on NULL buckets — a NULL order
+    key has no place in the key order, and the offset join downstream
+    would silently DROP those rows otherwise."""
     rows = (
         df.select(bucket.alias(_BUCKET), *sum_cols)
         .groupBy(_BUCKET)
@@ -160,9 +157,9 @@ def bucket_totals(
     )
     if any(r[_BUCKET] is None for r in rows):
         raise ValueError(
-            "bucketed_prefix_sums: bucket expression produced NULL "
-            "(NULL order key?) — filter NULL keys or coalesce them to "
-            "a sentinel before summing"
+            "bucketed rank/prefix census: bucket expression produced "
+            "NULL (NULL order key?) — filter NULL keys or coalesce "
+            "them to a sentinel first"
         )
     return sorted(
         (r[_BUCKET], tuple(r[c] for c in sum_cols)) for r in rows

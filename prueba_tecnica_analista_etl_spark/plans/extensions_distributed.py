@@ -813,7 +813,10 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select(
             "value",
-            (F.col("event_type") == "purchase").cast("long").alias("lab"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("lab"),
         )
     )
     g = ev.groupBy("value").agg(
@@ -923,8 +926,14 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "value",
-            (F.col("event_type") == "purchase").cast("long").alias("a"),
-            (F.col("event_type") == "click").cast("long").alias("b"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("a"),
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("b"),
         )
     )
     g = ev.groupBy("value").agg(
@@ -937,6 +946,9 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = g.withColumn("cum_ca", F.lit(0).cast("long")).withColumn(
             "cum_cb", F.lit(0).cast("long")
         )
+        tot = g.agg(
+            F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+        )
     else:
         lo, hi, totals = census
         c = bucketed_prefix_sums(
@@ -946,9 +958,15 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["ca", "cb"],
             hist=totals,
         )
-    tot = g.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    )
+        # The census already holds both totals (sum of the per-bucket
+        # sums) — no second aggregation over the distinct-value frame.
+        tot = spark.createDataFrame(
+            [(
+                sum(t[0] or 0 for _, t in totals),
+                sum(t[1] or 0 for _, t in totals),
+            )],
+            "na long, nb long",
+        )
     diff = F.abs(
         (F.col("cum_ca") + F.col("ca")) * F.col("nb")
         - (F.col("cum_cb") + F.col("cb")) * F.col("na")
@@ -1034,7 +1052,10 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select(
             "value",
-            (F.col("event_type") == "purchase").cast("long").alias("lab"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("lab"),
         )
     )
     b = s.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
@@ -1129,7 +1150,10 @@ def q_eval_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("ts").cast("date").alias("day"),
             "value",
-            (F.col("event_type") == "purchase").cast("long").alias("lab"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("lab"),
         )
     )
     g = s.groupBy("day", "value").agg(

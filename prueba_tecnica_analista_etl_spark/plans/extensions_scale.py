@@ -1073,6 +1073,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # Audit the REGISTRY functions themselves (not re-specified
+    # parameters) so a retune of either tier is automatically what
+    # gets measured — no drift between the shipped config and the
+    # audited one.
     return audit("sign_lsh", q_ann_lsh(spark, sf_dir)).unionByName(
-        audit("ivf", ann_ivf(spark, sf_dir, k=16, nprobe=4, iters=2))
+        audit("ivf", q_ann_ivf(spark, sf_dir))
     )

@@ -500,9 +500,9 @@ def test_eval_auc_hand_computed_and_sharded_plan(spark):
 
     df = q_eval_auc(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange SinglePartition" not in plan.replace(
-        "Exchange SinglePartition\n+- *(1) HashAggregate", ""
-    ) or "windowspecdefinition(__rank_bucket" in plan
-    # The scalar-census final agg may legitimately reduce to one row;
-    # what must never happen is the WINDOW running on one partition.
+    # The cumulative window must run bucketed, and the ONLY
+    # SinglePartition exchange allowed is the closing scalar census
+    # aggregate — a second one would mean a global window/sort
+    # regression snuck in beside the bucketed path.
     assert "windowspecdefinition(__rank_bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1

@@ -564,6 +564,10 @@ def test_eval_census_plan_shapes(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "windowspecdefinition(__rank_bucket" in plan, name
         assert "CartesianProduct" not in plan, name
+        # only the closing census-sized scalar aggregate may reduce
+        # to one partition — a second SinglePartition exchange means
+        # a global window/sort crept in beside the bucketed path
+        assert plan.count("Exchange SinglePartition") <= 1, name
 
     df = REGISTRY["q_neardup_scores"].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
