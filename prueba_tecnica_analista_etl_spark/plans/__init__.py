@@ -1,6 +1,6 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 8):
+Registry-order note (transparent rotation, round 9):
 
 The external correctness harness records the FIRST 50 registry entries
 each round; the registry holds 109 queries (96 oracle-backed + 13
@@ -9,38 +9,38 @@ round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
 
-* rounds 1-3 recorded the 47 core oracle-backed queries (see
-  CORRECTNESS_r0{1,2,3}.json — all green rows+schema+hash);
-* round 4 rotated the seven training-prep queries into the window
-  (all green in CORRECTNESS_r04.json);
-* round 5 gave the returning core seven fresh records on regenerated
-  testdata, recorded two new twins, and gave the minhash/ngram/simhash
-  rows-only trio their first rows>0 records;
+* rounds 1-3 recorded the 47 core oracle-backed queries;
+* round 4 rotated the seven training-prep queries in (all green);
+* round 5 re-recorded the returning core on regenerated testdata and
+  gave the minhash/ngram/simhash rows-only trio first rows>0 records;
 * round 6 completed the LSH/ANN sweep and recorded first greens for
-  nine late additions — every registry entry then held at least one
-  external driver record;
-* round 7 returned the 22 r6-rotated core queries, recorded first
-  greens for q_funnel/q_retention, and re-recorded the minhash trio;
-  its ELEVEN post-window additions (_R8 docstring below) plus the new
-  rows-only q_stream_cdc_apply/q_multimodal_pipeline finished the
-  round with zero driver records — promised first slots in r8;
-* round 8 (this rotation) honours that promise: the 11 round-7
-  additions take their FIRST driver records, q_stream_cdc_apply and
-  q_multimodal_pipeline take their first rows>0 records, the 24
-  oracle queries r7 rotated out RETURN (their newest green is r6 —
-  never more than one round old), the ann/embed rows-only trio
-  returns (newest rows>0 record r6), and q_perplexity_buckets STAYS
-  in-window to convert its r6/r7 red hash into a green under the new
-  ZERO-transcendental exact-integer score key (the fixed-point
-  integer logarithm in extensions_pipeline — both engines now compute
-  bit-identical keys by construction).  Six r7-green anchors also
-  stay in (q_scan_project, q_inner_join, q_upsert_merge,
-  q_tumbling_window, q_unigram_logprob, q_tfidf — the last two share
-  the memoized unigram artifact with q_perplexity_buckets, so they
-  re-prove the rebuilt scoring path at near-zero marginal cost).
-  Paying for those 50 in-slots: the 37 oracle-backed queries in
-  _R8_OUT below, every one GREEN in CORRECTNESS_r07.json, and the
-  minhash/ngram/simhash rows-only trio (fresh r7 rows>0 records).
+  nine late additions;
+* round 7 returned the 22 r6-rotated core queries and recorded first
+  greens for q_funnel/q_retention;
+* round 8 recorded first greens for the 11 round-7 additions, first
+  rows>0 for q_stream_cdc_apply/q_multimodal_pipeline, and converted
+  q_perplexity_buckets to green under the exact-integer score key —
+  the first zero-failure window (42 oracle green + 8 rows>0);
+* round 9 (this rotation) leads with the NINETEEN queries that have
+  never appeared in any driver window — the 17 post-r8-window
+  oracle additions in _ROTATION_FIRST (the distributed-algebra and
+  eval-census families) plus the two rows-only recall audits
+  (q_lsh_recall, q_ann_recall) — per the r8 verdict's top ask.  The
+  remaining slots return 28 of the 37 queries r8 rotated out (newest
+  green r7) and keep the three flagship rows-only streaming/curation
+  pipelines in-window.  Paying for those 50 in-slots: the 51
+  oracle-backed queries in _ROTATION_OUT (the 42 greens of the r8
+  window, 1 round old, plus 9 scalar/filter queries held at their r7
+  greens — those 9 lead the r10 returns), the minhash/ngram/simhash
+  trio (fresh r7 rows>0 records, due back by r10), and the
+  cdc/multimodal/ann rows-only cohort (fresh r8 records).
+
+Staleness invariant (tests/test_doc_consistency.py): every registry
+query's newest driver record is at most TWO rounds old at the round
+being recorded, and any never-recorded query sits INSIDE the current
+window.  96 oracle queries across 45 oracle slots/round (and 13
+rows-only across 5) satisfy the bound with slack: each needs a record
+only once per three windows (96 <= 3*45, 13 <= 3*5).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -66,92 +66,11 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# Flagship rows-only pipelines kept inside the recorded window every
-# round (streaming + curation): their rows>0 driver record is the only
-# external signal the streaming path runs at all.
-_ROWS_ONLY_PRIORITY = [
-    "q_corpus_curate",
-    "q_stream_dedupe",
-    "q_stream_sessionize",
-]
-
-# Round-8 rotation (registry 109 = 96 oracle-backed + 13 rows-only;
-# window = 50 = 42 oracle + 8 rows-only, so 59 sit outside this
-# round: the 37 rotated-out oracle queries below, the 17 post-window
-# oracle additions plus the post-window rows-only q_lsh_recall and
-# q_ann_recall audits
-# round-8 additions in _R8_NEW, and the minhash/ngram/simhash
-# rows-only trio holding fresh r7 records).
-#
-# OUT this round — 37 oracle-backed queries, each GREEN in
-# CORRECTNESS_r07.json (so no rotated-out query's newest green is
-# more than one round old), with 2-7 recorded greens total, in-repo
-# DuckDB parity on every test run, and reference-golden or property
-# coverage of the same operators.
-_R8_OUT = [
-    "q_filter_predicate",
-    "q_union_all",
-    "q_count_distinct",
-    "q_having_dups",
-    "q_sort_limit",
-    "q_case_when_check",
-    "q_semi_join",
-    "q_anti_join",
-    "q_ref_integrity",
-    "q_window_running_sum",
-    "q_string_clean",
-    "q_try_cast_json",
-    "q_split_part",
-    "q_null_range_checks",
-    "q_profile_stats",
-    "q_volume_by_day",
-    "q_sessionize_batch",
-    "q_scd2",
-    "q_snapshot_diff",
-    "q_trailing_window",
-    "q_funnel",
-    "q_retention",
-    "q_lang_stats",
-    "q_text_tokens",
-    "q_pii_scrub",
-    "q_doc_chunk",
-    "q_pack_sequences",
-    "q_contamination",
-    "q_repetition",
-    "q_embed_centroids",
-    "q_zscore_outliers",
-    "q_source_overlap",
-    "q_zscore_moments",
-    "q_pack_summary",
-    "q_dup_clusters",
-    "q_mixture_sample",
-    "q_group_sample",
-]
-
-# IN this round: the two unrecorded rows-only pipelines take their
-# first records, and the ann/embed trio returns for fresh ones
-# (newest rows>0 is r6 — the rows-only families alternate rounds:
-# minhash trio r5 → ann trio r6 → minhash trio r7 → ann trio r8).
-_R8_ROWS_ONLY_IN = [
-    "q_stream_cdc_apply",
-    "q_multimodal_pipeline",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_embed_neardup",
-]
-
-# Oracle-backed queries added AFTER the r8 window was fixed — zero
-# records anywhere yet, so they cannot displace a window slot promised
-# above.  Placed directly after the rotated-out queries; first in line
-# for the r9 window (the exact path the eleven r7 additions took
-# through r7→r8).  Empty at rotation time by design — append here when
-# adding a query mid-round.
-#
-# Round-8 additions (extensions_distributed): the distributed-algebra
-# pattern queries.  Added after the window was fixed, so they wait for
-# r9 for their first driver records; until then every one is
-# DuckDB-parity-checked on each test run like the rest of the registry.
-_R8_NEW: list[str] = [
+# LEAD the window: oracle-backed queries with no driver record in any
+# round — the r8 post-window additions (distributed-algebra patterns +
+# eval censuses, extensions_distributed).  First in the recorded order
+# so a partial driver run still certifies them.
+_ROTATION_FIRST = [
     "q_global_rank",
     "q_incremental_agg_merge",
     "q_bloom_semi_join",
@@ -171,47 +90,124 @@ _R8_NEW: list[str] = [
     "q_eval_auc_daily",
 ]
 
+# Rows-only queries recorded this round: the two never-recorded recall
+# audits lead (directly after _ROTATION_FIRST, completing the 19), the
+# flagship streaming/curation trio keeps its every-round rows>0 signal.
+_ROWS_ONLY_IN = [
+    "q_lsh_recall",
+    "q_ann_recall",
+    "q_corpus_curate",
+    "q_stream_dedupe",
+    "q_stream_sessionize",
+]
+
+# OUT this round — 51 oracle-backed queries: the 42 recorded green in
+# CORRECTNESS_r08.json (one round old) plus 9 scalar/filter queries
+# whose newest green is r7 (two rounds old at r9 — the staleness
+# bound's boundary; they MUST lead the r10 oracle returns).
+_ROTATION_OUT = [
+    # newest green r7 — first in line for r10:
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_string_clean",
+    "q_try_cast_json",
+    "q_split_part",
+    # newest green r8 (the full r8 oracle window):
+    "q_scan_project",
+    "q_groupby_count_sum",
+    "q_groupby_rollup",
+    "q_top_duplicates",
+    "q_pivot_wide",
+    "q_dedup_keep_first",
+    "q_inner_join",
+    "q_upsert_merge",
+    "q_window_rownum",
+    "q_regex_validate",
+    "q_tumbling_window",
+    "q_cube",
+    "q_intersect_except",
+    "q_sliding_window",
+    "q_asof_join",
+    "q_stratified_sample",
+    "q_text_ratios",
+    "q_range_join",
+    "q_hypertable_rollup",
+    "q_cdc_apply",
+    "q_quantile_census",
+    "q_hypertable_quantiles",
+    "q_footer_census",
+    "q_window_rank_metrics",
+    "q_exact_dedup",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_similarity_topk",
+    "q_winnow_fingerprint",
+    "q_ann_batch",
+    "q_token_histogram",
+    "q_bm25",
+    "q_unigram_logprob",
+    "q_perplexity_buckets",
+    "q_tfidf",
+    "q_source_priority_dedup",
+    "q_train_val_split",
+    "q_length_histogram",
+    "q_decontaminate",
+    "q_multimodal_meta",
+]
+
+# Oracle-backed queries added AFTER the r9 window was fixed — zero
+# records anywhere yet, so they cannot displace a window slot promised
+# above.  Placed directly after the rotated-out queries; first in line
+# for the r10 window.  Empty at rotation time by design — append here
+# when adding a query mid-round.
+_ROTATION_NEW: list[str] = []
+
 
 def _apply_rotation() -> None:
-    """Order the registry per the documented round-8 rotation.
+    """Order the registry per the documented round-9 rotation.
 
-    Window (first WINDOW=50) = oracle-backed queries in registration
-    order minus _R8_OUT and _R8_NEW, then the 3 flagship rows-only
-    pipelines, then the 5 rows-only entries rotating in.  Beyond
-    the window: the rotated-out oracle queries, the post-window new
-    queries, then the remaining rows-only.  Adding a query without
-    listing it in _R8_NEW (or resizing _R8_OUT) fails the arithmetic
-    assert below — update the rotation lists AND this module's
-    docstring counts together (tests/test_doc_consistency.py
-    cross-checks both).
+    Window (first WINDOW=50) = _ROTATION_FIRST, then the rows-only
+    audits + flagship pipelines in _ROWS_ONLY_IN, then the returning
+    oracle queries (registration order minus _ROTATION_OUT and
+    _ROTATION_NEW).  Beyond the window: the rotated-out oracle
+    queries, the post-window new queries, then the remaining
+    rows-only.  Adding a query without listing it in _ROTATION_NEW
+    (or resizing _ROTATION_OUT) fails the arithmetic assert below —
+    update the rotation lists AND this module's docstring counts
+    together (tests/test_doc_consistency.py cross-checks both).
     """
-    oracle_in_window = [
+    first = [n for n in _ROTATION_FIRST if n in REGISTRY]
+    returning = [
         n
         for n, s in REGISTRY.items()
         if s.oracle is not None
-        and n not in _R8_OUT
-        and n not in _R8_NEW
+        and n not in _ROTATION_OUT
+        and n not in _ROTATION_NEW
+        and n not in _ROTATION_FIRST
     ]
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
-    rows_in = [
-        n
-        for n in _ROWS_ONLY_PRIORITY + _R8_ROWS_ONLY_IN
-        if n in rows_only
-    ]
-    rotated_out = [n for n in _R8_OUT if n in REGISTRY]
-    new = [n for n in _R8_NEW if n in REGISTRY]
+    rows_in = [n for n in _ROWS_ONLY_IN if n in rows_only]
+    rotated_out = [n for n in _ROTATION_OUT if n in REGISTRY]
+    new = [n for n in _ROTATION_NEW if n in REGISTRY]
     rest = [n for n in rows_only if n not in rows_in]
     ordered = {
         n: REGISTRY[n]
-        for n in oracle_in_window + rows_in + rotated_out + new + rest
+        for n in first + rows_in + returning + rotated_out + new + rest
     }
     assert len(ordered) == len(REGISTRY), "rotation dropped a registry entry"
-    assert len(oracle_in_window) + len(rows_in) == WINDOW, (
-        f"window arithmetic drifted: {len(oracle_in_window)} oracle + "
-        f"{len(rows_in)} rows-only != {WINDOW}; resize _R8_OUT"
+    assert len(first) + len(returning) + len(rows_in) == WINDOW, (
+        f"window arithmetic drifted: {len(first)} first + "
+        f"{len(returning)} returning oracle + {len(rows_in)} rows-only "
+        f"!= {WINDOW}; resize _ROTATION_OUT"
     )
     window = list(ordered)[:WINDOW]
-    assert all(n in window for n in _ROWS_ONLY_PRIORITY + _R8_ROWS_ONLY_IN)
+    assert all(n in window for n in _ROWS_ONLY_IN)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
