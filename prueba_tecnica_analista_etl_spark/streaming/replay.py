@@ -34,19 +34,26 @@ def write_replay_files(
     base_dir: str | None = None,
     time_col: str = "ts",
     where: str | None = None,
+    arrival_order: str = "range",
 ) -> tuple[str, T.StructType]:
     """Materialize a table as ``n_files`` parquet chunks in a fresh
     temp dir (the simulated landing folder). Returns (dir, schema).
     ``where`` (a SQL predicate) carves a sub-stream out of the table —
     e.g. one landing dir per event type for stream-stream joins.
 
-    Chunks are range-partitioned on ``time_col`` so replay order
-    matches event-time order — the realistic landing-folder arrival
-    pattern. (A deliberately shuffled replay with a tight watermark
-    drops almost everything after the first micro-batch as late data —
-    correct semantics, but not what the parity tests model.)
+    Chunks are range-partitioned on ``time_col``; ``arrival_order``
+    controls the mtime stamping that fixes replay order:
+
+    * ``"range"`` (default): arrival order == event-time order — the
+      realistic landing-folder pattern the parity tests model.
+    * ``"shuffled"``: a deterministic derangement-ish permutation of
+      the range order — models DISORDERED arrival (a delayed upstream
+      export landing after its successors). With a tight watermark a
+      stateful consumer drops the out-of-order files' rows as late
+      data — correct semantics, and exactly what the late-data DLQ
+      tests (streaming/late_dlq.py) must observe.
     """
-    key = (sf_dir, table, n_files, time_col, where)
+    key = (sf_dir, table, n_files, time_col, where, arrival_order)
     if base_dir is None and key in _REPLAY_CACHE:
         return _REPLAY_CACHE[key]
     # Must run before the read: an externally-built session (the
@@ -75,10 +82,23 @@ def write_replay_files(
     parts = sorted(
         f for f in os.listdir(data_dir) if f.startswith("part-")
     )
+    order = list(range(len(parts)))
+    if arrival_order == "shuffled":
+        # Deterministic disorder (no RNG): the EARLIEST range chunk
+        # arrives LAST — the "one delayed upstream export lands after
+        # all its successors" incident. The delay must span >= 2
+        # micro-batches to be observable: Spark filters late events
+        # against the PREVIOUS batch's watermark (watermarkForLateEvents
+        # lags eviction by one batch), so an adjacent-pair swap is
+        # always forgiven, while a chunk arriving two+ batches late is
+        # genuinely dropped.
+        order = order[1:] + order[:1]
+    elif arrival_order != "range":
+        raise ValueError(f"unknown arrival_order {arrival_order!r}")
     base_ts = os.path.getmtime(os.path.join(data_dir, parts[0]))
-    for i, name in enumerate(parts):
-        p = os.path.join(data_dir, name)
-        os.utime(p, (base_ts + i, base_ts + i))
+    for arrival_pos, part_idx in enumerate(order):
+        p = os.path.join(data_dir, parts[part_idx])
+        os.utime(p, (base_ts + arrival_pos, base_ts + arrival_pos))
     if base_dir is None:
         _REPLAY_CACHE[key] = (data_dir, df.schema)
     return data_dir, df.schema
