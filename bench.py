@@ -162,21 +162,26 @@ def single() -> None:
             oracle_subset_total, round(time.perf_counter() - t0, 3)
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": concurrent_total,
-                "unit": "sec",
-                "mode": "concurrent-16-threads-best-of-2",
-                "oracle_subset_wall": oracle_subset_total,
-                "oracle_subset_n": len(oracle_specs),
-                "sequential_total": round(sum(timings.values()), 3),
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "declared_queries_total_wall",
+        "value": concurrent_total,
+        "unit": "sec",
+        "mode": "concurrent-16-threads-best-of-2",
+        "oracle_subset_wall": oracle_subset_total,
+        "oracle_subset_n": len(oracle_specs),
+        "queries": timings,
+        "sf": sf,
+    }
+    if lpt_from is not None:
+        # The per-query dict is trial 1's detail REUSED for LPT order,
+        # not a fresh measurement — tag it machine-readably and omit
+        # sequential_total (this trial never ran a sequential pass), so
+        # a consumer of a single trial record can't mistake copied
+        # detail for measured detail (ADVICE r8).
+        payload["queries_from_trial"] = 1
+    else:
+        payload["sequential_total"] = round(sum(timings.values()), 3)
+    print(json.dumps(payload))
     spark.stop()
 
 
@@ -200,12 +205,20 @@ def orchestrate() -> None:
     durations: list[float] = []
     lpt_path: str | None = None
     for i in range(trials_n):
-        # Project the NEXT trial's cost from the most recent trial:
-        # trial 1 carries the ~60 s sequential-detail pass that later
-        # trials skip (--lpt-from), so max() would over-project and
-        # prematurely truncate to 2 trials.
+        # Project the NEXT trial's cost from the most recent trial.
+        # For the trial-2 decision the only sample is trial 1, which
+        # carries the ~60 s sequential-detail pass trial 2 will skip
+        # (--lpt-from replaces it with a ~3x cheaper concurrent warm
+        # pass) — projecting at trial 1's full wall over-estimates and
+        # can truncate a bench whose budget fits two trials (ADVICE
+        # r8): subtract the measured sequential pass net of its
+        # stand-in (~1/3 of it).
+        projected = durations[-1] if durations else 0.0
+        if len(trials) == 1:
+            seq = trials[0].get("sequential_total") or 0.0
+            projected -= max(0.0, seq * 2.0 / 3.0)
         if trials and (
-            time.perf_counter() - bench_t0 + durations[-1] > budget_s
+            time.perf_counter() - bench_t0 + projected > budget_s
         ):
             print(
                 f"bench budget {budget_s}s would be exceeded by trial "

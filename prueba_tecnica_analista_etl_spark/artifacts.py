@@ -30,18 +30,46 @@ materialization I/O and lose.
 
 from __future__ import annotations
 
+import os
 import threading
 import weakref
+import zlib
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[
-    tuple[int, str, str], tuple["weakref.ref[SparkSession]", DataFrame]
+    tuple, tuple["weakref.ref[SparkSession]", DataFrame]
 ] = {}
 _VALUE_CACHE: dict[
-    tuple[int, str, str], tuple["weakref.ref[SparkSession]", object]
+    tuple, tuple["weakref.ref[SparkSession]", object]
 ] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> int:
+    """Cheap content fingerprint of a corpus directory: CRC over every
+    file's (relative path, size, mtime_ns), O(files) stat calls and no
+    data reads. Folded into every artifact key so a corpus REGENERATED
+    under the same path (ADVICE r8: the silent-wrong-results class —
+    stale bloom bitsets dropping true semi-join matches, stale rank
+    histograms) misses the cache and rebuilds, instead of answering
+    from the old corpus. ``clear_artifacts`` remains the explicit path;
+    this makes forgetting it safe."""
+    crc = 0
+    try:
+        for root, dirs, files in os.walk(sf_dir):
+            dirs.sort()
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                rec = f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+                crc = zlib.crc32(rec.encode(), crc)
+    except OSError:
+        return -1
+    return crc
 # Consumers run CONCURRENTLY (the bench's 16-thread pass issues
 # q_unigram_logprob and q_perplexity_buckets together): _LOCK guards
 # the dict, and a per-key build lock makes "built once per corpus"
@@ -59,8 +87,10 @@ def corpus_artifact(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the memoized, checkpointed artifact ``name`` for
-    ``(spark, sf_dir)``, building it with ``build()`` on first use."""
-    key = (id(spark), sf_dir, name)
+    ``(spark, sf_dir)``, building it with ``build()`` on first use.
+    The key carries a corpus fingerprint (file sizes + mtimes), so
+    rewriting the corpus under the same path invalidates implicitly."""
+    key = (id(spark), sf_dir, name, _corpus_fingerprint(sf_dir))
     with _LOCK:
         for k in [
             k for k, (ref, _) in _CACHE.items() if ref() is None
@@ -83,6 +113,11 @@ def corpus_artifact(
             with _LOCK:
                 _BUILD_LOCKS.pop(key, None)
         with _LOCK:
+            # Evict superseded generations of the same artifact: the
+            # old-fingerprint entry can never hit again and would pin
+            # its checkpointed blocks for the session's lifetime.
+            for k in [k for k in _CACHE if k[:3] == key[:3] and k != key]:
+                _CACHE.pop(k, None)
             _CACHE[key] = (weakref.ref(spark), df)
     return df
 
@@ -101,7 +136,12 @@ def census_artifact(
     lookup) minus the checkpoint — these are plain values, not
     frames. Only census-sized objects belong here: everything stored
     must be O(buckets|bits|model), never O(rows)."""
-    key = (id(spark), sf_dir, f"census:{name}")
+    key = (
+        id(spark),
+        sf_dir,
+        f"census:{name}",
+        _corpus_fingerprint(sf_dir),
+    )
     with _LOCK:
         for k in [
             k for k, (ref, _) in _VALUE_CACHE.items() if ref() is None
@@ -122,6 +162,10 @@ def census_artifact(
             with _LOCK:
                 _BUILD_LOCKS.pop(key, None)
         with _LOCK:
+            for k in [
+                k for k in _VALUE_CACHE if k[:3] == key[:3] and k != key
+            ]:
+                _VALUE_CACHE.pop(k, None)
             _VALUE_CACHE[key] = (weakref.ref(spark), value)
     return value
 

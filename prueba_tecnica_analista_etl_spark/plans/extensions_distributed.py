@@ -451,8 +451,9 @@ _POSTINGS_CAP = 8
     )
     SELECT term,
            COUNT(*) AS df,
-           list_slice(list(doc_id ORDER BY doc_id), 1, {_POSTINGS_CAP})
-             AS postings
+           array_to_string(
+             list_slice(list(doc_id ORDER BY doc_id), 1, {_POSTINGS_CAP}),
+             ',') AS postings
     FROM pairs
     GROUP BY term
     ORDER BY df DESC, term
@@ -460,7 +461,11 @@ _POSTINGS_CAP = 8
     """,
     doc="Retrieval-index build: per-term document frequency + ordered "
     "posting list capped at a fixed length (skew-safe); top-20 terms "
-    "by df with total-order tiebreak.",
+    "by df with total-order tiebreak. Postings serialize to a "
+    "canonical comma-joined string: the driver value-hash has proven "
+    "scalar dtypes only, and cross-engine array stringification is "
+    "exactly the hash-stability class the window lint exists to keep "
+    "out (test_recorded_window_emits_only_driver_proven_dtypes).",
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the documents table: term → (df, postings).
@@ -494,7 +499,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _POSTINGS_CAP)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("postings")
+        )
     )
     return (
         df_counts.join(postings, "term")

@@ -460,6 +460,61 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SHIPPED sign-LSH operating point (audited by q_ann_recall's
+# sweep alongside its neighbors, so a retune here is automatically
+# what gets measured).
+LSH_BITS = 16
+LSH_HAMMING = 4
+
+
+def ann_lsh_candidates(
+    spark: SparkSession, sf_dir: str, max_hamming: int = LSH_HAMMING
+) -> DataFrame:
+    """Sign-LSH candidate frame for the vec_id=0 probe: every corpus
+    vector within ``max_hamming`` of the probe's 16-bit signature,
+    with its hamming distance and exact cosine. One signature matmul
+    + one broadcast probe + one filter — callers sweep OPERATING
+    POINTS by re-filtering this single frame (a radius r <= the
+    computed one is `hamming <= r`, no recompute)."""
+    # spread() before the signature matmul: a one-file embeddings
+    # table arrives as ONE partition and the Arrow UDF would run the
+    # whole corpus serially (every sibling embedding query spreads)
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = random_hyperplanes(LSH_BITS, 64, seed=42)
+    sigs = e.withColumn("sig", sign_bits(F.col("v"), planes))
+    q = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("sig").alias("qsig")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "vec_id",
+            "hamming",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+
+
+def ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = LSH_HAMMING,
+    topk: int = 10,
+) -> DataFrame:
+    return (
+        ann_lsh_candidates(spark, sf_dir, max_hamming)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
 @query(
     "q_ann_lsh",
     None,
@@ -469,35 +524,12 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one broadcast + one filter instead of full brute force per query.",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread() before the signature matmul: a one-file embeddings
-    # table arrives as ONE partition and the Arrow UDF would run the
-    # whole corpus serially (every sibling embedding query spreads)
-    e = spread(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    planes = random_hyperplanes(16, 64, seed=42)
-    sigs = e.withColumn("sig", sign_bits(F.col("v"), planes))
-    q = sigs.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("sig").alias("qsig")
-    )
-    cand = (
-        sigs.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
-        )
-        .filter(F.col("hamming") <= 4)
-    )
-    return (
-        cand.select(
-            "vec_id",
-            "hamming",
-            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return ann_lsh(spark, sf_dir)
 
+
+# The SHIPPED IVF operating point (swept by q_ann_recall).
+IVF_K = 16
+IVF_NPROBE = 4
 
 # The fitted coarse quantizer is a MODEL (k×dim floats), not data:
 # real IVF systems train it once per corpus and amortize it across
@@ -585,7 +617,7 @@ def ann_ivf(
     "tested equal to brute force.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_ivf(spark, sf_dir, k=16, nprobe=4, iters=2)
+    return ann_ivf(spark, sf_dir, k=IVF_K, nprobe=IVF_NPROBE, iters=2)
 
 
 @query(
@@ -726,8 +758,12 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow state channel and the result sink — the wide `props` JSON
     # string tripled the operator's wall at sf0.1.
     slim = stream.select("event_id", "user_id", "ts")
+    # Keyed by the LANDING dir, not sf_dir: the landing dir is already
+    # fingerprint-unique per corpus generation (replay.py), so a
+    # regenerated corpus gets a fresh sink + checkpoint instead of a
+    # checkpoint pointed at a path that no longer feeds it.
     return run_available_now(
-        dedupe_stream(slim), s, cache_key=("q_stream_dedupe", sf_dir)
+        dedupe_stream(slim), s, cache_key=("q_stream_dedupe", data_dir)
     )
 
 
@@ -736,7 +772,9 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     doc="T4,T5,T7: events replayed as a file stream (availableNow, "
     "2 micro-batches), session_window(30 min) per user with watermark, "
-    "append-mode memory sink; returns finalized sessions. Streaming "
+    "append-mode persistent parquet sink (lazy exactly-once read, "
+    "incremental resume on re-invocation); returns finalized "
+    "sessions. Streaming "
     "state is bounded by active keys (watermark eviction).",
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,7 +793,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s.conf.set("spark.sql.shuffle.partitions", "4")
     stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=2)
     return run_available_now(
-        sessionize(stream), s, cache_key=("q_stream_sessionize", sf_dir)
+        sessionize(stream), s, cache_key=("q_stream_sessionize", data_dir)
     )
 
 
@@ -912,12 +950,15 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target, never a driver collect: at 100 TB consumers scan the
     # upsert target exactly like this.
     with _CDC_LOCK:
-        dirs = _CDC_SINKS.get(sf_dir)
+        # data_dir, not sf_dir: the landing dir is fingerprint-unique
+        # per corpus generation, so a regenerated corpus gets a fresh
+        # target + checkpoint.
+        dirs = _CDC_SINKS.get(data_dir)
         if dirs is None:
             root = tempfile.mkdtemp(prefix="cdc_stream_")
             dirs = (os.path.join(root, "target"), os.path.join(root, "ckpt"))
-            _CDC_SINKS[sf_dir] = dirs
-        run_lock = _CDC_RUN_LOCKS.setdefault(sf_dir, threading.Lock())
+            _CDC_SINKS[data_dir] = dirs
+        run_lock = _CDC_RUN_LOCKS.setdefault(data_dir, threading.Lock())
     target, ckpt = dirs
     with run_lock:
         q = (
@@ -1035,15 +1076,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     None,
-    doc="ANN quality audit: recall@10 of BOTH approximate tiers "
-    "(sign-LSH hamming prefilter, IVF nprobe=4/16) against the exact "
-    "brute-force cosine top-10 for the same probe vector — the "
-    "similarity-search twin of q_lsh_recall's dedup audit. All three "
-    "rankings use the identical (round-4 cosine DESC, vec_id ASC) "
-    "total order, so the intersection is well-defined; the audit "
-    "itself is two joins of top-10 frames plus census-sized "
-    "aggregates — entirely in-plan, no driver collect beyond the "
-    "IVF model the index already owns.",
+    doc="ANN quality audit SWEEP: recall@10 of both approximate tiers "
+    "across three operating points each (sign-LSH hamming radius "
+    "2/4/6 over one shared candidate frame; IVF nprobe 2/4/8 over one "
+    "memoized quantizer) against the exact brute-force cosine top-10 "
+    "for the same probe — the retrieval-vs-cost trade emitted as a "
+    "TABLE (one row per tier x point, shipped points marked), not a "
+    "constant. All rankings use the identical (round-4 cosine DESC, "
+    "vec_id ASC) total order, so intersections are well-defined; the "
+    "audit is joins of top-10 frames plus census-sized aggregates — "
+    "entirely in-plan, no driver collect beyond the IVF model the "
+    "index already owns.",
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 census for the approximate similarity tiers.
@@ -1075,13 +1118,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = q_similarity_topk(spark, sf_dir).select("vec_id")
 
-    def audit(method: str, approx: DataFrame) -> DataFrame:
+    def audit(
+        method: str, point: str, shipped: bool, approx: DataFrame
+    ) -> DataFrame:
         hits = exact.join(approx.select("vec_id"), "vec_id")
         return (
             exact.agg(F.count(F.lit(1)).alias("n_exact"))
             .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
             .select(
                 F.lit(method).alias("method"),
+                F.lit(point).alias("operating_point"),
+                F.lit(shipped).alias("shipped"),
                 "n_exact",
                 "n_hit",
                 F.when(
@@ -1092,10 +1139,30 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # Audit the REGISTRY functions themselves (not re-specified
-    # parameters) so a retune of either tier is automatically what
-    # gets measured — no drift between the shipped config and the
-    # audited one.
-    return audit("sign_lsh", q_ann_lsh(spark, sf_dir)).unionByName(
-        audit("ivf", q_ann_ivf(spark, sf_dir))
-    )
+    # Sweep AROUND the shipped constants (LSH_HAMMING, IVF_NPROBE), so
+    # a retune moves both the shipped row and its neighbors — no drift
+    # between the measured table and the shipped config. The LSH
+    # points share ONE candidate frame computed at the widest radius
+    # (a tighter radius is a re-filter, not a recompute); the IVF
+    # points share the memoized coarse quantizer, so the sweep costs
+    # three pruned scans, not three index builds.
+    lsh_radii = sorted({LSH_HAMMING - 2, LSH_HAMMING, LSH_HAMMING + 2})
+    wide = ann_lsh_candidates(spark, sf_dir, max_hamming=max(lsh_radii))
+    out = None
+    for r in lsh_radii:
+        approx = (
+            wide.filter(F.col("hamming") <= r)
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10)
+        )
+        row = audit("sign_lsh", f"hamming<={r}", r == LSH_HAMMING, approx)
+        out = row if out is None else out.unionByName(row)
+    for nprobe in sorted({IVF_NPROBE // 2, IVF_NPROBE, IVF_NPROBE * 2}):
+        row = audit(
+            "ivf",
+            f"nprobe={nprobe}/{IVF_K}",
+            nprobe == IVF_NPROBE,
+            ann_ivf(spark, sf_dir, k=IVF_K, nprobe=nprobe, iters=2),
+        )
+        out = out.unionByName(row)
+    return out

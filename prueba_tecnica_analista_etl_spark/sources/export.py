@@ -238,12 +238,17 @@ def verify_training_shards(
     truncated write all surface as a named mismatch, before a training
     job consumes garbage."""
     manifest, algo = _manifest_dict(spark, path)
-    if algo != CHECKSUM_ALGO:
-        # A manifest written under a different checksum definition
-        # CANNOT be content-verified by this code — surface that as a
-        # single named problem (sentinel shard -1), not as per-shard
-        # "corruption" that would be indistinguishable from real
-        # tampering.
+    if algo is not None and algo != CHECKSUM_ALGO:
+        # A manifest written under a DIFFERENT NAMED checksum
+        # definition CANNOT be content-verified by this code — surface
+        # that as a single named problem (sentinel shard -1), not as
+        # per-shard "corruption" that would be indistinguishable from
+        # real tampering. algo=None is NOT a mismatch: manifests
+        # written before the algo marker existed used the identical
+        # sum-xxhash64-mod-p63 fold, so their checksums verify
+        # bit-for-bit (ADVICE r8: refusing them would force a
+        # re-export of every pre-marker shard set for no content
+        # reason).
         return {
             -1: (
                 f"manifest checksum algo {algo!r} is not the supported "

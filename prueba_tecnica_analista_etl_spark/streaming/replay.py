@@ -53,7 +53,22 @@ def write_replay_files(
       data — correct semantics, and exactly what the late-data DLQ
       tests (streaming/late_dlq.py) must observe.
     """
-    key = (sf_dir, table, n_files, time_col, where, arrival_order)
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        _corpus_fingerprint,
+    )
+
+    # Corpus fingerprint in the key (artifacts.py discipline): a
+    # regenerated source table misses and rewrites the landing dir
+    # instead of replaying stale data.
+    key = (
+        sf_dir,
+        table,
+        n_files,
+        time_col,
+        where,
+        arrival_order,
+        _corpus_fingerprint(sf_dir),
+    )
     if base_dir is None and key in _REPLAY_CACHE:
         return _REPLAY_CACHE[key]
     # Must run before the read: an externally-built session (the
@@ -115,7 +130,11 @@ def write_overlapping_replay(
     delivered twice), mtime-ordered so they arrive as separate
     micro-batches. The union covers every row, so an exactly-once
     consumer must emit each id exactly once while seeing ~1.2× rows."""
-    key = ("overlap", sf_dir, table, id_col)
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        _corpus_fingerprint,
+    )
+
+    key = ("overlap", sf_dir, table, id_col, _corpus_fingerprint(sf_dir))
     if key in _REPLAY_CACHE:
         return _REPLAY_CACHE[key]
     ensure_runtime_conf(spark)

@@ -310,9 +310,12 @@ def test_inverted_index_caps_postings_via_window_group_limit(spark, sf_dir):
     df = q_inverted_index(spark, sf_dir)
     assert "WindowGroupLimit" in _plan(df)
     for r in df.collect():
-        assert 1 <= len(r["postings"]) <= _POSTINGS_CAP
-        assert r["postings"] == sorted(r["postings"])
-        assert r["df"] >= len(r["postings"])
+        # postings serialize to a canonical comma-joined string (the
+        # recorded window hashes only driver-proven scalar dtypes)
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert 1 <= len(ids) <= _POSTINGS_CAP
+        assert ids == sorted(ids)
+        assert r["df"] >= len(ids)
 
 
 def test_filter_funnel_is_monotone_and_single_scan(spark, sf_dir):
@@ -506,3 +509,52 @@ def test_eval_auc_hand_computed_and_sharded_plan(spark):
     # regression snuck in beside the bucketed path.
     assert "windowspecdefinition(__rank_bucket" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_artifact_cache_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """ADVICE r8: a corpus regenerated under the SAME path must MISS
+    the artifact caches (the key carries a file-stat fingerprint) —
+    a stale bloom bitset silently drops true semi-join matches, so
+    answering stale is the one wrong behavior. Same-content lookups
+    still hit (one build per generation)."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        census_artifact,
+        corpus_artifact,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+
+    def write(payload: str) -> None:
+        with open(os.path.join(corpus, "t.parquet"), "w") as fh:
+            fh.write(payload)
+
+    write("generation-one")
+    builds = []
+
+    def build_census():
+        builds.append("c")
+        return len(builds) * 100
+
+    assert census_artifact(spark, corpus, "x", build_census) == 100
+    assert census_artifact(spark, corpus, "x", build_census) == 100
+    assert builds == ["c"], "same generation must hit the cache"
+
+    write("generation-two-(different-size)")
+    assert census_artifact(spark, corpus, "x", build_census) == 200
+    assert builds == ["c", "c"], "rewrite must rebuild, not answer stale"
+
+    frames = []
+
+    def build_frame():
+        frames.append("f")
+        return spark.range(len(frames))
+
+    assert corpus_artifact(spark, corpus, "y", build_frame).count() == 1
+    assert corpus_artifact(spark, corpus, "y", build_frame).count() == 1
+    assert frames == ["f"]
+    write("generation-three:-still-different")
+    assert corpus_artifact(spark, corpus, "y", build_frame).count() == 2
+    assert frames == ["f", "f"]

@@ -1099,19 +1099,43 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
 
 
 def test_ann_recall_audit_invariants(spark, sf_dir):
-    """The ANN audit must report both tiers against a 10-deep exact
-    truth, recall must be the exact hit fraction, and the IVF tier
-    (exact re-rank over probed clusters) must stay high-recall at
+    """The ANN audit is a SWEEP (r8 verdict task 8): three operating
+    points per tier against a 10-deep exact truth, exactly one point
+    per tier marked as the shipped config (and carrying the shipped
+    constants), recall the exact hit fraction everywhere, and recall
+    MONOTONE in the knob within each tier — widening the radius /
+    probing more clusters can only add candidates, so a non-monotone
+    recall means the points aren't filtering one shared frame. IVF's
+    exact re-rank over probed clusters must stay high-recall at
     harness scale; sign-LSH's dup-regime radius may score low on
     top-k retrieval (documented) but must stay a valid fraction."""
     from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        IVF_K,
+        IVF_NPROBE,
+        LSH_HAMMING,
         q_ann_recall,
     )
 
-    rows = {r["method"]: r for r in q_ann_recall(spark, sf_dir).collect()}
-    assert set(rows) == {"sign_lsh", "ivf"}
-    for r in rows.values():
-        assert r["n_exact"] == 10
-        assert 0 <= r["n_hit"] <= r["n_exact"]
-        assert r["recall"] == r["n_hit"] / r["n_exact"]
-    assert rows["ivf"]["recall"] >= 0.8
+    rows = q_ann_recall(spark, sf_dir).collect()
+    by_tier: dict = {}
+    for r in rows:
+        by_tier.setdefault(r["method"], []).append(r)
+    assert set(by_tier) == {"sign_lsh", "ivf"}
+    for tier, pts in by_tier.items():
+        assert len(pts) == 3, tier
+        shipped = [p for p in pts if p["shipped"]]
+        assert len(shipped) == 1, tier
+        for p in pts:
+            assert p["n_exact"] == 10
+            assert 0 <= p["n_hit"] <= p["n_exact"]
+            assert p["recall"] == p["n_hit"] / p["n_exact"]
+        recalls = [p["recall"] for p in pts]  # registry order: knob asc
+        assert recalls == sorted(recalls), (tier, recalls)
+    assert (
+        by_tier["sign_lsh"][0]["operating_point"] != by_tier["sign_lsh"][1]["operating_point"]
+    )
+    shipped_lsh = next(p for p in by_tier["sign_lsh"] if p["shipped"])
+    assert shipped_lsh["operating_point"] == f"hamming<={LSH_HAMMING}"
+    shipped_ivf = next(p for p in by_tier["ivf"] if p["shipped"])
+    assert shipped_ivf["operating_point"] == f"nprobe={IVF_NPROBE}/{IVF_K}"
+    assert shipped_ivf["recall"] >= 0.8

@@ -1125,6 +1125,40 @@ def test_export_manifest_records_checksum_algo(spark, tmp_path):
     assert "re-export" in problems[-1]
 
 
+def test_export_verify_accepts_pre_marker_manifest(spark, tmp_path):
+    """A manifest WITHOUT the checksum_algo column (written by the
+    pre-marker generation of the SAME sum-mod-p63 fold) must still
+    content-verify — its checksums match bit-for-bit, so refusing it
+    would force a pointless re-export of every legacy shard set
+    (ADVICE r8). Only a DIFFERENT NAMED algo is a refusal."""
+    import os
+
+    import prueba_tecnica_analista_etl_spark.sources.export as ex
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "legacy_no_marker")
+    ex.export_training_shards(df, path, "doc_id", n_shards=4)
+    # Rewrite the manifest as the pre-marker writer produced it: same
+    # stats, no checksum_algo column.
+    mpath = os.path.join(path, ex.MANIFEST)
+    stripped = spark.read.parquet(mpath).drop("checksum_algo")
+    rows, schema = stripped.collect(), stripped.schema
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        mpath
+    )
+    assert ex.verify_training_shards(spark, path) == {}
+    # ... and real corruption in a pre-marker set still surfaces.
+    data_dir = os.path.join(path, ex.DATA)
+    shard0 = os.path.join(data_dir, f"{ex.SHARD_COL}=0")
+    part = next(
+        f for f in os.listdir(shard0) if f.startswith("part-")
+    )
+    os.remove(os.path.join(shard0, part))
+    assert 0 in ex.verify_training_shards(spark, path)
+
+
 def test_export_ordered_shards_compose_with_train_order(
     spark, sf_dir, tmp_path
 ):

@@ -1492,3 +1492,46 @@ def test_out_of_order_replay_routes_late_rows_to_dlq(
         "un-watermarkable NULL event times remain in the DLQ"
     )
     assert n_main2 + n_dlq2 == total
+
+
+def test_run_available_now_cached_sink_resumes_incrementally(
+    spark, sf_dir, tmp_path
+):
+    """The cache_key path (r8 verdict tasks 3+4): the first invocation
+    replays the landing dir into the persistent parquet sink; a second
+    invocation RESUMES the checkpoint, finds no new source files, runs
+    zero micro-batches — observable as the sink's file set not
+    changing — and returns the identical rows, lazily (no collect in
+    the registry path)."""
+    from prueba_tecnica_analista_etl_spark.streaming.windows import (
+        _SINK_DIRS,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    data_dir, schema = write_replay_files(
+        spark, sf_dir, "events", n_files=4,
+        base_dir=str(tmp_path / "landing"),
+    )
+    key = ("test_resume", str(tmp_path))
+
+    def run():
+        stream = replay_as_stream(spark, data_dir, schema, 2)
+        return run_available_now(
+            tumbling_counts(stream, "0 seconds"), spark, cache_key=key
+        )
+
+    first = run()
+    out_dir = _SINK_DIRS[key][0]
+    files_after_first = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    assert files_after_first, "first run must materialize the sink"
+    second = run()
+    files_after_second = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    assert files_after_second == files_after_first, (
+        "resume with no new source files must run zero micro-batches"
+    )
+    assert _sorted_rows(second) == _sorted_rows(first)
