@@ -541,6 +541,31 @@ IVF_NPROBE = 4
 _IVF_CACHE: dict = {}
 
 
+def ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    e: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+):
+    """The memoized coarse quantizer for (session, corpus, k, iters) —
+    shared by every IVF consumer (ann_ivf per nprobe, the q_ann_recall
+    sweep), so a sweep over nprobe costs zero refits."""
+    import weakref
+
+    for key in [
+        key for key, (ref, _) in _IVF_CACHE.items() if ref() is None
+    ]:
+        del _IVF_CACHE[key]
+    ckey = (id(spark), sf_dir, k, iters)
+    hit = _IVF_CACHE.get(ckey)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    centroids = ivf_fit(e, "v", "vec_id", k=k, iters=iters)
+    _IVF_CACHE[ckey] = (weakref.ref(spark), centroids)
+    return centroids
+
+
 def ann_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -562,19 +587,7 @@ def ann_ivf(
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    import weakref
-
-    for key in [
-        key for key, (ref, _) in _IVF_CACHE.items() if ref() is None
-    ]:
-        del _IVF_CACHE[key]
-    ckey = (id(spark), sf_dir, k, iters)
-    hit = _IVF_CACHE.get(ckey)
-    if hit is not None and hit[0]() is spark:
-        centroids = hit[1]
-    else:
-        centroids = ivf_fit(e, "v", "vec_id", k=k, iters=iters)
-        _IVF_CACHE[ckey] = (weakref.ref(spark), centroids)
+    centroids = ivf_centroids(spark, sf_dir, e, k=k, iters=iters)
     assigned = e.withColumn(
         "cluster", assign_clusters(F.col("v"), centroids)
     )
@@ -1112,57 +1125,110 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF (or widen the radius) for top-k RETRIEVAL while keeping
     sign-LSH for duplicate DETECTION.
     """
+    import numpy as np
+    from pyspark.sql import Window
+
     from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
         q_similarity_topk,
     )
 
     exact = q_similarity_topk(spark, sf_dir).select("vec_id")
 
-    def audit(
-        method: str, point: str, shipped: bool, approx: DataFrame
-    ) -> DataFrame:
-        hits = exact.join(approx.select("vec_id"), "vec_id")
-        return (
-            exact.agg(F.count(F.lit(1)).alias("n_exact"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
-            .select(
-                F.lit(method).alias("method"),
-                F.lit(point).alias("operating_point"),
-                F.lit(shipped).alias("shipped"),
-                "n_exact",
-                "n_hit",
-                F.when(
-                    F.col("n_exact") > 0,
-                    F.col("n_hit").cast("double")
-                    / F.col("n_exact").cast("double"),
-                ).alias("recall"),
-            )
-        )
-
     # Sweep AROUND the shipped constants (LSH_HAMMING, IVF_NPROBE), so
     # a retune moves both the shipped row and its neighbors — no drift
-    # between the measured table and the shipped config. The LSH
-    # points share ONE candidate frame computed at the widest radius
-    # (a tighter radius is a re-filter, not a recompute); the IVF
-    # points share the memoized coarse quantizer, so the sweep costs
-    # three pruned scans, not three index builds.
+    # between the measured table and the shipped config. ONE corpus
+    # scan serves all six points: each vector gets its cosine, its
+    # signature hamming distance, and its IVF cluster in a single
+    # pass; a point is then a row-level membership predicate, the
+    # per-point top-10 is one WindowGroupLimit shuffle over the
+    # exploded (point, candidate) rows, and the recall census is a
+    # join of 10-row frames. (The first sweep form ran one
+    # scan+matmul job PER point — 6x the necessary work, measured
+    # 5.3 s at sf0.1 vs ~1.5 s for this form.)
     lsh_radii = sorted({LSH_HAMMING - 2, LSH_HAMMING, LSH_HAMMING + 2})
-    wide = ann_lsh_candidates(spark, sf_dir, max_hamming=max(lsh_radii))
-    out = None
+    nprobes = sorted({IVF_NPROBE // 2, IVF_NPROBE, IVF_NPROBE * 2})
+
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = random_hyperplanes(LSH_BITS, 64, seed=42)
+    centroids = ivf_centroids(spark, sf_dir, e, k=IVF_K, iters=2)
+    sigs = e.withColumn("sig", sign_bits(F.col("v"), planes)).withColumn(
+        "cluster", assign_clusters(F.col("v"), centroids)
+    )
+    qrow = sigs.filter(F.col("vec_id") == 0).select("v", "sig").first()
+    qv = np.asarray(qrow["v"], dtype=np.float64)
+    qsig = int(qrow["sig"])
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe_order = np.argsort(-(Cn @ (qv / max(np.linalg.norm(qv), 1e-12))))
+
+    scored = sigs.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(
+            cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in qv])), 4
+        ).alias("cos_sim"),
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias("ham"),
+        "cluster",
+    )
+
+    tiers: list[tuple[str, str, bool]] = []
+    structs = []
     for r in lsh_radii:
-        approx = (
-            wide.filter(F.col("hamming") <= r)
-            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-            .limit(10)
+        tiers.append(("sign_lsh", f"hamming<={r}", r == LSH_HAMMING))
+        structs.append((F.col("ham") <= r))
+    for p in nprobes:
+        probes = [int(i) for i in probe_order[:p]]
+        tiers.append(("ivf", f"nprobe={p}/{IVF_K}", p == IVF_NPROBE))
+        structs.append(F.col("cluster").isin(probes))
+    tier_array = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ord"),
+                m.alias("member"),
+            )
+            for i, m in enumerate(structs)
+        ]
+    )
+    exploded = scored.select(
+        "vec_id",
+        "cos_sim",
+        F.explode(
+            F.filter(tier_array, lambda t: t["member"])
+        ).alias("t"),
+    ).select("vec_id", "cos_sim", F.col("t.ord").alias("ord"))
+    w = Window.partitionBy("ord").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top = exploded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    hits = top.join(exact, "vec_id").groupBy("ord").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tiers_dim = spark.createDataFrame(
+        [(i, m, pt, sh) for i, (m, pt, sh) in enumerate(tiers)],
+        "ord int, method string, operating_point string, shipped boolean",
+    )
+    return (
+        tiers_dim.join(F.broadcast(hits), "ord", "left")
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact")))
         )
-        row = audit("sign_lsh", f"hamming<={r}", r == LSH_HAMMING, approx)
-        out = row if out is None else out.unionByName(row)
-    for nprobe in sorted({IVF_NPROBE // 2, IVF_NPROBE, IVF_NPROBE * 2}):
-        row = audit(
-            "ivf",
-            f"nprobe={nprobe}/{IVF_K}",
-            nprobe == IVF_NPROBE,
-            ann_ivf(spark, sf_dir, k=IVF_K, nprobe=nprobe, iters=2),
+        .select(
+            "method",
+            "operating_point",
+            "shipped",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+            ).alias("recall"),
+            "ord",
         )
-        out = out.unionByName(row)
-    return out
+        .orderBy("ord")
+        .drop("ord")
+    )

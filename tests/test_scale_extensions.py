@@ -1139,3 +1139,69 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
     shipped_ivf = next(p for p in by_tier["ivf"] if p["shipped"])
     assert shipped_ivf["operating_point"] == f"nprobe={IVF_NPROBE}/{IVF_K}"
     assert shipped_ivf["recall"] >= 0.8
+
+
+def test_ivf_on_disk_index_search_prunes_and_matches_brute(
+    spark, sf_dir, tmp_path
+):
+    """The IVF SCALE layout (operators/ivf_index.py): corpus written
+    partitionBy(cluster) + centroid sidecar. Three properties:
+    (1) nprobe == k degrades to exact brute force (same rows, same
+    rounded cosines as cosine_topk over the source table);
+    (2) the probe predicate is a PARTITION filter (directory pruning),
+    not a post-scan data filter;
+    (3) execution-level proof: corrupting every UNPROBED cluster leaf
+    leaves the pruned search's answer intact — its scan never opens
+    those files, which is the read-nprobe/k-of-the-bytes property the
+    in-plan ann_ivf filter cannot provide."""
+    import glob
+    import os
+
+    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
+        DATA,
+        ivf_probe_clusters,
+        ivf_read_model,
+        ivf_search_index,
+        ivf_write_index,
+    )
+    from prueba_tecnica_analista_etl_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    k = 8
+    centroids = ivf_write_index(emb, path, k=k, iters=2)
+    assert centroids.shape[0] == k
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    def rows(df):
+        return [(r["vec_id"], r["cos_sim"]) for r in df.collect()]
+
+    full = ivf_search_index(spark, path, query, nprobe=k, topk=10)
+    assert rows(full) == rows(cosine_topk(emb, query, k=10))
+
+    probes = ivf_probe_clusters(
+        ivf_read_model(spark, path), query, nprobe=2
+    )
+    pruned = ivf_search_index(spark, path, query, nprobe=2, topk=10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster" in pf, plan
+    assert "cluster" not in plan.split("PushedFilters: [")[1].split("]")[0]
+    want = rows(pruned)
+    assert want  # the probed partitions are non-empty
+
+    leaves = glob.glob(os.path.join(path, DATA, "cluster=*"))
+    assert len(leaves) > 2  # corruption target must exist
+    for leaf in leaves:
+        if int(leaf.rsplit("=", 1)[1]) in probes:
+            continue
+        for f in glob.glob(os.path.join(leaf, "*.parquet")):
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file")
+    again = ivf_search_index(spark, path, query, nprobe=2, topk=10)
+    assert rows(again) == want  # pruned scan untouched by corruption
