@@ -1040,27 +1040,54 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
     )
+    # Exhaustive Jaccard WITHOUT shipping shingle arrays into buckets:
+    # shingle_hashes is DISTINCT per doc, so |A∩B| is exactly the
+    # co-occurrence COUNT of shared hashes — each shared-shingle
+    # bucket contributes its (doc_id, set-size) pairs, one groupBy
+    # counts a pair's shared buckets, and |A∪B| = na+nb-|A∩B| from the
+    # sizes riding the bucket structs (two longs per member). The
+    # first form collected (doc_id, hs) structs per bucket —
+    # replicating every doc's FULL hash array once per shingle, an
+    # O(shingles × |hs|) shuffle — and array-intersected per surfaced
+    # pair; the count form shuffles only ids and longs, needs one
+    # tokenization pass instead of two, and computes the identical
+    # exact Jaccard (set semantics on both sides).
     sh = d.select(
-        "doc_id", "hs", F.explode("hs").alias("h")
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
     )
     g = (
         sh.groupBy("h")
-        .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
+        .agg(
+            # struct sorts by its first field, so pair_combos' i<j
+            # expansion yields doc_a < doc_b; each member carries its
+            # own set size (a long, not the hash array)
+            F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias(
+                "docs"
+            )
+        )
         .filter(F.size("docs") >= 2)
     )
-    # array_sort on array<struct> orders by doc_id (first field), so
-    # pair_combos' i<j expansion yields doc_a < doc_b directly; the
-    # same pair re-surfacing from every shared shingle dedups on the
-    # pair key.
-    combos = pair_combos(F.array_sort("docs"), "a", "b")
+    combos = pair_combos(F.col("docs"), "a", "b")
     truth = (
         g.select(F.explode(combos).alias("p"))
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
-            jaccard(F.col("p.a.hs"), F.col("p.b.hs")).alias("_j"),
+            (F.col("p.a.n") + F.col("p.b.n")).alias("_nsum"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("_nsum").alias("_nsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_nsum") - F.col("_inter")).cast("double")
+            ).alias("_j"),
+        )
         # the EXACT predicate minhash_pair_frame gates on — unrounded
         .filter(F.col("_j") >= 0.5)
     )
