@@ -1199,3 +1199,115 @@ def q_eval_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("npos") * nneg).cast("double"),
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval/ranking eval: precision & recall at k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_topk_precision",
+    """
+    WITH s AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT lab,
+             row_number() OVER (ORDER BY value DESC, event_id ASC) AS rn
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(lab) AS BIGINT) AS npos FROM s)
+    SELECT k.k AS k,
+           CAST(COUNT(r.rn) AS BIGINT) AS n_considered,
+           CAST(COALESCE(SUM(r.lab), 0) AS BIGINT) AS tp,
+           CASE WHEN COUNT(r.rn) > 0 THEN
+             CAST(COALESCE(SUM(r.lab), 0) AS DOUBLE) / COUNT(r.rn)
+           END AS precision,
+           CASE WHEN (SELECT npos FROM tot) > 0 THEN
+             CAST(COALESCE(SUM(r.lab), 0) AS DOUBLE)
+               / (SELECT npos FROM tot)
+           END AS recall
+    FROM (VALUES (10), (100), (1000)) AS k(k)
+    LEFT JOIN r ON r.rn <= k.k
+    GROUP BY k.k
+    ORDER BY k.k
+    """,
+    doc="Eval census: precision@k / recall@k of the score ranking "
+    "(value DESC, event_id ASC total order) for k in {10,100,1000} — "
+    "integer tp/n counts, single closing divisions (hash-stable). "
+    "Plan: ONE TakeOrderedAndProject of k_max rows per partition, "
+    "window over the 1000-row census frame (no exchange at all), "
+    "never a global rank of the fact table.",
+)
+def q_eval_topk_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at k — the retrieval twin of q_eval_auc.
+
+    AUC summarizes the whole ranking; serving cares about the HEAD of
+    it (the k items a retrieval stage or recommender actually acts
+    on). tp@k / precision@k / recall@k over the (score DESC, id ASC)
+    total order are the standard head-of-ranking censuses.
+
+    Scale shape: the oracle's global ``row_number()`` over every
+    scored row is exactly the single-reducer serialization this module
+    exists to avoid. The engine form never ranks the fact table: one
+    ``TakeOrderedAndProject(limit=k_max)`` keeps the top k_max rows
+    (partial top-k per partition, the q_similarity_topk shape), and
+    the row_number window then runs over that 1000-row CENSUS frame —
+    the executed plan contains no Exchange at all between the scan and
+    the window (TakeOrdered emits one pre-sorted partition). The
+    per-k fan-out is a broadcast range join of a 3-row literal frame
+    against 1000 rows. Hash-stability: tp and n_considered are exact
+    integers on an unambiguous total order (value ties broken by the
+    unique event_id); precision/recall are single IEEE divisions of
+    identical integers (SURVEY §2.11 discipline).
+    """
+    ks = [10, 100, 1000]
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(0)
+            .cast("long")
+            .alias("lab"),
+        )
+    )
+    totals = ev.agg(F.sum("lab").alias("npos"))
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(max(ks))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    kdim = spark.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        kdim.join(
+            F.broadcast(ranked), F.col("rn") <= F.col("k"), "left"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("rn").alias("n_considered"),
+            F.coalesce(F.sum("lab"), F.lit(0)).alias("tp"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "n_considered",
+            "tp",
+            F.when(
+                F.col("n_considered") > 0,
+                F.col("tp").cast("double")
+                / F.col("n_considered").cast("double"),
+            ).alias("precision"),
+            F.when(
+                F.col("npos") > 0,
+                F.col("tp").cast("double") / F.col("npos").cast("double"),
+            ).alias("recall"),
+        )
+        .orderBy("k")
+    )

@@ -1920,3 +1920,97 @@ def q_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document duplication exposure (memorization-risk census)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_exposure",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 7,
+                                                         1))) AS i
+               FROM t),
+         fp AS (SELECT DISTINCT doc_id,
+                       md5(array_to_string(list_slice(toks, i, i + 7),
+                                           ' ')) AS fp
+                FROM s),
+         k AS (SELECT fp, COUNT(*) AS kdocs FROM fp GROUP BY fp)
+    SELECT f.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COALESCE(SUM(CASE WHEN k.kdocs >= 2 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN k.kdocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM fp f JOIN k USING (fp)
+    GROUP BY f.doc_id
+    ORDER BY n_shared DESC, n_grams ASC, doc_id ASC
+    LIMIT 20
+    """,
+    doc="Memorization-risk census: per-document fraction of its "
+    "distinct 8-token shingle fingerprints that appear in at least "
+    "one OTHER document (top-20 most-exposed docs, integer sort "
+    "keys). Counts shared via a per-fingerprint doc-count window on "
+    "the (doc, fp) frame — one fp shuffle + one doc_id aggregation, "
+    "never a doc-by-doc comparison.",
+)
+def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication exposure over 8-gram fingerprints.
+
+    The dedup family answers "which PAIRS are near-dups"; a training
+    pipeline equally needs the per-document view — how much of THIS
+    document's content exists elsewhere in the corpus — because
+    highly-exposed documents are the ones a model can memorize from
+    repeated exposure even when no single pair crosses a near-dup
+    threshold (boilerplate, templates, quoted passages). The census:
+    ``n_grams`` distinct shingles, ``n_shared`` of them present in
+    ≥2 documents, ``dup_ratio`` their single-division quotient;
+    top-20 by exposure on integer sort keys (n_shared DESC, n_grams
+    ASC, doc_id ASC — the float ratio is reported, never a sort key:
+    SURVEY §2.11 hash-stability discipline).
+
+    Scale shape: the (doc_id, fp) distinct frame shuffles once on the
+    16-byte fingerprint; the per-fp document count is a window over
+    that same exchange (groups = docs sharing a shingle — bounded by
+    the same boilerplate ceiling q_source_overlap documents); the
+    per-doc census is one more hash aggregation, and top-20 is
+    TakeOrderedAndProject. No pair expansion anywhere — this census
+    is LINEAR in corpus shingles where the pair graph is quadratic in
+    duplicated docs. Reuses the exact 8-gram md5 fingerprint
+    construction parity-proven by q_source_overlap / q_contamination.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    fp = (
+        spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.explode(shingles(toks, 8)).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("fp"))
+        .distinct()
+    )
+    kdocs = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    return (
+        fp.withColumn("kdocs", kdocs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("kdocs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_ratio"),
+        )
+        .orderBy(F.desc("n_shared"), F.asc("n_grams"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -117,9 +117,9 @@ def test_registry_staleness_bound():
     query must sit INSIDE the current window (due for its first
     record this round).  This replaces the r8 one-round out-list form,
     which was unsatisfiable once the registry outgrew 2x the window
-    (96 oracle queries need >=48 slots/round for a one-round bound;
+    (98 oracle queries need >=49 slots/round for a one-round bound;
     the window provides 45).  The two-round bound is sustainable
-    (96 <= 3*45, 13 rows-only <= 3*5) and still catches the real r8
+    (98 <= 3*45, 13 rows-only <= 3*5) and still catches the real r8
     hazard class: a query shipped round after round with only
     builder-side certification."""
     records = _correctness_records()
@@ -131,7 +131,13 @@ def test_registry_staleness_bound():
             r for r, rec in records.items() if _record_is_good(spec, rec.get(n))
         ]
         if not holding:
-            if n not in window:
+            # _ROTATION_NEW = queries added AFTER this round's window
+            # was fixed; they cannot be inside it by construction, and
+            # the rotation module promises them the FIRST r10 slots —
+            # the next round's run of this test enforces that promise
+            # (they will still be never-recorded then, so they must be
+            # inside the r10 window or this assert fires).
+            if n not in window and n not in plans._ROTATION_NEW:
                 unscheduled.append(n)
         elif max(holding) < newest_round - 2:
             stale.append((n, max(holding)))
