@@ -578,3 +578,38 @@ def test_eval_census_plan_shapes(spark, sf_dir):
         final.count("ReusedExchange") >= 2
         or "BroadcastHashJoin" in final
     )
+
+
+def test_topk_precision_never_ranks_fact_table(spark, sf_dir):
+    """q_eval_topk_precision's defining plan property: the global
+    row_number runs over the 1000-row TakeOrderedAndProject census —
+    the Window's child IS the TakeOrdered (no Exchange, no Sort in
+    between), so the fact table is never globally ranked (the
+    oracle's row_number() over every scored row is exactly the
+    single-reducer shape the engine form avoids)."""
+    plan = _plan(spark, sf_dir, "q_eval_topk_precision")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject(limit=1000" in final
+    lines = [l.strip().lstrip("*:+- (0123456789)") for l in final.splitlines()]
+    for i, line in enumerate(lines):
+        if line.startswith("Window ["):
+            assert lines[i + 1].startswith("TakeOrderedAndProject"), (
+                "Window must sit directly on the TakeOrdered census:\n"
+                + lines[i + 1]
+            )
+            break
+    else:
+        raise AssertionError("no Window in plan")
+
+
+def test_dup_exposure_single_scan_no_pair_expansion(spark, sf_dir):
+    """q_dup_exposure must stay LINEAR in corpus shingles: one scan of
+    documents (the fp frame feeds both the per-fp window and the
+    per-doc aggregation through one exchange), a window partitioned
+    by fingerprint, and no join anywhere (a pair-expansion or a
+    sizes-join would show up as one)."""
+    plan = _plan(spark, sf_dir, "q_dup_exposure")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "windowspecdefinition(fp" in final
+    assert "Join" not in final
