@@ -1048,3 +1048,100 @@ def test_bucketed_prefix_sums_equals_window_form(spark, rows, n_buckets):
         ).collect()
     }
     assert got == want
+
+
+BATCHES = st.lists(
+    st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=0, max_value=10_000)
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(batches=BATCHES, delay=st.sampled_from([0, 5, 100]))
+@settings(
+    max_examples=6,  # each example is ~10 parquet writes — keep the
+    # suite's wall budget; 6 shrunk examples still cover disorder,
+    # NULLs, empties and replays
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_late_dlq_router_conservation_and_rule(spark, batches, delay):
+    """streaming/late_dlq.py as a pure batch fold (its foreachBatch
+    function is directly callable): over ARBITRARY event-time batch
+    sequences — disorder, duplicates, NULLs, empty batches — the
+    router must (a) conserve every input row across main ∪ DLQ, and
+    (b) route row r of batch N to the DLQ iff its event time is NULL
+    or strictly below max(event time over batches < N) - delay —
+    exactly the documented threshold rule, including the no-threshold
+    first batch. Replaying a batch must also be idempotent (same
+    batch_id dirs overwritten, ledger unchanged)."""
+    import os
+    import tempfile
+    import uuid
+
+    from prueba_tecnica_analista_etl_spark.streaming.late_dlq import (
+        late_dlq_sink,
+        read_routed,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"dlqprop_{uuid.uuid4().hex[:10]}"
+    )
+    process = late_dlq_sink(root, float(delay), time_col="ts")
+
+    def frame(rows, bid):
+        return spark.createDataFrame(
+            [
+                (bid * 1000 + i, None if s is None else float(s))
+                for i, s in enumerate(rows)
+            ],
+            "row_id long, ts_s double",
+        ).select(
+            "row_id", F.timestamp_seconds(F.col("ts_s")).alias("ts")
+        )
+
+    for bid, rows in enumerate(batches):
+        process(frame(rows, bid), bid)
+
+    main = read_routed(spark, root, "main")
+    dlq = read_routed(spark, root, "dlq")
+    got_main = {r["row_id"] for r in main.collect()} if main is not None else set()
+    got_dlq = {r["row_id"] for r in dlq.collect()} if dlq is not None else set()
+
+    want_dlq, seen_max = set(), None
+    for bid, rows in enumerate(batches):
+        threshold = None if seen_max is None else seen_max - delay
+        for i, s in enumerate(rows):
+            rid = bid * 1000 + i
+            if threshold is not None and (s is None or s < threshold):
+                want_dlq.add(rid)
+        batch_max = max((s for s in rows if s is not None), default=None)
+        if batch_max is not None:
+            seen_max = batch_max if seen_max is None else max(seen_max, batch_max)
+
+    all_ids = {
+        bid * 1000 + i
+        for bid, rows in enumerate(batches)
+        for i in range(len(rows))
+    }
+    assert got_main | got_dlq == all_ids
+    assert got_main & got_dlq == set()
+    assert got_dlq == want_dlq
+
+    # idempotent replay of the last batch: identical routing, no dupes
+    last = len(batches) - 1
+    process(frame(batches[last], last), last)
+    main2 = read_routed(spark, root, "main")
+    dlq2 = read_routed(spark, root, "dlq")
+    assert ({r["row_id"] for r in main2.collect()} if main2 is not None else set()) == got_main
+    assert ({r["row_id"] for r in dlq2.collect()} if dlq2 is not None else set()) == got_dlq
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
