@@ -107,6 +107,69 @@ def ivf_probe_clusters(
     return [int(i) for i in np.argsort(-sims)[:nprobe]]
 
 
+def ivf_search_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``topk`` per query for a BATCH of ``(q_id, vector)`` probes
+    in ONE scan of the probed partitions — the on-disk twin of
+    ``operators.similarity.cosine_topk_batch``.
+
+    The scan's partition filter is the UNION of every query's probe
+    set (still a directory-level prune: a 100-query batch over a
+    k=1024 index typically touches a small fraction of leaves); each
+    query then re-ranks only rows whose cluster is in ITS OWN probe
+    list (an ``array_contains`` predicate on the broadcast query
+    frame), so per-query work matches the single-probe form exactly —
+    one corpus pass regardless of query count, per-query ranking via
+    ``row_number() <= k`` (WindowGroupLimit pruning).
+    """
+    centroids = ivf_read_model(spark, path)
+    rows = [
+        (
+            int(q_id),
+            [float(x) for x in vec],
+            ivf_probe_clusters(centroids, vec, nprobe),
+        )
+        for q_id, vec in queries
+    ]
+    all_probes = sorted({c for _, _, probes in rows for c in probes})
+    qdf = spark.createDataFrame(
+        rows, "q_id long, qv array<double>, probes array<int>"
+    )
+    idx = spark.read.parquet(os.path.join(path, DATA)).filter(
+        F.col("cluster").isin(all_probes)
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        idx.join(
+            F.broadcast(qdf),
+            F.array_contains(F.col("probes"), F.col("cluster")),
+        )
+        .select(
+            "q_id",
+            id_col,
+            "cluster",
+            F.round(cosine(F.col("vector"), F.col("qv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )
+
+
 def ivf_search_index(
     spark: SparkSession,
     path: str,

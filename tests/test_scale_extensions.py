@@ -1205,3 +1205,43 @@ def test_ivf_on_disk_index_search_prunes_and_matches_brute(
                 fh.write(b"not a parquet file")
     again = ivf_search_index(spark, path, query, nprobe=2, topk=10)
     assert rows(again) == want  # pruned scan untouched by corruption
+
+
+def test_ivf_index_batch_search_matches_per_query(spark, sf_dir, tmp_path):
+    """The batched on-disk IVF search must return, per query, exactly
+    the single-probe search's rows (same ids, same rounded cosines) —
+    one scan for the whole batch, per-query ranking pruned via
+    WindowGroupLimit, and the scan still pruned to the UNION of probe
+    partitions (a PartitionFilter, not a data filter)."""
+    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
+        ivf_search_index,
+        ivf_search_index_batch,
+        ivf_write_index,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_batch")
+    ivf_write_index(emb, path, k=8, iters=2)
+    probes = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+
+    batch = ivf_search_index_batch(
+        spark, path, sorted(probes.items()), nprobe=3, topk=5
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "WindowGroupLimit" in plan
+
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(got) == set(probes)
+    for q_id, vec in probes.items():
+        single = ivf_search_index(spark, path, vec, nprobe=3, topk=5)
+        want = [(r["vec_id"], r["cos_sim"]) for r in single.collect()]
+        assert sorted(got[q_id]) == sorted(want), q_id
