@@ -405,6 +405,75 @@ def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_local_supplier_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="J1 (deep form, TPC-H Q5 shape): 6-table join — customer ⋈ "
+    "orders ⋈ lineitem shuffle on their keys with the date filter "
+    "pushed to the orders scan; supplier/nation/region broadcast "
+    "(the c_nationkey = s_nationkey 'local supplier' condition rides "
+    "the broadcast join); revenue in exact DECIMAL, one closing cast. "
+    "Sort key is the exact decimal-derived double + n_name tiebreak.",
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation from LOCAL suppliers (customer and supplier
+    in the same nation) — the reference star join (q_inner_join)
+    deepened to the classic 6-table TPC-H Q5 shape, and the only
+    declared query exercising the ``supplier`` table.
+
+    Plan shape: the two fact joins (orders⋈customer, lineitem⋈orders)
+    shuffle on their keys with the o_orderdate range pushed into the
+    orders scan; supplier (catalog-sized), nation and region
+    broadcast, so the cyclic c_nationkey = s_nationkey edge costs a
+    broadcast probe, not a second fact shuffle. Revenue accumulates
+    in DECIMAL (exact, order-independent) and casts to double once —
+    deterministic across engines and reducer counts.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec2(F.col("l_extendedprice")) * (
+        F.lit(1) - dec2(F.col("l_discount"))
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
     "q_semi_join",
     """
     SELECT c_custkey, c_name FROM customer c
