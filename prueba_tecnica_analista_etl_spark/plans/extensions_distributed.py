@@ -1263,6 +1263,12 @@ def q_eval_topk_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers on an unambiguous total order (value ties broken by the
     unique event_id); precision/recall are single IEEE divisions of
     identical integers (SURVEY §2.11 discipline).
+
+    Reference parity: the reference's quality-audit aggregates
+    (seccion3_sql.sql:85-210) and top-20 duplicate ranking
+    (Seccion_1_Excel; q_top_duplicates) extended to the eval side —
+    head-of-ranking quality of a score, next to q_eval_auc's
+    whole-ranking census.
     """
     ks = [10, 100, 1000]
     ev = (

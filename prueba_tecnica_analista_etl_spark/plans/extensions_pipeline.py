@@ -1983,6 +1983,10 @@ def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     is LINEAR in corpus shingles where the pair graph is quadratic in
     duplicated docs. Reuses the exact 8-gram md5 fingerprint
     construction parity-proven by q_source_overlap / q_contamination.
+
+    Reference parity: the reference's duplicate analysis (nb:150-160
+    keep-first dedup; Seccion_1_Excel top-20 duplicates) lifted from
+    row identity to CONTENT overlap, per document.
     """
     toks = F.split(F.lower(F.col("text")), " ")
     fp = (

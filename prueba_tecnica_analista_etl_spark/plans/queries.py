@@ -444,6 +444,11 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast probe, not a second fact shuffle. Revenue accumulates
     in DECIMAL (exact, order-independent) and casts to double once —
     deterministic across engines and reducer counts.
+
+    Reference parity: the reference's join+aggregate reporting shape
+    (seccion3_sql.sql:85-210 staging audits; nb:287-340 profile)
+    deepened to the multi-dimension join its §3 audits imply —
+    q_inner_join's star extended through the fact chain.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
