@@ -77,7 +77,9 @@ def _corpus_fingerprint(sf_dir: str) -> int:
 # pay the full build, with the loser's checkpointed blocks leaking
 # until GC.
 _LOCK = threading.Lock()
-_BUILD_LOCKS: dict[tuple[int, str, str], threading.Lock] = {}
+# Keys are the 4-tuples of the caches above (incl. the corpus
+# fingerprint), so a regenerated corpus builds under its own lock.
+_BUILD_LOCKS: dict[tuple, threading.Lock] = {}
 
 
 def corpus_artifact(

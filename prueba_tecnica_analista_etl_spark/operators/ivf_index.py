@@ -26,11 +26,13 @@ per partition, no global sort).
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from prueba_tecnica_analista_etl_spark.functions.vectors import (
     as_double,
@@ -41,6 +43,26 @@ from prueba_tecnica_analista_etl_spark.functions.vectors import (
 
 MODEL = "model"
 DATA = "data"
+SCHEMA = "_schema.json"
+
+
+def _write_schema(path: str, schema: T.StructType) -> None:
+    with open(os.path.join(path, SCHEMA), "w") as fh:
+        fh.write(schema.json())
+
+
+def _read_data(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-explicit read of the index data: WITHOUT the sidecar
+    schema, Spark's inference opens the footer of the lexicographically
+    first leaf regardless of the probe set — which would defeat the
+    whole read-only-the-probed-partitions property the moment that
+    leaf is corrupt or on cold storage. The sidecar (written at index
+    build) makes the scan plan without touching ANY data file."""
+    with open(os.path.join(path, SCHEMA)) as fh:
+        data_schema = T.StructType.fromJson(json.load(fh))
+    return spark.read.schema(data_schema).parquet(
+        os.path.join(path, DATA)
+    )
 
 
 def ivf_write_index(
@@ -75,6 +97,7 @@ def ivf_write_index(
     assigned.write.partitionBy("cluster").mode("overwrite").parquet(
         os.path.join(path, DATA)
     )
+    _write_schema(path, assigned.schema)
     spark.createDataFrame(
         [(i, row.tolist()) for i, row in enumerate(C)],
         "cluster int, centroid array<double>",
@@ -141,7 +164,7 @@ def ivf_search_index_batch(
     qdf = spark.createDataFrame(
         rows, "q_id long, qv array<double>, probes array<int>"
     )
-    idx = spark.read.parquet(os.path.join(path, DATA)).filter(
+    idx = _read_data(spark, path).filter(
         F.col("cluster").isin(all_probes)
     )
     from pyspark.sql import Window
@@ -187,7 +210,7 @@ def ivf_search_index(
     centroids = ivf_read_model(spark, path)
     probes = ivf_probe_clusters(centroids, query, nprobe)
     qv = F.array(*[F.lit(float(x)) for x in np.asarray(query)])
-    idx = spark.read.parquet(os.path.join(path, DATA)).filter(
+    idx = _read_data(spark, path).filter(
         F.col("cluster").isin(probes)
     )
     return (

@@ -473,9 +473,14 @@ def ann_lsh_candidates(
     """Sign-LSH candidate frame for the vec_id=0 probe: every corpus
     vector within ``max_hamming`` of the probe's 16-bit signature,
     with its hamming distance and exact cosine. One signature matmul
-    + one broadcast probe + one filter — callers sweep OPERATING
-    POINTS by re-filtering this single frame (a radius r <= the
-    computed one is `hamming <= r`, no recompute)."""
+    + one broadcast probe + one filter. Consumer: ``ann_lsh`` /
+    ``q_ann_lsh`` (the shipped single-tier search). The q_ann_recall
+    SWEEP deliberately does NOT reuse this frame — it needs the IVF
+    cluster column on the same rows, so it builds one combined
+    (cosine, hamming, cluster) scan of its own; both derive hamming
+    from the same ``sign_bits``/LSH_BITS construction, and the sweep
+    audits the shipped LSH_HAMMING radius by constant, so a retune
+    here is still what gets measured."""
     # spread() before the signature matmul: a one-file embeddings
     # table arrives as ONE partition and the Arrow UDF would run the
     # whole corpus serially (every sibling embedding query spreads)

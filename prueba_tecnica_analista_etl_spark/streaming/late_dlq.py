@@ -81,6 +81,10 @@ def late_dlq_sink(
         prior = [v for k, v in state.items() if int(k) < batch_id]
         threshold = max(prior) - delay_seconds if prior else None
 
+        # Three actions consume the batch (two routed writes + the
+        # ledger max) — persist so the micro-batch's source files are
+        # read once, not three times (the one-scan claim above).
+        batch.persist()
         ts = F.col(time_col).cast("timestamp")
         if threshold is None:
             late = batch.filter(F.lit(False))
@@ -102,6 +106,7 @@ def late_dlq_sink(
         batch_max = batch.agg(
             F.max(ts.cast("double")).alias("m")
         ).first()["m"]
+        batch.unpersist()
         if batch_max is not None:
             state[str(batch_id)] = max(
                 batch_max, state.get(str(batch_id), float("-inf"))
@@ -111,7 +116,7 @@ def late_dlq_sink(
     return process
 
 
-def read_routed(spark, root: str, which: str) -> DataFrame:
+def read_routed(spark, root: str, which: str) -> DataFrame | None:
     """Batch read of the ``main`` or ``dlq`` side written by
     :func:`late_dlq_sink` (empty-dir-safe: returns None if the side
     never received a batch)."""

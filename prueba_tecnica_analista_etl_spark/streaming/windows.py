@@ -140,7 +140,21 @@ def run_available_now(
                 .start()
             )
             q.awaitTermination()
-        return spark.read.parquet(out)
+        # Empty-sink guard: a run that committed ZERO output rows (e.g.
+        # every window still open at the final watermark) leaves only
+        # _spark_metadata in the sink, schema inference fails — and
+        # because the checkpoint has already committed the source
+        # offsets, every resume would fail the same way forever. Read
+        # with the stream's own schema instead of inference.
+        try:
+            has_data = any(
+                not name.startswith("_") for name in os.listdir(out)
+            )
+        except FileNotFoundError:
+            has_data = False
+        if not has_data:
+            return spark.createDataFrame([], sdf.schema)
+        return spark.read.schema(sdf.schema).parquet(out)
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (

@@ -1206,6 +1206,21 @@ def test_ivf_on_disk_index_search_prunes_and_matches_brute(
     again = ivf_search_index(spark, path, query, nprobe=2, topk=10)
     assert rows(again) == want  # pruned scan untouched by corruption
 
+    # Schema-sidecar guarantee (review r9): the read must plan from
+    # the persisted schema, never from footer inference — which opens
+    # the lexicographically FIRST leaf (cluster=0) regardless of the
+    # probe set. Corrupt cluster=0 outright and search a probe that
+    # does not touch it.
+    model = ivf_read_model(spark, path)
+    for f in glob.glob(os.path.join(path, DATA, "cluster=0", "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"garbage")
+    intact = next(c for c in probes if c != 0)
+    probe_vec = [float(x) for x in model[intact]]
+    assert ivf_probe_clusters(model, probe_vec, 1) == [intact]
+    res = ivf_search_index(spark, path, probe_vec, nprobe=1, topk=3)
+    assert res.count() > 0
+
 
 def test_ivf_index_batch_search_matches_per_query(spark, sf_dir, tmp_path):
     """The batched on-disk IVF search must return, per query, exactly
