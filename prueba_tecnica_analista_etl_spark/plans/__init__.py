@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 9):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 112 queries (99 oracle-backed + 13
-rows-only), so 62 must sit outside the recorded window in any given
+each round; the registry holds 113 queries (100 oracle-backed + 13
+rows-only), so 63 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -38,10 +38,10 @@ independently-recorded driver result:
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  99
+window (or in _ROTATION_NEW, which must lead the NEXT window).  100
 oracle queries across 45 oracle slots/round (and 13 rows-only across
 5) satisfy the bound with slack: each needs a record only once per
-three windows (99 <= 3*45, 13 <= 3*5).
+three windows (100 <= 3*45, 13 <= 3*5).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -172,6 +172,7 @@ _ROTATION_NEW: list[str] = [
     "q_eval_topk_precision",  # precision/recall@k eval census (r9)
     "q_dup_exposure",  # per-doc duplication-exposure census (r9)
     "q_local_supplier_revenue",  # 6-table TPC-H Q5 shape join (r9)
+    "q_heavy_hitters",  # Misra-Gries exact-verified heavy hitters (r9)
 ]
 
 

@@ -86,6 +86,7 @@ from prueba_tecnica_analista_etl_spark.plans.queries import (
     money_sum,
     query,
 )
+from prueba_tecnica_analista_etl_spark.sources.tables import spread
 
 # ---------------------------------------------------------------------------
 # Global rank without a single-partition window
@@ -1316,4 +1317,81 @@ def q_eval_topk_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via a bounded-memory sketch (exact-verified)
+# ---------------------------------------------------------------------------
+
+_HH_CAPACITY = 8  # Misra-Gries counters/partition → threshold n/9
+
+
+@query(
+    "q_heavy_hitters",
+    f"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events
+                 WHERE event_type IS NOT NULL)
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    HAVING COUNT(*) * {_HH_CAPACITY + 1} > (SELECT n FROM tot)
+    ORDER BY cnt DESC, event_type
+    """,
+    doc="Heavy hitters through a bounded-memory Misra-Gries sketch "
+    "(operators/sketch.py): per-partition capacity-8 summaries (one "
+    "pass, Arrow-batched, O(capacity) state) whose union provably "
+    "contains every key with share > 1/9; an exact second pass over "
+    "only the candidates re-counts and filters at the guarantee "
+    "threshold — so the approximate machinery yields an EXACT, "
+    "oracle-checkable answer. The integer filter (cnt*9 > n) avoids "
+    "any float threshold.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys holding more than 1/(capacity+1) of the events stream.
+
+    The exact form (the oracle's GROUP BY/HAVING) shuffles one row per
+    distinct key — the very cost a heavy-hitter diagnosis exists to
+    avoid at 100 TB key cardinalities. The engine form never does:
+    Misra-Gries summaries bound per-partition state to
+    ``_HH_CAPACITY`` counters, their union is a proven SUPERSET of
+    every key above the n/(capacity+1) threshold, and the exact
+    re-count touches only candidate keys (broadcast semi-join), so
+    the aggregation state is O(capacity × partitions) regardless of
+    distinct-key count. Filtering the exact counts at the guarantee
+    threshold makes the result identical to the oracle's — integer
+    compare (cnt*(capacity+1) > n), one closing division for the
+    reported share (SURVEY §2.11 discipline).
+
+    Reference parity: the reference's duplicate-frequency analyses
+    (Seccion_1_Excel top-20 duplicates; nb:150-160) at the
+    key-distribution level, made feasible for unbounded-cardinality
+    keys — the skew-diagnosis census operators/salt.py acts on.
+    """
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        frequent_items,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    exact = frequent_items(
+        spread(ev), "event_type", capacity=_HH_CAPACITY
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * (_HH_CAPACITY + 1) > F.col("n"))
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
     )

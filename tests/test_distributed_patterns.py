@@ -558,3 +558,53 @@ def test_artifact_cache_invalidates_on_corpus_rewrite(spark, tmp_path):
     write("generation-three:-still-different")
     assert corpus_artifact(spark, corpus, "y", build_frame).count() == 2
     assert frames == ["f", "f"]
+
+
+def test_misra_gries_guarantee_and_bounds(spark):
+    """operators/sketch.py invariants on an adversarially skewed key
+    set: (a) the candidate frame is bounded by capacity×partitions;
+    (b) every key above the n/(capacity+1) threshold survives (the
+    classic MG guarantee, here 'hot' at 40% with capacity 4 →
+    threshold 20%); (c) every candidate's second-pass count is EXACT
+    (equals the full groupBy); (d) filtering candidates at the
+    threshold reproduces the exact heavy-hitter answer — the property
+    q_heavy_hitters' oracle-parity rests on; (e) NULL keys are
+    excluded, not counted."""
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        frequent_items,
+        mg_candidates,
+    )
+
+    vals = (
+        ["hot"] * 2000
+        + ["warm"] * 750
+        + [f"tail{i}" for i in range(2250)]
+        + [None] * 100
+    )
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "k string"
+    ).repartition(7)
+    capacity, n = 4, 5000  # NULLs excluded from n
+
+    cand = mg_candidates(df.filter(F.col("k").isNotNull()), "k", capacity)
+    n_parts = df.rdd.getNumPartitions()
+    assert cand.count() <= capacity * n_parts
+
+    got = {
+        r["k"]: r["cnt"]
+        for r in frequent_items(df, "k", capacity).collect()
+    }
+    assert None not in got
+    exact = {
+        r["k"]: r["cnt"]
+        for r in df.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got.get("hot") == 2000  # guarantee: 40% > 1/(4+1)
+    for k, c in got.items():
+        assert exact[k] == c, k  # second pass is exact, always
+    passing = {k for k, c in got.items() if c * (capacity + 1) > n}
+    truth = {k for k, c in exact.items() if c * (capacity + 1) > n}
+    assert passing == truth == {"hot"}

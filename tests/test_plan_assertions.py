@@ -228,6 +228,7 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
         "q_ann_ivf",
         "q_ann_recall",  # composes the two Arrow-allowed ANN tiers
         "q_embed_neardup",
+        "q_heavy_hitters",  # Misra-Gries summaries are mapInPandas
     }
     SKIP = {
         "q_corpus_curate",
