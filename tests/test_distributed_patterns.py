@@ -608,3 +608,31 @@ def test_misra_gries_guarantee_and_bounds(spark):
     passing = {k for k, c in got.items() if c * (capacity + 1) > n}
     truth = {k for k, c in exact.items() if c * (capacity + 1) > n}
     assert passing == truth == {"hot"}
+
+
+def test_misra_gries_all_distinct_and_empty(spark):
+    """Degenerate ends of the sketch: an all-distinct key set has NO
+    heavy hitters — candidates stay bounded, the exact pass still
+    returns only true counts, and the threshold filter yields the
+    empty set (matching the exact answer); an empty input yields
+    empty candidates and an empty result rather than an error."""
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        frequent_items,
+        mg_candidates,
+    )
+
+    distinct = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "k string"
+    ).repartition(5)
+    capacity = 4
+    assert mg_candidates(distinct, "k", capacity).count() <= capacity * 5
+    got = {
+        r["k"]: r["cnt"]
+        for r in frequent_items(distinct, "k", capacity).collect()
+    }
+    assert all(c == 1 for c in got.values())
+    assert not {k for k, c in got.items() if c * (capacity + 1) > 500}
+
+    empty = distinct.filter(F.lit(False))
+    assert mg_candidates(empty, "k", capacity).count() == 0
+    assert frequent_items(empty, "k", capacity).count() == 0
