@@ -1,6 +1,6 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 9):
+Registry-order note (transparent rotation, round 10):
 
 The external correctness harness records the FIRST 50 registry entries
 each round; the registry holds 113 queries (100 oracle-backed + 13
@@ -17,31 +17,35 @@ independently-recorded driver result:
   nine late additions;
 * round 7 returned the 22 r6-rotated core queries and recorded first
   greens for q_funnel/q_retention;
-* round 8 recorded first greens for the 11 round-7 additions, first
-  rows>0 for q_stream_cdc_apply/q_multimodal_pipeline, and converted
-  q_perplexity_buckets to green under the exact-integer score key —
-  the first zero-failure window (42 oracle green + 8 rows>0);
-* round 9 (this rotation) leads with the NINETEEN queries that have
-  never appeared in any driver window — the 17 post-r8-window
-  oracle additions in _ROTATION_FIRST (the distributed-algebra and
-  eval-census families) plus the two rows-only recall audits
-  (q_lsh_recall, q_ann_recall) — per the r8 verdict's top ask.  The
-  remaining slots return 28 of the 37 queries r8 rotated out (newest
-  green r7) and keep the three flagship rows-only streaming/curation
-  pipelines in-window.  Paying for those 50 in-slots: the 51
-  oracle-backed queries in _ROTATION_OUT (the 42 greens of the r8
-  window, 1 round old, plus 9 scalar/filter queries held at their r7
-  greens — those 9 lead the r10 returns), the minhash/ngram/simhash
-  trio (fresh r7 rows>0 records, due back by r10), and the
-  cdc/multimodal/ann rows-only cohort (fresh r8 records).
+* round 8 recorded first greens for the 11 round-7 additions — the
+  first zero-failure window (42 oracle green + 8 rows>0);
+* round 9 led with the 19 never-recorded queries (the 17 post-r8
+  distributed-algebra/eval-census additions plus the two recall
+  audits) and returned 28 r7-stale queries — the second consecutive
+  zero-failure window (45 oracle green + 5 rows>0);
+* round 10 (this rotation) leads with the FOUR queries added after
+  the r9 window was fixed (q_eval_topk_precision, q_dup_exposure,
+  q_local_supplier_revenue, q_heavy_hitters — parity-proven at three
+  scale factors but never driver-recorded, the r9 verdict's top ask)
+  followed by the NINE queries whose newest green is r7 (the
+  staleness bound's boundary).  The rows-only slots take the
+  minhash/ngram/simhash trio (newest rows>0 r7, due back this round)
+  plus the five r8-recorded rows-only pipelines (cdc, multimodal,
+  ann-lsh, ann-ivf, embed-neardup).  The remaining 29 slots return
+  the oldest 29 of the 42 r8-green oracle queries.  Paying for those
+  50 in-slots: the 58 oracle-backed queries in _ROTATION_OUT (the 45
+  greens of the r9 window, one round old, plus 13 r8 greens held at
+  two rounds old — those 13 lead the r11 returns) and the five
+  r9-recorded rows-only audits/pipelines (fresh records, due back by
+  r12).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
 window (or in _ROTATION_NEW, which must lead the NEXT window).  100
-oracle queries across 45 oracle slots/round (and 13 rows-only across
-5) satisfy the bound with slack: each needs a record only once per
-three windows (100 <= 3*45, 13 <= 3*5).
+oracle queries across 42 oracle slots/round (and 13 rows-only across
+8) satisfy the bound with slack: each needs a record only once per
+three windows (100 <= 3*42, 13 <= 3*8).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -67,11 +71,64 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# LEAD the window: oracle-backed queries with no driver record in any
-# round — the r8 post-window additions (distributed-algebra patterns +
-# eval censuses, extensions_distributed).  First in the recorded order
-# so a partial driver run still certifies them.
+# LEAD the window: first the four oracle-backed queries with no driver
+# record in any round (added after the r9 window was fixed — the r9
+# _ROTATION_NEW promise), then the nine queries whose newest green is
+# r7 (two rounds old at r9; three at r10 unless recorded now).  First
+# in the recorded order so a partial driver run still certifies them.
 _ROTATION_FIRST = [
+    # never driver-recorded (r9 post-window additions):
+    "q_eval_topk_precision",
+    "q_dup_exposure",
+    "q_local_supplier_revenue",
+    "q_heavy_hitters",
+    # newest green r7 — the staleness boundary:
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_string_clean",
+    "q_try_cast_json",
+    "q_split_part",
+]
+
+# Rows-only queries recorded this round: the minhash/ngram/simhash
+# trio (newest rows>0 r7 — the staleness boundary) plus the five
+# r8-recorded rows-only pipelines (one round from their own boundary).
+_ROWS_ONLY_IN = [
+    "q_minhash_dedup",
+    "q_ngram_jaccard",
+    "q_simhash_dedup",
+    "q_stream_cdc_apply",
+    "q_multimodal_pipeline",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_embed_neardup",
+]
+
+# OUT this round — 58 oracle-backed queries: the 45 recorded green in
+# CORRECTNESS_r09.json (one round old) plus 13 r8 greens held at two
+# rounds old (the newest-r8 tail of the r8 window; they MUST lead the
+# r11 oracle returns — at r11 their newest green would otherwise be
+# three rounds old).
+_ROTATION_OUT = [
+    # newest green r8 — first in line for r11:
+    "q_similarity_topk",
+    "q_winnow_fingerprint",
+    "q_ann_batch",
+    "q_token_histogram",
+    "q_bm25",
+    "q_unigram_logprob",
+    "q_perplexity_buckets",
+    "q_tfidf",
+    "q_source_priority_dedup",
+    "q_train_val_split",
+    "q_length_histogram",
+    "q_decontaminate",
+    "q_multimodal_meta",
+    # newest green r9 (the full r9 oracle window):
     "q_global_rank",
     "q_incremental_agg_merge",
     "q_bloom_semi_join",
@@ -89,99 +146,51 @@ _ROTATION_FIRST = [
     "q_neardup_scores",
     "q_calibration_bins",
     "q_eval_auc_daily",
+    "q_semi_join",
+    "q_anti_join",
+    "q_ref_integrity",
+    "q_window_running_sum",
+    "q_null_range_checks",
+    "q_profile_stats",
+    "q_volume_by_day",
+    "q_sessionize_batch",
+    "q_scd2",
+    "q_snapshot_diff",
+    "q_trailing_window",
+    "q_funnel",
+    "q_retention",
+    "q_lang_stats",
+    "q_text_tokens",
+    "q_pii_scrub",
+    "q_doc_chunk",
+    "q_pack_sequences",
+    "q_contamination",
+    "q_repetition",
+    "q_embed_centroids",
+    "q_zscore_outliers",
+    "q_source_overlap",
+    "q_zscore_moments",
+    "q_pack_summary",
+    "q_dup_clusters",
+    "q_mixture_sample",
+    "q_group_sample",
 ]
 
-# Rows-only queries recorded this round: the two never-recorded recall
-# audits lead (directly after _ROTATION_FIRST, completing the 19), the
-# flagship streaming/curation trio keeps its every-round rows>0 signal.
-_ROWS_ONLY_IN = [
-    "q_lsh_recall",
-    "q_ann_recall",
-    "q_corpus_curate",
-    "q_stream_dedupe",
-    "q_stream_sessionize",
-]
-
-# OUT this round — 51 oracle-backed queries: the 42 recorded green in
-# CORRECTNESS_r08.json (one round old) plus 9 scalar/filter queries
-# whose newest green is r7 (two rounds old at r9 — the staleness
-# bound's boundary; they MUST lead the r10 oracle returns).
-_ROTATION_OUT = [
-    # newest green r7 — first in line for r10:
-    "q_filter_predicate",
-    "q_union_all",
-    "q_count_distinct",
-    "q_having_dups",
-    "q_sort_limit",
-    "q_case_when_check",
-    "q_string_clean",
-    "q_try_cast_json",
-    "q_split_part",
-    # newest green r8 (the full r8 oracle window):
-    "q_scan_project",
-    "q_groupby_count_sum",
-    "q_groupby_rollup",
-    "q_top_duplicates",
-    "q_pivot_wide",
-    "q_dedup_keep_first",
-    "q_inner_join",
-    "q_upsert_merge",
-    "q_window_rownum",
-    "q_regex_validate",
-    "q_tumbling_window",
-    "q_cube",
-    "q_intersect_except",
-    "q_sliding_window",
-    "q_asof_join",
-    "q_stratified_sample",
-    "q_text_ratios",
-    "q_range_join",
-    "q_hypertable_rollup",
-    "q_cdc_apply",
-    "q_quantile_census",
-    "q_hypertable_quantiles",
-    "q_footer_census",
-    "q_window_rank_metrics",
-    "q_exact_dedup",
-    "q_token_count",
-    "q_quality_score",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_similarity_topk",
-    "q_winnow_fingerprint",
-    "q_ann_batch",
-    "q_token_histogram",
-    "q_bm25",
-    "q_unigram_logprob",
-    "q_perplexity_buckets",
-    "q_tfidf",
-    "q_source_priority_dedup",
-    "q_train_val_split",
-    "q_length_histogram",
-    "q_decontaminate",
-    "q_multimodal_meta",
-]
-
-# Oracle-backed queries added AFTER the r9 window was fixed — zero
+# Oracle-backed queries added AFTER the r10 window was fixed — zero
 # records anywhere yet, so they cannot displace a window slot promised
 # above.  Placed directly after the rotated-out queries; they MUST
-# lead the r10 window (tests/test_doc_consistency.py exempts exactly
+# lead the r11 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = [
-    "q_eval_topk_precision",  # precision/recall@k eval census (r9)
-    "q_dup_exposure",  # per-doc duplication-exposure census (r9)
-    "q_local_supplier_revenue",  # 6-table TPC-H Q5 shape join (r9)
-    "q_heavy_hitters",  # Misra-Gries exact-verified heavy hitters (r9)
-]
+_ROTATION_NEW: list[str] = []
 
 
 def _apply_rotation() -> None:
-    """Order the registry per the documented round-9 rotation.
+    """Order the registry per the documented round-10 rotation.
 
     Window (first WINDOW=50) = _ROTATION_FIRST, then the rows-only
-    audits + flagship pipelines in _ROWS_ONLY_IN, then the returning
-    oracle queries (registration order minus _ROTATION_OUT and
+    trio + pipelines in _ROWS_ONLY_IN, then the returning oracle
+    queries (registration order minus _ROTATION_OUT and
     _ROTATION_NEW).  Beyond the window: the rotated-out oracle
     queries, the post-window new queries, then the remaining
     rows-only.  Adding a query without listing it in _ROTATION_NEW

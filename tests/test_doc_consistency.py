@@ -116,12 +116,22 @@ def test_registry_staleness_bound():
     newest committed CORRECTNESS artifact, and any never-recorded
     query must sit INSIDE the current window (due for its first
     record this round).  This replaces the r8 one-round out-list form,
-    which was unsatisfiable once the registry outgrew 2x the window
-    (98 oracle queries need >=49 slots/round for a one-round bound;
-    the window provides 45).  The two-round bound is sustainable
-    (98 <= 3*45, 13 rows-only <= 3*5) and still catches the real r8
-    hazard class: a query shipped round after round with only
-    builder-side certification."""
+    which became unsatisfiable once the registry outgrew 2x the
+    window.  The two-round bound is sustainable whenever each cohort
+    fits in a third of its slots (asserted below from live counts, so
+    the justification cannot drift — an r9 ADVICE item) and still
+    catches the real r8 hazard class: a query shipped round after
+    round with only builder-side certification."""
+    _, n_oracle, n_rows = _counts()
+    oracle_slots = plans.WINDOW - len(plans._ROWS_ONLY_IN)
+    assert n_oracle <= 3 * oracle_slots, (
+        f"two-round staleness bound unsatisfiable: {n_oracle} oracle "
+        f"queries > 3x{oracle_slots} oracle slots/round"
+    )
+    assert n_rows <= 3 * len(plans._ROWS_ONLY_IN), (
+        f"two-round staleness bound unsatisfiable: {n_rows} rows-only "
+        f"queries > 3x{len(plans._ROWS_ONLY_IN)} rows-only slots/round"
+    )
     records = _correctness_records()
     newest_round = max(records)
     window = set(list(REGISTRY)[: plans.WINDOW])
