@@ -208,15 +208,24 @@ def orchestrate() -> None:
         # Project the NEXT trial's cost from the most recent trial.
         # For the trial-2 decision the only sample is trial 1, which
         # carries the ~60 s sequential-detail pass trial 2 will skip
-        # (--lpt-from replaces it with a ~3x cheaper concurrent warm
-        # pass) — projecting at trial 1's full wall over-estimates and
-        # can truncate a bench whose budget fits two trials (ADVICE
-        # r8): subtract the measured sequential pass net of its
-        # stand-in (~1/3 of it).
+        # (--lpt-from replaces it with a concurrent warm pass) —
+        # projecting at trial 1's full wall over-estimates and can
+        # truncate a bench whose budget fits two trials (ADVICE r8).
+        # Estimate the stand-in from trial 1's MEASURED concurrent
+        # wall rather than a fixed 1/3-of-sequential factor (ADVICE
+        # r9: on a steal-heavy VM the fixed factor under-estimates
+        # and the bench overshoots its budget), and clamp at the
+        # concurrent work trial 2 demonstrably repeats (two full +
+        # two oracle-subset passes) so the projection can never drop
+        # below a physical lower bound.
         projected = durations[-1] if durations else 0.0
         if len(trials) == 1:
             seq = trials[0].get("sequential_total") or 0.0
-            projected -= max(0.0, seq * 2.0 / 3.0)
+            stand_in = float(trials[0].get("value") or 0.0)
+            floor = 2.0 * stand_in + 2.0 * float(
+                trials[0].get("oracle_subset_wall") or 0.0
+            )
+            projected = max(projected - seq + stand_in, floor)
         if trials and (
             time.perf_counter() - bench_t0 + projected > budget_s
         ):

@@ -46,15 +46,34 @@ _VALUE_CACHE: dict[
 ] = {}
 
 
+# The fingerprint itself is memoized for a short TTL (r9 ADVICE: the
+# walk+stat is O(files) per artifact LOOKUP, which undercuts the cache
+# on large corpora — one bench pass issues hundreds of lookups against
+# an unchanging directory). Two seconds is far below any real
+# regenerate-then-query gap while collapsing a pass's lookups to one
+# walk; clear_artifacts drops the memo, so the explicit invalidation
+# path never serves a stale fingerprint.
+_FP_TTL_S = 2.0
+_FP_MEMO: dict[str, tuple[float, int]] = {}
+
+
 def _corpus_fingerprint(sf_dir: str) -> int:
     """Cheap content fingerprint of a corpus directory: CRC over every
     file's (relative path, size, mtime_ns), O(files) stat calls and no
-    data reads. Folded into every artifact key so a corpus REGENERATED
-    under the same path (ADVICE r8: the silent-wrong-results class —
-    stale bloom bitsets dropping true semi-join matches, stale rank
-    histograms) misses the cache and rebuilds, instead of answering
-    from the old corpus. ``clear_artifacts`` remains the explicit path;
-    this makes forgetting it safe."""
+    data reads — memoized for _FP_TTL_S seconds per directory. Folded
+    into every artifact key so a corpus REGENERATED under the same
+    path (ADVICE r8: the silent-wrong-results class — stale bloom
+    bitsets dropping true semi-join matches, stale rank histograms)
+    misses the cache and rebuilds, instead of answering from the old
+    corpus. ``clear_artifacts`` remains the explicit path; this makes
+    forgetting it safe."""
+    import time
+
+    now = time.monotonic()
+    with _LOCK:
+        hit = _FP_MEMO.get(sf_dir)
+        if hit is not None and now - hit[0] < _FP_TTL_S:
+            return hit[1]
     crc = 0
     try:
         for root, dirs, files in os.walk(sf_dir):
@@ -69,6 +88,8 @@ def _corpus_fingerprint(sf_dir: str) -> int:
                 crc = zlib.crc32(rec.encode(), crc)
     except OSError:
         return -1
+    with _LOCK:
+        _FP_MEMO[sf_dir] = (now, crc)
     return crc
 # Consumers run CONCURRENTLY (the bench's 16-thread pass issues
 # q_unigram_logprob and q_perplexity_buckets together): _LOCK guards
@@ -179,6 +200,7 @@ def clear_artifacts(
     artifact name's, or the intersection. The invalidation path for
     callers that rewrite a corpus under the same directory."""
     with _LOCK:
+        _FP_MEMO.clear()
         for key in [
             k
             for k in _CACHE

@@ -24,11 +24,16 @@ is approximate.
 
 The per-batch merge is the mergeable-summaries form (Agarwal et al.,
 "Mergeable Summaries", PODS 2012): vectorized ``value_counts`` per
-Arrow batch added into the partition's counters; on overflow the
-(capacity+1)-st largest count is subtracted from every counter and
-non-positive counters drop — at most ``capacity`` survive, and each
-overflow removes at least (capacity+1)× the subtracted mass, which is
-what yields the n/(capacity+1) undercount bound.
+Arrow batch, merged into the partition's counters in capacity-sized
+CHUNKS with a compaction between chunks — so peak state is O(capacity)
+even over a high-cardinality Arrow batch (an r9 ADVICE finding: the
+batch-at-once merge let transient state grow to the batch's
+distinct-key count before the first compaction). Each compaction
+subtracts the (capacity+1)-st largest count from every counter and
+drops non-positive ones — at most ``capacity`` survive, each
+compaction removes at least (capacity+1)× the subtracted mass, and the
+subtracted masses telescope the same way regardless of chunking, which
+is what yields the n/(capacity+1) undercount bound.
 """
 
 from __future__ import annotations
@@ -50,20 +55,27 @@ def mg_candidates(
     the exact second pass, :func:`frequent_items`)."""
     out_schema = df.select(col).schema
 
+    def compact(counters: dict) -> dict:
+        if len(counters) <= capacity:
+            return counters
+        counts = np.sort(np.fromiter(counters.values(), dtype="int64"))
+        d = int(counts[-(capacity + 1)])
+        return {k: c - d for k, c in counters.items() if c - d > 0}
+
     def summarize(batches):
         counters: dict = {}
         for pdf in batches:
             vc = pdf[col].value_counts()  # vectorized per batch
-            for v, c in vc.items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > capacity:
-                counts = np.sort(
-                    np.fromiter(counters.values(), dtype="int64")
-                )
-                d = int(counts[-(capacity + 1)])
-                counters = {
-                    k: c - d for k, c in counters.items() if c - d > 0
-                }
+            # Merge in capacity-sized chunks, compacting between them:
+            # peak state stays O(capacity) even when the batch holds
+            # far more distinct keys than capacity, and the guarantee
+            # math is unchanged (each compaction still removes
+            # >= (capacity+1)x the subtracted mass).
+            items = list(vc.items())
+            for start in range(0, len(items), capacity):
+                for v, c in items[start : start + capacity]:
+                    counters[v] = counters.get(v, 0) + int(c)
+                counters = compact(counters)
         yield pd.DataFrame({col: pd.Series(list(counters.keys()))})
 
     return df.select(col).mapInPandas(summarize, out_schema)

@@ -1955,9 +1955,12 @@ def q_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Memorization-risk census: per-document fraction of its "
     "distinct 8-token shingle fingerprints that appear in at least "
     "one OTHER document (top-20 most-exposed docs, integer sort "
-    "keys). Counts shared via a per-fingerprint doc-count window on "
-    "the (doc, fp) frame — one fp shuffle + one doc_id aggregation, "
-    "never a doc-by-doc comparison.",
+    "keys). n_shared is computed via its complement (n_grams minus "
+    "the doc's GLOBALLY-UNIQUE fingerprints, each attributed to its "
+    "single owner by min(doc_id) inside one partial-aggregating fp "
+    "groupBy) — no per-fp window, no doc-by-doc comparison, and no "
+    "skewed anything: a boilerplate fingerprint shared by every doc "
+    "costs one partially-aggregated counter, not a window partition.",
 )
 def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication exposure over 8-gram fingerprints.
@@ -1974,15 +1977,27 @@ def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASC, doc_id ASC — the float ratio is reported, never a sort key:
     SURVEY §2.11 hash-stability discipline).
 
-    Scale shape: the (doc_id, fp) distinct frame shuffles once on the
-    16-byte fingerprint; the per-fp document count is a window over
-    that same exchange (groups = docs sharing a shingle — bounded by
-    the same boilerplate ceiling q_source_overlap documents); the
-    per-doc census is one more hash aggregation, and top-20 is
-    TakeOrderedAndProject. No pair expansion anywhere — this census
-    is LINEAR in corpus shingles where the pair graph is quadratic in
-    duplicated docs. Reuses the exact 8-gram md5 fingerprint
-    construction parity-proven by q_source_overlap / q_contamination.
+    Scale shape (r9 verdict task 5 — the de-skewed form): n_shared is
+    computed through its COMPLEMENT. A fingerprint is shared iff it
+    appears in >=2 documents, so per doc
+
+        n_shared = n_grams - |fps globally unique to this doc|
+
+    and a globally-unique fp's owner is recoverable inside the same
+    aggregate that counts it (min(doc_id) over its single row). The
+    plan is therefore: one (doc_id, fp) distinct exchange, reused by
+    two hash aggregations — groupBy(fp) for the unique-fp census and
+    groupBy(doc_id) for n_grams — and a per-doc join of two at-most-
+    one-row-per-key frames. Every fp-keyed step PARTIALLY aggregates
+    (map-side combine), so a boilerplate fingerprint shared by every
+    document costs one counter per task, never a window partition or
+    a hot join key: the earlier per-fp count window inherited the
+    boilerplate-shingle skew q_source_overlap documents, with one
+    unbounded window partition per mega-shared fp. The census is
+    LINEAR in corpus shingles where the pair graph is quadratic in
+    duplicated docs; top-20 is TakeOrderedAndProject. Reuses the
+    exact 8-gram md5 fingerprint construction parity-proven by
+    q_source_overlap / q_contamination.
 
     Reference parity: the reference's duplicate analysis (nb:150-160
     keep-first dedup; Seccion_1_Excel top-20 duplicates) lifted from
@@ -1998,13 +2013,26 @@ def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("gram").alias("fp"))
         .distinct()
     )
-    kdocs = F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    return (
-        fp.withColumn("kdocs", kdocs)
-        .groupBy("doc_id")
+    n_unique = (
+        fp.groupBy("fp")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("kdocs") >= 2).cast("long")).alias("n_shared"),
+            F.count(F.lit(1)).alias("kdocs"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("kdocs") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(n_unique, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            (
+                F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
+            ).alias("n_shared"),
         )
         .select(
             "doc_id",

@@ -86,15 +86,20 @@ def late_dlq_sink(
         # read once, not three times (the one-scan claim above).
         batch.persist()
         ts = F.col(time_col).cast("timestamp")
+        # NULL event times are un-watermarkable and belong in the DLQ
+        # UNCONDITIONALLY — including in the first batch, when no
+        # prior threshold exists yet: a downstream watermarked
+        # aggregation silently drops NULL-ts rows, which is exactly
+        # the silent-loss class this router exists to prevent (the
+        # first-batch case routed them to main until an r9 ADVICE
+        # finding).
         if threshold is None:
-            late = batch.filter(F.lit(False))
-            ontime = batch
+            late = batch.filter(ts.isNull())
+            ontime = batch.filter(ts.isNotNull())
         else:
             cut = F.lit(
                 datetime.fromtimestamp(threshold, tz=timezone.utc)
             ).cast("timestamp")
-            # NULL event times satisfy neither comparison; they are
-            # un-watermarkable and belong in the DLQ, not the agg.
             late = batch.filter((ts < cut) | ts.isNull())
             ontime = batch.filter(ts >= cut)
         for name, part in (("main", ontime), ("dlq", late)):

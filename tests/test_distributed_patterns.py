@@ -511,19 +511,27 @@ def test_eval_auc_hand_computed_and_sharded_plan(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
-def test_artifact_cache_invalidates_on_corpus_rewrite(spark, tmp_path):
+def test_artifact_cache_invalidates_on_corpus_rewrite(
+    spark, tmp_path, monkeypatch
+):
     """ADVICE r8: a corpus regenerated under the SAME path must MISS
     the artifact caches (the key carries a file-stat fingerprint) —
     a stale bloom bitset silently drops true semi-join matches, so
     answering stale is the one wrong behavior. Same-content lookups
-    still hit (one build per generation)."""
+    still hit (one build per generation). The fingerprint itself is
+    TTL-memoized (r9 ADVICE — see
+    test_corpus_fingerprint_memo_collapses_walks); zero the TTL here
+    so this test exercises the fingerprint mechanism, not the memo's
+    documented <=TTL staleness window."""
     import os
 
+    from prueba_tecnica_analista_etl_spark import artifacts
     from prueba_tecnica_analista_etl_spark.artifacts import (
         census_artifact,
         corpus_artifact,
     )
 
+    monkeypatch.setattr(artifacts, "_FP_TTL_S", 0.0)
     corpus = str(tmp_path / "corpus")
     os.makedirs(corpus)
 
@@ -558,6 +566,32 @@ def test_artifact_cache_invalidates_on_corpus_rewrite(spark, tmp_path):
     write("generation-three:-still-different")
     assert corpus_artifact(spark, corpus, "y", build_frame).count() == 2
     assert frames == ["f", "f"]
+
+
+def test_corpus_fingerprint_memo_collapses_walks(tmp_path, monkeypatch):
+    """r9 ADVICE: _corpus_fingerprint walked+stat'ed the whole corpus
+    tree on EVERY artifact lookup — O(files) syscalls per cache HIT.
+    Within the TTL, repeated lookups must serve the memo (one walk);
+    past the TTL (or after clear_artifacts, the explicit invalidation
+    path) the tree is re-walked and a rewrite is seen."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark import artifacts
+
+    corpus = str(tmp_path / "c")
+    os.makedirs(corpus)
+    with open(os.path.join(corpus, "f"), "w") as fh:
+        fh.write("one")
+    monkeypatch.setattr(artifacts, "_FP_TTL_S", 3600.0)
+    artifacts._FP_MEMO.clear()
+    first = artifacts._corpus_fingerprint(corpus)
+    with open(os.path.join(corpus, "f"), "w") as fh:
+        fh.write("two-different-size")
+    # memo hit: the rewrite is invisible within the TTL by contract
+    assert artifacts._corpus_fingerprint(corpus) == first
+    # clear_artifacts drops the memo -> the rewrite is seen
+    artifacts.clear_artifacts()
+    assert artifacts._corpus_fingerprint(corpus) != first
 
 
 def test_misra_gries_guarantee_and_bounds(spark):

@@ -608,13 +608,28 @@ def test_topk_precision_never_ranks_fact_table(spark, sf_dir):
 
 
 def test_dup_exposure_single_scan_no_pair_expansion(spark, sf_dir):
-    """q_dup_exposure must stay LINEAR in corpus shingles: one scan of
-    documents (the fp frame feeds both the per-fp window and the
-    per-doc aggregation through one exchange), a window partitioned
-    by fingerprint, and no join anywhere (a pair-expansion or a
-    sizes-join would show up as one)."""
-    plan = _plan(spark, sf_dir, "q_dup_exposure")
+    """q_dup_exposure must stay LINEAR in corpus shingles AND skew-free
+    (r9 verdict task 5): one scan of documents (the distinct fp frame
+    feeds both branches — the second read must be a ReusedExchange),
+    NO window anywhere (the earlier per-fp count window materialized
+    one unbounded partition per boilerplate fingerprint; the de-skewed
+    form partially aggregates every fp-keyed step), and the only join
+    is the per-doc census merge on doc_id (at most one row per key on
+    both sides) — a pair-expansion would show up as an fp-keyed
+    join."""
+    df = REGISTRY["q_dup_exposure"].fn(spark, sf_dir)
+    df.collect()  # AQE exchange reuse is a RUNTIME stage decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 1
-    assert "windowspecdefinition(fp" in final
-    assert "Join" not in final
+    # ReusedExchange = the second branch reads the distinct frame's
+    # shuffle output instead of re-scanning; the AQE plan text prints
+    # the reused stage's original subtree (scan included) under the
+    # ReusedExchange's source exchange, so the scan appears twice
+    # textually while executing once.
+    assert "ReusedExchange" in final
+    assert final.count("Scan parquet") <= 2
+    assert "windowspecdefinition" not in final
+    join_lines = [
+        l for l in final.splitlines() if "Join" in l and "doc_id" in l
+    ]
+    assert join_lines and all("fp" not in l for l in join_lines), final

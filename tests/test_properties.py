@@ -1077,9 +1077,10 @@ def test_late_dlq_router_conservation_and_rule(spark, batches, delay):
     sequences — disorder, duplicates, NULLs, empty batches — the
     router must (a) conserve every input row across main ∪ DLQ, and
     (b) route row r of batch N to the DLQ iff its event time is NULL
-    or strictly below max(event time over batches < N) - delay —
-    exactly the documented threshold rule, including the no-threshold
-    first batch. Replaying a batch must also be idempotent (same
+    (unconditionally — NULL ts is un-watermarkable even before any
+    threshold exists; an r9 ADVICE finding) or strictly below
+    max(event time over batches < N) - delay — exactly the documented
+    threshold rule. Replaying a batch must also be idempotent (same
     batch_id dirs overwritten, ledger unchanged)."""
     import os
     import tempfile
@@ -1119,7 +1120,7 @@ def test_late_dlq_router_conservation_and_rule(spark, batches, delay):
         threshold = None if seen_max is None else seen_max - delay
         for i, s in enumerate(rows):
             rid = bid * 1000 + i
-            if threshold is not None and (s is None or s < threshold):
+            if s is None or (threshold is not None and s < threshold):
                 want_dlq.add(rid)
         batch_max = max((s for s in rows if s is not None), default=None)
         if batch_max is not None:

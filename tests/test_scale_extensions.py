@@ -1096,6 +1096,39 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     # fixture may legitimately carry a few mid-band (0.5-0.9) pairs
     # the 4x3 banding can miss, so pin high recall, not perfection.
     assert row["recall"] >= 0.9
+    assert row["truth_fraction"] == 1.0
+
+
+def test_lsh_recall_sampled_truth_agrees_with_exact(spark, sf_dir):
+    """The 100 TB mode (r9 verdict task 3): restricting the
+    exhaustive-truth tier to a deterministic half of the documents
+    must (a) shrink the census — sampled n_true strictly below the
+    exact census's on any corpus with >= a handful of true pairs —
+    and (b) estimate the same recall: uniform doc sampling keeps each
+    true pair with probability fraction² independently of its
+    found-status, so sampled recall is unbiased. The harness corpus's
+    true pairs are dominated by jaccard≈1 families recalled at ~1.0,
+    so the sampled estimate must land within a loose absolute band of
+    the exact number (the estimator's variance at ~25% of pairs),
+    and the fraction must be stamped on the row."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        lsh_recall_frame,
+    )
+
+    exact = lsh_recall_frame(spark, sf_dir).collect()[0]
+    sampled = lsh_recall_frame(
+        spark, sf_dir, truth_sample_fraction=0.5
+    ).collect()[0]
+    assert sampled["truth_fraction"] == 0.5
+    assert 0 < sampled["n_true"] < exact["n_true"]
+    assert sampled["n_found"] <= sampled["n_true"]
+    assert abs(sampled["recall"] - exact["recall"]) <= 0.1
+    # determinism: the md5-threshold membership draw is a pure
+    # function of doc_id, so the sampled census is bit-stable.
+    again = lsh_recall_frame(
+        spark, sf_dir, truth_sample_fraction=0.5
+    ).collect()[0]
+    assert again == sampled
 
 
 def test_ann_recall_audit_invariants(spark, sf_dir):
@@ -1116,11 +1149,21 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
         q_ann_recall,
     )
 
-    rows = q_ann_recall(spark, sf_dir).collect()
+    frame = q_ann_recall(spark, sf_dir)
+    # The IVF tier must audit the ON-DISK index (r9 verdict task 4):
+    # its scan's cluster predicate is a PARTITION filter (directory
+    # pruning), not a post-scan data filter.
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    pfs = [
+        seg.split("]")[0]
+        for seg in plan.split("PartitionFilters: [")[1:]
+    ]
+    assert any("cluster" in pf for pf in pfs), plan
+    rows = frame.collect()
     by_tier: dict = {}
     for r in rows:
         by_tier.setdefault(r["method"], []).append(r)
-    assert set(by_tier) == {"sign_lsh", "ivf"}
+    assert set(by_tier) == {"sign_lsh", "ivf_disk"}
     for tier, pts in by_tier.items():
         assert len(pts) == 3, tier
         shipped = [p for p in pts if p["shipped"]]
@@ -1136,7 +1179,7 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
     )
     shipped_lsh = next(p for p in by_tier["sign_lsh"] if p["shipped"])
     assert shipped_lsh["operating_point"] == f"hamming<={LSH_HAMMING}"
-    shipped_ivf = next(p for p in by_tier["ivf"] if p["shipped"])
+    shipped_ivf = next(p for p in by_tier["ivf_disk"] if p["shipped"])
     assert shipped_ivf["operating_point"] == f"nprobe={IVF_NPROBE}/{IVF_K}"
     assert shipped_ivf["recall"] >= 0.8
 
