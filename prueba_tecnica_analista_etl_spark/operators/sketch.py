@@ -44,16 +44,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_candidates(
-    df: DataFrame, col: str, capacity: int = 8
-) -> DataFrame:
-    """Per-partition Misra-Gries candidate items for ``col`` — at most
-    ``capacity`` rows per partition, one pass, Arrow-batched. The
-    union over partitions is a SUPERSET of every item with global
-    count > n/(capacity+1); counts are deliberately not emitted (the
-    sketch's counts are lower bounds — consumers wanting numbers take
-    the exact second pass, :func:`frequent_items`)."""
-    out_schema = df.select(col).schema
+def _mk_summarize(col: str, capacity: int, with_counts: bool):
+    """Build the ``mapInPandas`` partition summarizer as a CLOSURE —
+    deliberately: a locally-defined function cloudpickles BY VALUE, so
+    executors never import this package (an external driver adds the
+    repo to ITS sys.path only; Python workers inherit the JVM's cwd
+    and would fail a by-reference pickle of a module-level function —
+    caught by the vanilla-session verify recipe). Everything the
+    closure needs (compact, col, capacity) lives in its cells.
+
+    The fold: vectorized ``value_counts`` per Arrow batch, merged in
+    capacity-sized chunks with a compaction between chunks — peak
+    state O(capacity) even when a batch holds far more distinct keys
+    than capacity (r9 ADVICE), guarantee math unchanged (each
+    compaction still removes >= (capacity+1)x the subtracted mass)."""
 
     def compact(counters: dict) -> dict:
         if len(counters) <= capacity:
@@ -66,19 +70,126 @@ def mg_candidates(
         counters: dict = {}
         for pdf in batches:
             vc = pdf[col].value_counts()  # vectorized per batch
-            # Merge in capacity-sized chunks, compacting between them:
-            # peak state stays O(capacity) even when the batch holds
-            # far more distinct keys than capacity, and the guarantee
-            # math is unchanged (each compaction still removes
-            # >= (capacity+1)x the subtracted mass).
             items = list(vc.items())
             for start in range(0, len(items), capacity):
                 for v, c in items[start : start + capacity]:
                     counters[v] = counters.get(v, 0) + int(c)
                 counters = compact(counters)
-        yield pd.DataFrame({col: pd.Series(list(counters.keys()))})
+        out = {col: pd.Series(list(counters.keys()))}
+        if with_counts:
+            out["cnt"] = pd.Series(
+                list(counters.values()), dtype="int64"
+            )
+        yield pd.DataFrame(out)
 
-    return df.select(col).mapInPandas(summarize, out_schema)
+    return summarize
+
+
+def mg_merge(items, capacity: int) -> dict:
+    """Fold ``(key, count)`` pairs into a capacity-bounded Misra-Gries
+    summary — the MERGE of mergeable summaries (PODS 2012): summaries
+    of disjoint data slices (partitions, micro-batches) combine by
+    count addition plus compaction, and the merged summary carries the
+    undercount bound of the UNION (the subtracted masses telescope).
+    Chunked exactly like the scan-side fold, so transient state is
+    O(capacity) regardless of how many summaries stream through.
+    Driver-side only (never shipped to executors)."""
+
+    def compact(counters: dict) -> dict:
+        if len(counters) <= capacity:
+            return counters
+        counts = np.sort(np.fromiter(counters.values(), dtype="int64"))
+        d = int(counts[-(capacity + 1)])
+        return {k: c - d for k, c in counters.items() if c - d > 0}
+
+    counters: dict = {}
+    pending = 0
+    for k, c in items:
+        counters[k] = counters.get(k, 0) + int(c)
+        pending += 1
+        if pending >= capacity:
+            counters = compact(counters)
+            pending = 0
+    return compact(counters)
+
+
+def mg_candidates(
+    df: DataFrame, col: str, capacity: int = 8
+) -> DataFrame:
+    """Per-partition Misra-Gries candidate items for ``col`` — at most
+    ``capacity`` rows per partition, one pass, Arrow-batched. The
+    union over partitions is a SUPERSET of every item with global
+    count > n/(capacity+1); counts are deliberately not emitted (the
+    sketch's counts are lower bounds — consumers wanting numbers take
+    the exact second pass, :func:`frequent_items`)."""
+    return df.select(col).mapInPandas(
+        _mk_summarize(col, capacity, with_counts=False),
+        df.select(col).schema,
+    )
+
+
+def mg_summary(
+    df: DataFrame, col: str, capacity: int = 8
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries WITH their lower-bound
+    counts — the mergeable form: rows from different partitions (or
+    different micro-batches) feed :func:`mg_merge`, which preserves
+    the n/(capacity+1) guarantee over the union. At most ``capacity``
+    rows per partition; ``cnt`` is the sketch's residual counter (a
+    lower bound on the true count), not an exact number."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [df.select(col).schema[0], T.StructField("cnt", T.LongType())]
+    )
+    return df.select(col).mapInPandas(
+        _mk_summarize(col, capacity, with_counts=True), out_schema
+    )
+
+
+class MGStreamAccumulator:
+    """Streaming Misra-Gries: a ``foreachBatch`` accumulator that folds
+    each micro-batch's per-partition summaries into ONE capacity-
+    bounded counter dict — the PODS-2012 mergeable property applied
+    across batches, the same foreachBatch-accumulator pattern the CDC
+    upsert sink proved (streaming/upsert_sink.py).
+
+    Per batch: one ``mg_summary`` job over the batch (executor state
+    O(capacity) per partition) plus a collect of at most
+    capacity × partitions rows; driver state is O(capacity) total via
+    :func:`mg_merge`. After the stream drains, ``candidates()`` is a
+    SUPERSET of every key whose count over the whole stream exceeds
+    n/(capacity+1) — feed it to an exact re-count
+    (:func:`frequent_items`-style broadcast semi-join) for the exact,
+    batch-parity heavy-hitter answer (tested in
+    tests/test_streaming.py against the batch fold).
+
+    Replayed batch_ids are skipped (an in-memory seen-set — enough for
+    availableNow replays within one run; a durable run would persist
+    the ledger the way the upsert sink's ``_etl_control`` does)."""
+
+    def __init__(self, col: str, capacity: int = 8) -> None:
+        self.col = col
+        self.capacity = capacity
+        self.counters: dict = {}
+        self._seen: set[int] = set()
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:
+            return
+        self._seen.add(batch_id)
+        rows = mg_summary(
+            batch.filter(F.col(self.col).isNotNull()),
+            self.col,
+            self.capacity,
+        ).collect()
+        merged = list(self.counters.items()) + [
+            (r[self.col], r["cnt"]) for r in rows
+        ]
+        self.counters = mg_merge(merged, self.capacity)
+
+    def candidates(self) -> list:
+        return list(self.counters)
 
 
 def frequent_items(

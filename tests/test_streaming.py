@@ -1535,3 +1535,78 @@ def test_run_available_now_cached_sink_resumes_incrementally(
         "resume with no new source files must run zero micro-batches"
     )
     assert _sorted_rows(second) == _sorted_rows(first)
+
+
+def test_mg_stream_accumulator_matches_batch_heavy_hitters(
+    spark, sf_dir, tmp_path
+):
+    """Heavy hitters over a STREAM (r9 verdict task 6): each
+    micro-batch's per-partition Misra-Gries summaries fold into one
+    capacity-bounded driver dict inside foreachBatch (the mergeable-
+    summaries property across batches — the same foreachBatch-
+    accumulator pattern the CDC sink proved). After the stream drains:
+    (a) the accumulated candidate set is capacity-bounded,
+    (b) it is a SUPERSET of every true heavy hitter at the
+    n/(capacity+1) threshold,
+    (c) the exact re-count of the candidates filtered at the
+    threshold equals the BATCH fold's answer exactly (q_heavy_hitters'
+    frequent_items path over the same table), and
+    (d) a replayed batch_id is a no-op (the idempotency guard)."""
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        MGStreamAccumulator,
+        frequent_items,
+    )
+
+    capacity = 8
+    data_dir, schema = write_replay_files(
+        spark, sf_dir, "events", n_files=4,
+        base_dir=str(tmp_path / "landing"),
+    )
+    acc = MGStreamAccumulator("event_type", capacity=capacity)
+    q = (
+        replay_as_stream(spark, data_dir, schema, 1)
+        .writeStream.foreachBatch(acc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(acc._seen) > 1, "fixture must deliver several batches"
+    cand = acc.candidates()
+    assert 0 < len(cand) <= capacity
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type")
+    )
+    n = ev.count()
+    exact_all = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    true_hh = {
+        k: c for k, c in exact_all.items() if c * (capacity + 1) > n
+    }
+    assert set(true_hh) <= set(cand), "MG superset guarantee violated"
+
+    streamed = {
+        k: exact_all[k]
+        for k in cand
+        if exact_all.get(k, 0) * (capacity + 1) > n
+    }
+    batch = {
+        r["event_type"]: r["cnt"]
+        for r in frequent_items(ev, "event_type", capacity)
+        .filter(F.col("cnt") * (capacity + 1) > F.lit(n))
+        .collect()
+    }
+    assert streamed == batch == true_hh
+
+    # replayed batch_id is a no-op
+    before = dict(acc.counters)
+    replay_bid = next(iter(acc._seen))
+    acc(load_table(spark, sf_dir, "events"), replay_bid)
+    assert acc.counters == before
