@@ -49,6 +49,12 @@ def single() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+    # Bench q_lsh_recall in its 100 TB operating mode (sampled truth,
+    # r9 verdict task 8) — the exact census is the correctness
+    # driver's mode, which never sets this. setdefault: an explicit
+    # caller override wins. The fraction is marked in the payload.
+    os.environ.setdefault("SPARK_GRAFT_LSH_TRUTH_FRACTION", "0.5")
+    lsh_frac = float(os.environ["SPARK_GRAFT_LSH_TRUTH_FRACTION"])
     spark = get_spark(app_name="bench")
 
     # Full warm-up pass: JVM classloading + JIT + codegen caches, not
@@ -169,6 +175,7 @@ def single() -> None:
         "mode": "concurrent-16-threads-best-of-2",
         "oracle_subset_wall": oracle_subset_total,
         "oracle_subset_n": len(oracle_specs),
+        "lsh_truth_fraction": lsh_frac,
         "queries": timings,
         "sf": sf,
     }

@@ -94,9 +94,16 @@ def ivf_write_index(
     assigned = emb.select(
         id_col, as_double(F.col(vec_col)).alias("vector")
     ).withColumn("cluster", assign_clusters(F.col("vector"), C))
-    assigned.write.partitionBy("cluster").mode("overwrite").parquet(
-        os.path.join(path, DATA)
-    )
+    # Compact at build time: without the repartition every input task
+    # writes a sliver into every cluster dir (tasks x k tiny leaves —
+    # a probed read then pays one task per sliver). One shuffle on the
+    # partition key makes each cluster one coherent file set; at
+    # larger scale the same call with a higher partition count keeps
+    # leaves at target size — the standard write-side compaction the
+    # parquet sinks (sources/files.py) apply.
+    assigned.repartition("cluster").write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, DATA))
     _write_schema(path, assigned.schema)
     spark.createDataFrame(
         [(i, row.tolist()) for i, row in enumerate(C)],

@@ -1086,8 +1086,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded-minhash arity bug this module's comments document, which
     silently collapses all hash functions into one) shows up here as
     a number, not as a silent corpus quality loss.
+
+    The truth tier runs EXACT by default; SPARK_GRAFT_LSH_TRUTH_FRACTION
+    opts a run into the documented 100 TB sampling mode (the bench sets
+    0.5 and marks it in its payload; the correctness driver never sets
+    it, so its recorded row is always the exact census). The emitted
+    truth_fraction column makes the mode self-describing either way.
     """
-    return lsh_recall_frame(spark, sf_dir, truth_sample_fraction=1.0)
+    import os
+
+    frac = float(os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0"))
+    return lsh_recall_frame(spark, sf_dir, truth_sample_fraction=frac)
 
 
 def lsh_recall_frame(
@@ -1255,6 +1264,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql import Window
 
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        census_artifact,
+        corpus_artifact,
+    )
     from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
         _read_data,
         ivf_probe_clusters,
@@ -1264,7 +1277,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_similarity_topk,
     )
 
-    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    # The exact truth is an ARTIFACT of the corpus (10 rows) — computed
+    # once and reused across audit runs, the cached_minhash_pairs
+    # discipline. The registry's own q_similarity_topk keeps its live
+    # plan; only the audit's repeated consumption is memoized.
+    exact = corpus_artifact(
+        spark,
+        sf_dir,
+        "ann_exact_top10",
+        lambda: q_similarity_topk(spark, sf_dir).select("vec_id"),
+    )
 
     # Sweep AROUND the shipped constants (LSH_HAMMING, IVF_NPROBE), so
     # a retune moves both the shipped row and its neighbors — no drift
@@ -1288,9 +1310,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = random_hyperplanes(LSH_BITS, 64, seed=42)
     sigs = e.withColumn("sig", sign_bits(F.col("v"), planes))
-    qrow = sigs.filter(F.col("vec_id") == 0).select("v", "sig").first()
-    qv = np.asarray(qrow["v"], dtype=np.float64)
-    qsig = int(qrow["sig"])
+
+    # The probe (vector + signature) is census-sized and deterministic
+    # per corpus — memoize it: the one-row first() still costs a full
+    # Arrow-UDF job dispatch (~1 s) every audit run otherwise.
+    def _probe() -> tuple[list[float], int]:
+        row = sigs.filter(F.col("vec_id") == 0).select("v", "sig").first()
+        return [float(x) for x in row["v"]], int(row["sig"])
+
+    qv_list, qsig = census_artifact(spark, sf_dir, "ann_probe_vec0", _probe)
+    qv = np.asarray(qv_list, dtype=np.float64)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
 
     lsh_scored = sigs.filter(F.col("vec_id") != 0).select(
