@@ -1395,3 +1395,110 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("event_type"))
     )
+
+
+@query(
+    "q_stream_heavy_hitters",
+    f"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events
+                 WHERE event_type IS NOT NULL)
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    HAVING COUNT(*) * {_HH_CAPACITY + 1} > (SELECT n FROM tot)
+    ORDER BY cnt DESC, event_type
+    """,
+    doc="Heavy hitters computed over a STREAM yet still ORACLE-EXACT: "
+    "the events table replays as a file stream; each micro-batch's "
+    "per-partition Misra-Gries summaries fold into one capacity-"
+    "bounded driver dict inside foreachBatch (the PODS-2012 mergeable "
+    "property across batches); the drained candidate set — a proven "
+    "superset of every key above the n/(capacity+1) threshold "
+    "regardless of how the stream was batched — is then exactly "
+    "re-counted and filtered, reproducing the batch answer bit-for-"
+    "bit. The one streaming query whose result plain SQL can check.",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_heavy_hitters' STREAMING twin, sharing its oracle.
+
+    Why the stream path can be oracle-backed at all: Misra-Gries
+    summaries are mergeable, so candidates(stream) is a superset of
+    the true heavy hitters no matter how the file stream batches the
+    data, and the exact re-count + threshold filter is a pure
+    function of (candidates ∩ heavy hitters) = heavy hitters. The
+    approximate, batching-dependent machinery cancels out of the
+    final answer — tested directly in
+    tests/test_streaming.py::test_mg_stream_accumulator_matches_batch_heavy_hitters
+    and certified here by the DuckDB value-hash gate every round.
+
+    Scale shape: per micro-batch one mg_summary job (O(capacity)
+    state per partition, Arrow-batched) plus a capacity×partitions
+    collect; driver state O(capacity) total (mg_merge). The candidate
+    set is memoized per corpus (census_artifact — capacity keys), so
+    repeated audit runs pay the replay once; the exact pass is the
+    same broadcast-filtered aggregation q_heavy_hitters uses, with
+    the isin literal standing in for the broadcast semi-join at
+    capacity size.
+
+    Reference parity: the reference's planned streaming ingestion
+    (nb:383 'mejoras futuras') combined with its duplicate-frequency
+    analyses (Seccion_1_Excel top-20; nb:150-160) — frequency
+    diagnosis that keeps working when the data arrives as a stream.
+    """
+    import tempfile
+
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        MGStreamAccumulator,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.replay import (
+        replay_as_stream,
+        write_replay_files,
+    )
+
+    def _streamed_candidates() -> list:
+        data_dir, schema = write_replay_files(
+            spark, sf_dir, "events", n_files=4
+        )
+        acc = MGStreamAccumulator("event_type", capacity=_HH_CAPACITY)
+        q = (
+            replay_as_stream(spark, data_dir, schema, 1)
+            .writeStream.foreachBatch(acc)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_hh_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return acc.candidates()
+
+    cand = census_artifact(
+        spark, sf_dir, "stream_hh_candidates", _streamed_candidates
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        spread(ev)
+        .filter(F.col("event_type").isin(list(cand)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * (_HH_CAPACITY + 1) > F.col("n"))
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
