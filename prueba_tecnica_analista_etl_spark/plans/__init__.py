@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 10):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 114 queries (101 oracle-backed + 13
-rows-only), so 64 must sit outside the recorded window in any given
+each round; the registry holds 115 queries (102 oracle-backed + 13
+rows-only), so 65 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -42,10 +42,10 @@ independently-recorded driver result:
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  101
+window (or in _ROTATION_NEW, which must lead the NEXT window).  102
 oracle queries across 42 oracle slots/round (and 13 rows-only across
 8) satisfy the bound with slack: each needs a record only once per
-three windows (101 <= 3*42, 13 <= 3*8).
+three windows (102 <= 3*42, 13 <= 3*8).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -184,6 +184,7 @@ _ROTATION_OUT = [
 # promise).  Append here when adding a query mid-round.
 _ROTATION_NEW: list[str] = [
     "q_stream_heavy_hitters",  # oracle-exact streaming MG fold (r10)
+    "q_group_safe_split",  # duplicate-group-keyed split census (r10)
 ]
 
 

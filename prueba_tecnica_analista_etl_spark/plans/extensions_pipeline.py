@@ -2046,3 +2046,87 @@ def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), F.asc("n_grams"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "q_group_safe_split",
+    f"""
+    WITH g AS (SELECT min(doc_id) AS rep, COUNT(*) AS k
+               FROM documents GROUP BY md5(text)),
+         a AS (SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                                < '{_hex_threshold(0.8)}'
+                           THEN 'train' ELSE 'val' END AS split, k
+               FROM g)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k >= 2 THEN k ELSE 0 END) AS BIGINT)
+             AS n_dup_docs
+    FROM a GROUP BY split ORDER BY split
+    """,
+    doc="Leakage-safe train/val split: the split draw is keyed on the "
+    "exact-duplicate GROUP's representative (min doc_id per md5(text) "
+    "class), so identical documents can never straddle train and val "
+    "— the doc-keyed draw (q_train_val_split) leaks every duplicated "
+    "text across the boundary with probability 2·p·(1-p). Census per "
+    "split: group count, doc count, and docs in multi-copy groups "
+    "(the population the group key just protected). One md5(text) "
+    "shuffle + a two-row census.",
+)
+def q_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware split assignment (SURVEY §2.11, r10).
+
+    Why group-keyed: an eval/holdout split drawn per DOCUMENT puts
+    each copy of a duplicated text independently into train or val —
+    a duplicated doc straddles the boundary with probability
+    2·p·(1-p) (~32% at p=0.8), and the val half of such a pair is
+    memorized training data, inflating eval scores. Drawing on the
+    duplicate GROUP's representative assigns whole content classes
+    atomically: straddling is impossible by construction, which the
+    n_dup_docs column quantifies (how many docs the group key just
+    protected). The same md5-prefix threshold convention as
+    q_train_val_split / q_mixture_sample (deterministic, engine-
+    stable, no float arithmetic); extending from exact-dup groups to
+    near-dup clusters = feed operators/components.py labels in as the
+    group key (rows-only territory — the component labels are
+    engine-specific; this exact-group form keeps the census
+    oracle-checkable).
+
+    Scale shape: one partial-aggregating shuffle on md5(text) (the
+    q_exact_dedup cost family — fingerprints, never raw text, on the
+    exchange), a map-side split draw per GROUP row, and a two-row
+    census aggregation. No windows, no joins, no skew (group rows are
+    unique by fingerprint).
+
+    Reference parity: the reference's keep-first dedup (nb:150-160,
+    `drop_duplicates`) composed with a reproducible sampling rule —
+    the reference dedups THEN samples; this shows the composition
+    that stays leakage-safe when you must sample without fully
+    deduplicating.
+    """
+    g = (
+        spread(_t(spark, sf_dir, "documents"))
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    u = F.substring(F.md5(F.col("rep").cast("string")), 1, 8)
+    a = g.select(
+        F.when(u < F.lit(_hex_threshold(0.8)), "train")
+        .otherwise("val")
+        .alias("split"),
+        "k",
+    )
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_docs"),
+            F.sum(F.when(F.col("k") >= 2, F.col("k")).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .orderBy("split")
+    )
