@@ -1137,3 +1137,71 @@ def test_split_leakage_census_is_single_pass(spark, sf_dir):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_group_safe_split_never_straddles_duplicate_groups(spark):
+    """q_group_safe_split's defining invariant on an adversarial
+    corpus: with many exact-duplicate families, every md5(text) class
+    lands WHOLLY in one split (straddling impossible by construction),
+    while the doc-keyed draw (q_train_val_split's rule) demonstrably
+    straddles some family on the same data — the leak the group key
+    exists to close. Also pins the census arithmetic: n_dup_docs
+    counts exactly the docs in multi-copy groups."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        _hex_threshold,
+    )
+
+    # 40 families x 3 copies + 30 singletons, ids interleaved so
+    # family members get unrelated md5(doc_id) draws.
+    rows = []
+    did = 0
+    for fam in range(40):
+        for _ in range(3):
+            rows.append((did, f"family text {fam}"))
+            did += 7  # non-contiguous ids
+    for s in range(30):
+        rows.append((did, f"unique text {s}"))
+        did += 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.createOrReplaceTempView("_gss_docs")
+
+    thr = _hex_threshold(0.8)
+    per_doc = spark.sql(f"""
+        SELECT doc_id, md5(text) AS fp,
+               CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 8)
+                         < '{thr}'
+                    THEN 'train' ELSE 'val' END AS doc_split,
+               CASE WHEN substr(md5(CAST(
+                          min(doc_id) OVER (PARTITION BY md5(text))
+                        AS STRING)), 1, 8) < '{thr}'
+                    THEN 'train' ELSE 'val' END AS group_split
+        FROM _gss_docs
+    """)
+    agg = per_doc.groupBy("fp").agg(
+        F.countDistinct("doc_split").alias("n_doc_splits"),
+        F.countDistinct("group_split").alias("n_group_splits"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    straddled_by_doc_key = agg.filter(
+        (F.col("k") >= 2) & (F.col("n_doc_splits") > 1)
+    ).count()
+    assert straddled_by_doc_key > 0, (
+        "fixture must exhibit the doc-keyed leak (2p(1-p) per family "
+        "over 40 families: P(none straddles) ~ 1e-8)"
+    )
+    assert agg.filter(F.col("n_group_splits") > 1).count() == 0
+
+    # census arithmetic over the same corpus
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+
+    spec = REGISTRY["q_group_safe_split"]
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("documents", pdf)
+    got = con.execute(spec.oracle).fetchall()
+    n_groups = sum(r[1] for r in got)
+    n_docs = sum(r[2] for r in got)
+    n_dup = sum(r[3] for r in got)
+    assert n_groups == 70 and n_docs == 150 and n_dup == 120
