@@ -35,9 +35,11 @@ independently-recorded driver result:
   the oldest 29 of the 42 r8-green oracle queries.  Paying for those
   50 in-slots: the 58 oracle-backed queries in _ROTATION_OUT (the 45
   greens of the r9 window, one round old, plus 13 r8 greens held at
-  two rounds old — those 13 lead the r11 returns) and the five
+  two rounds old — those 13 lead the r11 returns), the five
   r9-recorded rows-only audits/pipelines (fresh records, due back by
-  r12).
+  r12), and the two oracle-backed queries ADDED mid-round-10
+  (q_stream_heavy_hitters, q_group_safe_split — in _ROTATION_NEW,
+  promised the first r11 slots).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
