@@ -65,8 +65,11 @@ def _corpus_fingerprint(sf_dir: str) -> int:
     path (ADVICE r8: the silent-wrong-results class — stale bloom
     bitsets dropping true semi-join matches, stale rank histograms)
     misses the cache and rebuilds, instead of answering from the old
-    corpus. ``clear_artifacts`` remains the explicit path; this makes
-    forgetting it safe."""
+    corpus. ``clear_artifacts`` remains the explicit (and only
+    immediate) invalidation path; the implicit fingerprint makes
+    forgetting it safe AFTER the memo TTL — a rewrite followed by a
+    lookup within _FP_TTL_S can still hit the old generation, the
+    documented price of not re-stat'ing the tree per lookup."""
     import time
 
     now = time.monotonic()

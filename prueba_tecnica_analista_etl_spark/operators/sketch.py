@@ -25,15 +25,20 @@ is approximate.
 The per-batch merge is the mergeable-summaries form (Agarwal et al.,
 "Mergeable Summaries", PODS 2012): vectorized ``value_counts`` per
 Arrow batch, merged into the partition's counters in capacity-sized
-CHUNKS with a compaction between chunks — so peak state is O(capacity)
-even over a high-cardinality Arrow batch (an r9 ADVICE finding: the
-batch-at-once merge let transient state grow to the batch's
-distinct-key count before the first compaction). Each compaction
-subtracts the (capacity+1)-st largest count from every counter and
-drops non-positive ones — at most ``capacity`` survive, each
-compaction removes at least (capacity+1)× the subtracted mass, and the
-subtracted masses telescope the same way regardless of chunking, which
-is what yields the n/(capacity+1) undercount bound.
+CHUNKS with a compaction between chunks. State accounting, precisely
+(an r9 ADVICE finding asked for either a tighter bound or honesty —
+this is the honest version): the COUNTERS dict never exceeds
+2×capacity entries; the transient per-batch state is the
+``value_counts`` result itself, O(distinct keys in one Arrow batch) —
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default
+10k rows), a configuration constant, NOT by the partition's
+cardinality (the r9 form additionally let the counters dict grow to
+the batch's distinct-key count; the chunked merge removes that term).
+Each compaction subtracts the (capacity+1)-st largest count from every
+counter and drops non-positive ones — at most ``capacity`` survive,
+each compaction removes at least (capacity+1)× the subtracted mass,
+and the subtracted masses telescope the same way regardless of
+chunking, which is what yields the n/(capacity+1) undercount bound.
 """
 
 from __future__ import annotations
@@ -44,6 +49,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _compact(counters: dict, capacity: int) -> dict:
+    """One Misra-Gries compaction (driver-side consumers): subtract the
+    (capacity+1)-st largest count from every counter, drop the
+    non-positive — at most ``capacity`` survive and at least
+    (capacity+1)× the subtracted mass leaves the total. The executor-
+    shipped twin lives as a closure inside :func:`_mk_summarize`
+    (cloudpickle-by-value constraint); keep the two 5-liners in sync."""
+    if len(counters) <= capacity:
+        return counters
+    counts = np.sort(np.fromiter(counters.values(), dtype="int64"))
+    d = int(counts[-(capacity + 1)])
+    return {k: c - d for k, c in counters.items() if c - d > 0}
+
+
 def _mk_summarize(col: str, capacity: int, with_counts: bool):
     """Build the ``mapInPandas`` partition summarizer as a CLOSURE —
     deliberately: a locally-defined function cloudpickles BY VALUE, so
@@ -51,13 +70,17 @@ def _mk_summarize(col: str, capacity: int, with_counts: bool):
     repo to ITS sys.path only; Python workers inherit the JVM's cwd
     and would fail a by-reference pickle of a module-level function —
     caught by the vanilla-session verify recipe). Everything the
-    closure needs (compact, col, capacity) lives in its cells.
+    closure needs (compact, col, capacity) lives in its cells; the
+    nested ``compact`` mirrors module-level :func:`_compact` for the
+    same reason.
 
     The fold: vectorized ``value_counts`` per Arrow batch, merged in
-    capacity-sized chunks with a compaction between chunks — peak
-    state O(capacity) even when a batch holds far more distinct keys
-    than capacity (r9 ADVICE), guarantee math unchanged (each
-    compaction still removes >= (capacity+1)x the subtracted mass)."""
+    capacity-sized chunks with a compaction between chunks — the
+    counters dict stays <= 2x capacity; the value_counts result itself
+    is O(one Arrow batch's distinct keys), bounded by
+    arrow.maxRecordsPerBatch (see the module docstring's state
+    accounting). Guarantee math unchanged (each compaction removes
+    >= (capacity+1)x the subtracted mass)."""
 
     def compact(counters: dict) -> dict:
         if len(counters) <= capacity:
@@ -91,26 +114,19 @@ def mg_merge(items, capacity: int) -> dict:
     of disjoint data slices (partitions, micro-batches) combine by
     count addition plus compaction, and the merged summary carries the
     undercount bound of the UNION (the subtracted masses telescope).
-    Chunked exactly like the scan-side fold, so transient state is
-    O(capacity) regardless of how many summaries stream through.
-    Driver-side only (never shipped to executors)."""
-
-    def compact(counters: dict) -> dict:
-        if len(counters) <= capacity:
-            return counters
-        counts = np.sort(np.fromiter(counters.values(), dtype="int64"))
-        d = int(counts[-(capacity + 1)])
-        return {k: c - d for k, c in counters.items() if c - d > 0}
-
+    Chunked exactly like the scan-side fold, so state is <= 2x
+    capacity regardless of how many summaries stream through.
+    Driver-side only (never shipped to executors) — uses the
+    module-level :func:`_compact`."""
     counters: dict = {}
     pending = 0
     for k, c in items:
         counters[k] = counters.get(k, 0) + int(c)
         pending += 1
         if pending >= capacity:
-            counters = compact(counters)
+            counters = _compact(counters, capacity)
             pending = 0
-    return compact(counters)
+    return _compact(counters, capacity)
 
 
 def mg_candidates(
@@ -177,7 +193,6 @@ class MGStreamAccumulator:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:
             return
-        self._seen.add(batch_id)
         rows = mg_summary(
             batch.filter(F.col(self.col).isNotNull()),
             self.col,
@@ -187,6 +202,12 @@ class MGStreamAccumulator:
             (r[self.col], r["cnt"]) for r in rows
         ]
         self.counters = mg_merge(merged, self.capacity)
+        # Ledger AFTER the work succeeds (the upsert sink's discipline):
+        # marking the batch seen before the summary job completes would
+        # silently SKIP a failed-then-replayed batch, dropping its mass
+        # from the sketch and voiding the superset guarantee
+        # q_stream_heavy_hitters' oracle-exactness rests on.
+        self._seen.add(batch_id)
 
     def candidates(self) -> list:
         return list(self.counters)

@@ -584,43 +584,40 @@ def cached_ivf_index(
     layout + centroid sidecar, operators/ivf_index.py) instead of an
     in-plan filter twin. Reuses the memoized ``ivf_centroids``
     quantizer, so the in-plan ``ann_ivf`` tier and the index share one
-    model and their cluster ids are comparable. Keyed on the corpus
-    fingerprint (artifacts.py discipline): a regenerated corpus
-    rebuilds instead of serving a stale index."""
+    model and their cluster ids are comparable. Memoized through
+    ``census_artifact`` (the dir path is a census-sized value), so it
+    inherits the artifact store's per-key BUILD LOCK (concurrent
+    consumers never double-write the index — the bare check-then-build
+    this replaces could), its superseded-generation eviction, and its
+    corpus-fingerprint keying: a regenerated corpus rebuilds instead
+    of serving a stale index."""
     import tempfile
 
     from prueba_tecnica_analista_etl_spark.artifacts import (
-        _corpus_fingerprint,
+        census_artifact,
     )
     from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
         ivf_write_index,
     )
 
-    key = (sf_dir, k, iters, _corpus_fingerprint(sf_dir))
-    with _IVF_INDEX_LOCK:
-        hit = _IVF_INDEX_DIRS.get(key)
-        if hit is not None:
-            return hit
-    e = spread(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    centroids = ivf_centroids(spark, sf_dir, e, k=k, iters=iters)
-    path = tempfile.mkdtemp(prefix="ivf_index_")
-    ivf_write_index(
-        spread(_t(spark, sf_dir, "embeddings")),
-        path,
-        k=k,
-        iters=iters,
-        centroids=centroids,
-    )
-    with _IVF_INDEX_LOCK:
-        # A concurrent builder may have won the race; keep the first
-        # registered dir so every consumer shares one index.
-        return _IVF_INDEX_DIRS.setdefault(key, path)
+    def _build() -> str:
+        e = spread(_t(spark, sf_dir, "embeddings")).select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        centroids = ivf_centroids(spark, sf_dir, e, k=k, iters=iters)
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        ivf_write_index(
+            spread(_t(spark, sf_dir, "embeddings")),
+            path,
+            k=k,
+            iters=iters,
+            centroids=centroids,
+        )
+        return path
 
-
-_IVF_INDEX_LOCK = threading.Lock()
-_IVF_INDEX_DIRS: dict[tuple, str] = {}
+    return census_artifact(
+        spark, sf_dir, f"ivf_index_dir:{k}:{iters}", _build
+    )
 
 
 def ann_ivf(
@@ -1095,7 +1092,13 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    frac = float(os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0"))
+    raw = os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0")
+    try:
+        frac = float(raw)
+    except ValueError:
+        frac = 1.0  # malformed opt-in must not break plan construction
+    if not (0.0 < frac <= 1.0):
+        frac = 1.0  # out-of-range values fall back to the exact census
     return lsh_recall_frame(spark, sf_dir, truth_sample_fraction=frac)
 
 
