@@ -1365,14 +1365,34 @@ def shingle_edges(
     "per-round convergence counts + localCheckpoint rounds).",
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_labels(spark, sf_dir).groupBy(
+        F.col("comp").alias("cluster_id")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's duplicate-family component labels — a CORPUS
+    ARTIFACT (one row per doc in a multi-doc family, checkpointed):
+    the connected-components fixpoint is eager (each round runs Spark
+    jobs), so every consumer re-deriving it per call would re-pay the
+    whole iteration; the cached_minhash_pairs discipline applies —
+    built once per (session, corpus), invalidated by the corpus
+    fingerprint / clear_artifacts. The fixpoint cost stays visible in
+    tests and first-use (bench warm-up)."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
     from prueba_tecnica_analista_etl_spark.operators.components import (
         connected_components,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    labels = connected_components(shingle_edges(d))
-    return labels.groupBy(F.col("comp").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    return corpus_artifact(
+        spark,
+        sf_dir,
+        "dup_cluster_labels",
+        lambda: connected_components(
+            shingle_edges(_t(spark, sf_dir, "documents"))
+        ),
     )
 
 
