@@ -1610,3 +1610,32 @@ def test_mg_stream_accumulator_matches_batch_heavy_hitters(
     replay_bid = next(iter(acc._seen))
     acc(load_table(spark, sf_dir, "events"), replay_bid)
     assert acc.counters == before
+
+
+def test_mg_stream_accumulator_failed_batch_can_retry(spark):
+    """The ledger discipline (self-review r10): a batch that FAILS
+    mid-processing must not be marked seen — the checkpoint replays
+    it, and the retry must merge its mass (marking before the work
+    silently skipped the replay, voiding the superset guarantee).
+    A batch that SUCCEEDED is skipped on replay (idempotency)."""
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        MGStreamAccumulator,
+    )
+
+    acc = MGStreamAccumulator("k", capacity=4)
+    bad = spark.createDataFrame([("x",)], "wrong_col string")
+    try:
+        acc(bad, 0)
+        raise AssertionError("missing column must raise")
+    except Exception:
+        pass
+    assert 0 not in acc._seen, "failed batch must not enter the ledger"
+
+    good = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    acc(good, 0)  # the checkpoint's replay of batch 0
+    assert 0 in acc._seen
+    assert acc.counters.get("a", 0) >= acc.counters.get("b", 0) > 0
+
+    before = dict(acc.counters)
+    acc(good, 0)  # replay of a SUCCEEDED batch is a no-op
+    assert acc.counters == before
