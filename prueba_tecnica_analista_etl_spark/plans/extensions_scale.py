@@ -1325,10 +1325,28 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = np.asarray(qv_list, dtype=np.float64)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
 
-    lsh_scored = sigs.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        F.round(cosine(F.col("v"), qlit), 4).alias("cos_sim"),
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias("ham"),
+    # Row-level prefilter on the WIDEST radius BEFORE the cosine: only
+    # rows inside some operating point can ever rank, and the hamming
+    # test is integer bit arithmetic on the already-computed signature
+    # while the cosine is the dim-length dot product — at 100 TB this
+    # is the difference between a full matmul scan and a candidate-
+    # sized one (the exact-truth tier pays its full scan ONCE, as the
+    # memoized artifact above).
+    lsh_scored = (
+        sigs.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "v",
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))).alias(
+                "ham"
+            ),
+        )
+        .filter(F.col("ham") <= max(lsh_radii))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), qlit), 4).alias("cos_sim"),
+            "ham",
+        )
     )
 
     # The IVF tier audits the SHIPPED artifact: the partitionBy(cluster)
