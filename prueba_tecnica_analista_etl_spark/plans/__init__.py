@@ -3,7 +3,7 @@
 Registry-order note (transparent rotation, round 10):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 115 queries (102 oracle-backed + 13
+each round; the registry holds 115 queries (104 oracle-backed + 11
 rows-only), so 65 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
@@ -30,24 +30,30 @@ independently-recorded driver result:
   followed by the NINE queries whose newest green is r7 (the
   staleness bound's boundary).  The rows-only slots take the
   minhash/ngram/simhash trio (newest rows>0 r7, due back this round)
-  plus the five r8-recorded rows-only pipelines (cdc, multimodal,
-  ann-lsh, ann-ivf, embed-neardup).  The remaining 29 slots return
-  the oldest 29 of the 42 r8-green oracle queries.  Paying for those
+  plus the four r8-recorded rows-only pipelines (multimodal, ann-lsh,
+  ann-ivf, embed-neardup).  The remaining 30 oracle slots return the
+  oldest 29 of the 42 r8-green oracle queries plus q_stream_cdc_apply
+  — UPGRADED mid-round-10 from rows-only to oracle-backed (its
+  drained CDC target provably equals the one-shot SQL compaction), so
+  its first value-hash record lands this round.  q_stream_dedupe was
+  upgraded the same way and sits in _ROTATION_NEW.  Paying for those
   50 in-slots: the 58 oracle-backed queries in _ROTATION_OUT (the 45
   greens of the r9 window, one round old, plus 13 r8 greens held at
-  two rounds old — those 13 lead the r11 returns), the five
-  r9-recorded rows-only audits/pipelines (fresh records, due back by
-  r12), and the two oracle-backed queries ADDED mid-round-10
-  (q_stream_heavy_hitters, q_group_safe_split — in _ROTATION_NEW,
-  promised the first r11 slots).
+  two rounds old — those 13 lead the r11 returns), the four
+  still-rows-only r9-recorded audits/pipelines (lsh/ann recall,
+  corpus curate, stream sessionize — fresh records, due back by
+  r12), and the three oracle-backed queries in _ROTATION_NEW
+  (q_stream_heavy_hitters and q_group_safe_split, added mid-round;
+  q_stream_dedupe, upgraded mid-round — all promised the first r11
+  slots).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  102
-oracle queries across 42 oracle slots/round (and 13 rows-only across
-8) satisfy the bound with slack: each needs a record only once per
-three windows (102 <= 3*42, 13 <= 3*8).
+window (or in _ROTATION_NEW, which must lead the NEXT window).  104
+oracle queries across 43 oracle slots/round (and 11 rows-only across
+7) satisfy the bound with slack: each needs a record only once per
+three windows (104 <= 3*43, 11 <= 3*7).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -97,13 +103,14 @@ _ROTATION_FIRST = [
 ]
 
 # Rows-only queries recorded this round: the minhash/ngram/simhash
-# trio (newest rows>0 r7 — the staleness boundary) plus the five
-# r8-recorded rows-only pipelines (one round from their own boundary).
+# trio (newest rows>0 r7 — the staleness boundary) plus the four
+# r8-recorded rows-only pipelines (one round from their own boundary;
+# q_stream_cdc_apply left this list when it became oracle-backed —
+# it records through the oracle returning slots instead).
 _ROWS_ONLY_IN = [
     "q_minhash_dedup",
     "q_ngram_jaccard",
     "q_simhash_dedup",
-    "q_stream_cdc_apply",
     "q_multimodal_pipeline",
     "q_ann_lsh",
     "q_ann_ivf",
@@ -187,6 +194,9 @@ _ROTATION_OUT = [
 _ROTATION_NEW: list[str] = [
     "q_stream_heavy_hitters",  # oracle-exact streaming MG fold (r10)
     "q_group_safe_split",  # duplicate-group-keyed split census (r10)
+    "q_stream_dedupe",  # rows-only -> oracle upgrade (r10): first
+    # value-hash record pending (its prior rows>0 records do not
+    # count for an oracle-backed spec)
 ]
 
 

@@ -803,17 +803,23 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_dedupe",
-    None,
-    doc="U3/T custom stateful operator (applyInPandasWithState): "
-    "exactly-once projection of an at-least-once stream — two "
-    "overlapping landing files (middle 20% of ids delivered twice, in "
-    "different micro-batches) pass through a seen-id state filter; "
-    "every event_id is emitted exactly once. State is keyed by a "
-    "DERIVED id-hash bucket (64 buckets, one shuffle) — a tunable "
-    "constant group count instead of per-user natural keys, which "
-    "cost 1,500 tiny Arrow chunks per micro-batch; NULL-id rows "
-    "bypass the stateful operator at the plan level. Checkpointed "
-    "with the query; TTL and Bloom state bounds available.",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    """,
+    doc="U3/T custom stateful operator (applyInPandasWithState), "
+    "ORACLE-EXACT: exactly-once projection of an at-least-once "
+    "stream — two overlapping landing files (middle 20% of ids "
+    "delivered twice, in different micro-batches) pass through a "
+    "seen-id state filter; every event_id is emitted exactly once. "
+    "Because the re-deliveries are identical copies and event_ids "
+    "are unique in the source, the drained exactly-once sink equals "
+    "the plain projection of the source table — so plain SQL "
+    "value-checks the exactly-once property itself (upgraded from "
+    "rows-only in r10, the q_stream_heavy_hitters precedent). State "
+    "is keyed by a DERIVED id-hash bucket (64 buckets, one shuffle); "
+    "NULL-id rows bypass the stateful operator at the plan level. "
+    "Checkpointed with the query; TTL and Bloom state bounds "
+    "available.",
 )
 def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir, schema = write_overlapping_replay(spark, sf_dir, "events")
@@ -829,9 +835,23 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint-unique per corpus generation (replay.py), so a
     # regenerated corpus gets a fresh sink + checkpoint instead of a
     # checkpoint pointed at a path that no longer feeds it.
-    return run_available_now(
+    out = run_available_now(
         dedupe_stream(slim), s, cache_key=("q_stream_dedupe", data_dir)
     )
+    # Oracle-stable timestamp: epoch MICROS regardless of whether the
+    # sink round-trip yields TimestampType (Spark's µs-internal form)
+    # or the nanosAsLong raw long — both truncate to the same µs grid
+    # the oracle's epoch_us(ts) produces.
+    from pyspark.sql import types as T
+
+    ts_us = (
+        F.unix_micros(F.col("ts"))
+        if isinstance(out.schema["ts"].dataType, T.TimestampType)
+        # integer DIV, never float division: ns epochs (~1.7e18) are
+        # beyond float64's 2^53 exact-integer range
+        else F.expr("ts DIV 1000").cast("long")
+    )
+    return out.select("event_id", "user_id", ts_us.alias("ts_us"))
 
 
 @query(
@@ -954,20 +974,36 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_cdc_apply",
-    None,
-    doc="T5 CDC mode end-to-end (rows-only: side-effecting streaming "
-    "sink): the events table replayed as an ORDERED CHANGE LOG on "
-    "user_id ('purchase' = delete marker, everything else upsert) "
-    "through the foreachBatch CDC sink — per micro-batch the log "
-    "compacts to its final op per key, deletes remove target keys, "
-    "the idempotency ledger makes replays fixpoints — and the "
-    "materialized snapshot (live users with their last event) comes "
-    "back as the result. The batch twin q_cdc_apply oracle-proves "
-    "the same compaction ranking; a parity test pins this streaming "
-    "snapshot's key set to the batch fold. Scale shape: per batch "
-    "one hash(user_id) compaction shuffle + the whole-target merge "
-    "(the documented harness-size trade; the partitioned sink "
-    "variant is the 100 TB path).",
+    """
+    WITH log AS (SELECT user_id, ts, event_id,
+                        CASE WHEN event_type = 'purchase' THEN 'D'
+                             ELSE 'U' END AS op,
+                        value
+                 FROM events WHERE user_id IS NOT NULL),
+         last AS (SELECT user_id, event_id, op, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC)
+                           AS rn
+                  FROM log)
+    SELECT user_id, event_id, value FROM last WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="T5 CDC mode end-to-end, ORACLE-EXACT: the events table "
+    "replayed as an ORDERED CHANGE LOG on user_id ('purchase' = "
+    "delete marker, everything else upsert) through the foreachBatch "
+    "CDC sink — per micro-batch the log compacts to its final op per "
+    "key, deletes remove target keys, the idempotency ledger makes "
+    "replays fixpoints — and the materialized snapshot (live users "
+    "with their last event) comes back as the result. Because the "
+    "replay is range-partitioned on ts (later batches strictly "
+    "override earlier ones) and within-batch compaction picks the "
+    "same (ts DESC, event_id DESC) survivor as a global ranking, the "
+    "drained target equals the one-shot SQL compaction's live rows — "
+    "value-hash-checked (upgraded from rows-only in r10; the batch "
+    "twin q_cdc_apply proves the census form of the same ranking). "
+    "Scale shape: per batch one hash(user_id) compaction shuffle + "
+    "the whole-target merge (the documented harness-size trade; the "
+    "partitioned sink variant is the 100 TB path).",
 )
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -470,8 +470,7 @@ def test_recorded_window_emits_only_driver_proven_dtypes(
     first WINDOW registry entries — the rows the external harness
     value-hashes) must emit only column dtypes some driver record has
     already proven green. Rows-only entries are exempt (the driver
-    never hashes their values; q_stream_dedupe's timestamp column is
-    the standing example). _ROTATION_NEW queries are included too:
+    never hashes their values). _ROTATION_NEW queries are included too:
     they lead the NEXT window, so an unproven dtype there would be
     next round's q_inverted_index-class surprise."""
     from prueba_tecnica_analista_etl_spark import plans
