@@ -3,7 +3,7 @@
 Registry-order note (transparent rotation, round 10):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 115 queries (104 oracle-backed + 11
+each round; the registry holds 115 queries (105 oracle-backed + 10
 rows-only), so 65 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
@@ -39,21 +39,21 @@ independently-recorded driver result:
   upgraded the same way and sits in _ROTATION_NEW.  Paying for those
   50 in-slots: the 58 oracle-backed queries in _ROTATION_OUT (the 45
   greens of the r9 window, one round old, plus 13 r8 greens held at
-  two rounds old — those 13 lead the r11 returns), the four
+  two rounds old — those 13 lead the r11 returns), the three
   still-rows-only r9-recorded audits/pipelines (lsh/ann recall,
-  corpus curate, stream sessionize — fresh records, due back by
-  r12), and the three oracle-backed queries in _ROTATION_NEW
-  (q_stream_heavy_hitters and q_group_safe_split, added mid-round;
-  q_stream_dedupe, upgraded mid-round — all promised the first r11
-  slots).
+  corpus curate — fresh records, due back by r12), and the four
+  oracle-backed queries in _ROTATION_NEW (q_stream_heavy_hitters and
+  q_group_safe_split, added mid-round; q_stream_dedupe and
+  q_stream_sessionize, upgraded mid-round from rows-only — all
+  promised the first r11 slots).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  104
-oracle queries across 43 oracle slots/round (and 11 rows-only across
+window (or in _ROTATION_NEW, which must lead the NEXT window).  105
+oracle queries across 43 oracle slots/round (and 10 rows-only across
 7) satisfy the bound with slack: each needs a record only once per
-three windows (104 <= 3*43, 11 <= 3*7).
+three windows (105 <= 3*43, 10 <= 3*7).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -197,6 +197,8 @@ _ROTATION_NEW: list[str] = [
     "q_stream_dedupe",  # rows-only -> oracle upgrade (r10): first
     # value-hash record pending (its prior rows>0 records do not
     # count for an oracle-backed spec)
+    "q_stream_sessionize",  # rows-only -> oracle upgrade (r10): the
+    # finalization-margin form (see its oracle note)
 ]
 
 

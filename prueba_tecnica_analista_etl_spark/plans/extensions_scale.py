@@ -856,13 +856,50 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_sessionize",
-    None,
-    doc="T4,T5,T7: events replayed as a file stream (availableNow, "
-    "2 micro-batches), session_window(30 min) per user with watermark, "
-    "append-mode persistent parquet sink (lazy exactly-once read, "
-    "incremental resume on re-invocation); returns finalized "
-    "sessions. Streaming "
-    "state is bounded by active keys (watermark eviction).",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    b AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM x),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sn
+      FROM b),
+    g AS (
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS session_value,
+             max(ts) AS last_ts
+      FROM s GROUP BY user_id, sn)
+    SELECT user_id, session_start, n_events, session_value
+    FROM g
+    WHERE epoch_us(last_ts) + 7200000000
+            <= (SELECT epoch_us(max(ts)) FROM events)
+    """,
+    doc="T4,T5,T7, ORACLE-EXACT: events replayed as a file stream "
+    "(availableNow, 2 micro-batches), session_window(30 min) per user "
+    "with watermark, append-mode persistent parquet sink (lazy "
+    "exactly-once read, incremental resume on re-invocation); returns "
+    "sessions finalized with a TWO-HOUR safety margin (last event + "
+    "2 h <= the stream's max event time). The margin is what makes "
+    "the streaming result SQL-checkable without replicating engine "
+    "watermark internals: every session under the margin is provably "
+    "finalized (final watermark = max event time - 1 s, far past "
+    "last+30 min+margin), the margin filter itself is evaluated on "
+    "identical values by both engines, and the withheld tail — "
+    "Spark's documented append-mode contract — is excluded on BOTH "
+    "sides instead of estimated (upgraded from rows-only in r10). "
+    "Streaming state is bounded by active keys (watermark eviction).",
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir, schema = write_replay_files(
@@ -879,9 +916,22 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ensure_runtime_conf(spark.newSession())
     s.conf.set("spark.sql.shuffle.partitions", "4")
     stream = replay_as_stream(s, data_dir, schema, max_files_per_trigger=2)
-    return run_available_now(
-        sessionize(stream), s, cache_key=("q_stream_sessionize", data_dir)
+    out = run_available_now(
+        sessionize(stream, with_end=True),
+        s,
+        cache_key=("q_stream_sessionize", data_dir),
     )
+    # Finalization margin (see the oracle note above): stream end_us =
+    # last event + 30 min, so last + 2 h <= max  <=>  end_us + 90 min
+    # <= max. max(ts) is one footer-sized aggregate over the source.
+    max_us = (
+        _t(spark, sf_dir, "events")
+        .agg(F.unix_micros(F.max("ts")))
+        .first()[0]
+    )
+    return out.filter(
+        F.col("end_us") + F.lit(5_400_000_000) <= F.lit(max_us)
+    ).drop("end_us")
 
 
 @query(

@@ -40,6 +40,7 @@ def sessionize(
     stream: DataFrame,
     gap: str = "30 minutes",
     watermark: str = "1 second",
+    with_end: bool = False,
 ) -> DataFrame:
     """Per-user sessions: a session is a run of events with < ``gap``
     between neighbors. Append mode emits a session once the watermark
@@ -54,7 +55,23 @@ def sessionize(
     advance the watermark. Batch parity therefore holds on the subset
     of sessions whose window end precedes the final watermark — the
     ``test_sessionize_batch_stream_parity`` test quantifies the gap
-    against a batch ``session_window`` aggregation."""
+    against a batch ``session_window`` aggregation.
+
+    ``with_end=True`` additionally emits the session window's end as
+    epoch micros (``end_us`` — last event + gap): the column a
+    finalization-margin filter needs (q_stream_sessionize's
+    oracle-exact form cuts at end_us + margin <= max event time, a
+    filter both engines evaluate on identical values)."""
+    cols = [
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "session_value",
+    ]
+    if with_end:
+        cols.append(F.unix_micros(F.col("w.end")).alias("end_us"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(
@@ -66,14 +83,7 @@ def sessionize(
             .cast("double")
             .alias("session_value"),
         )
-        .select(
-            "user_id",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            "n_events",
-            "session_value",
-        )
+        .select(*cols)
     )
 
 
