@@ -774,7 +774,7 @@ def test_cli_surface(spark, sf_dir, tmp_path, capsys):
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):
-        main(["oracle", "q_stream_sessionize"])  # rows-only → explicit error
+        main(["oracle", "q_lsh_recall"])  # rows-only → explicit error
     with _pytest.raises(SystemExit):
         main(["run", "q_nonexistent"], spark=spark)
     with _pytest.raises(SystemExit):  # unknown --out extension → error
