@@ -313,11 +313,12 @@ def near_dup_purge_components(
 
 
 # The candidate-pair frame is a per-corpus artifact like the IVF
-# quantizer (extensions_scale._IVF_CACHE) and the unigram score frame
-# (extensions_pipeline._unigram_scored): real pipelines compute these
-# once and reuse them across runs. The generalized store lives in
-# artifacts.corpus_artifact (weakref'd sessions, checkpointed frames,
-# explicit invalidation); these wrappers keep the original API.
+# quantizer (extensions_scale.ivf_centroids) and the unigram score
+# frame (extensions_pipeline._unigram_scored): real pipelines compute
+# these once and reuse them across runs AND processes. The generalized
+# store lives in artifacts.corpus_artifact (weakref'd sessions,
+# disk-persisted frames, explicit invalidation); these wrappers keep
+# the original API.
 
 
 def clear_pairs_cache(spark: SparkSession | None = None) -> None:

@@ -1458,21 +1458,31 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _streamed_candidates() -> list:
+        import shutil
+
         data_dir, schema = write_replay_files(
             spark, sf_dir, "events", n_files=4
         )
         acc = MGStreamAccumulator("event_type", capacity=_HH_CAPACITY)
-        q = (
-            replay_as_stream(spark, data_dir, schema, 1)
-            .writeStream.foreachBatch(acc)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_hh_ckpt_"),
+        # The checkpoint is single-use (the drained candidate set is
+        # what gets staged, via census_artifact below) — remove it
+        # after the drain instead of leaking one dir per build (r10
+        # ADVICE; a RESUMABLE stream would instead keep a stable
+        # checkpoint and pass ledger_dir= for the durable sketch
+        # ledger, the crash-resume form tests/test_streaming.py
+        # exercises).
+        ckpt = tempfile.mkdtemp(prefix="stream_hh_ckpt_")
+        try:
+            q = (
+                replay_as_stream(spark, data_dir, schema, 1)
+                .writeStream.foreachBatch(acc)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
         return acc.candidates()
 
     cand = census_artifact(

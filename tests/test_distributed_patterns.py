@@ -568,6 +568,110 @@ def test_artifact_cache_invalidates_on_corpus_rewrite(
     assert frames == ["f", "f"]
 
 
+def test_artifact_store_survives_process_boundary(
+    spark, tmp_path, monkeypatch
+):
+    """Disk layer (r10 verdict task 1): artifacts are one-time-per-
+    CORPUS, not per-process — a lookup whose memory memo is gone (the
+    fresh-process case, simulated by clearing the in-memory caches)
+    must be served from the persisted parquet/pickle WITHOUT calling
+    build(). clear_artifacts(name=...) voids the disk copy too (a
+    name-scoped clear means the artifact's definition changed, which
+    no corpus fingerprint can detect) — after it, build() runs again."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark import artifacts
+
+    monkeypatch.setattr(artifacts, "_FP_TTL_S", 0.0)
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    with open(os.path.join(corpus, "t.parquet"), "w") as fh:
+        fh.write("generation-one")
+
+    builds = []
+
+    def build_frame():
+        builds.append("f")
+        return spark.createDataFrame([(1, "a")], "id long, s string")
+
+    def build_census():
+        builds.append("c")
+        return {"words": [3, 5, 7]}
+
+    df1 = artifacts.corpus_artifact(spark, corpus, "pb_frame", build_frame)
+    v1 = artifacts.census_artifact(spark, corpus, "pb_val", build_census)
+    assert df1.count() == 1 and v1 == {"words": [3, 5, 7]}
+    assert builds == ["f", "c"]
+
+    # simulate a fresh process: memory memos gone, disk intact
+    artifacts._CACHE.clear()
+    artifacts._VALUE_CACHE.clear()
+    df2 = artifacts.corpus_artifact(spark, corpus, "pb_frame", build_frame)
+    v2 = artifacts.census_artifact(spark, corpus, "pb_val", build_census)
+    assert builds == ["f", "c"], "fresh process must be served from disk"
+    assert [r.asDict() for r in df2.collect()] == [
+        r.asDict() for r in df1.collect()
+    ]
+    assert df2.schema == df1.schema, "schema sidecar must round-trip"
+    assert v2 == v1
+
+    # name-scoped clear removes the disk copy -> rebuild
+    artifacts.clear_artifacts(name="pb_frame")
+    artifacts.corpus_artifact(spark, corpus, "pb_frame", build_frame)
+    assert builds == ["f", "c", "f"]
+
+    # empty frames round-trip via the schema sidecar (a bare parquet
+    # dir with zero part files cannot infer a schema)
+    def build_empty():
+        builds.append("e")
+        return spark.createDataFrame([], "k int, t timestamp")
+
+    e1 = artifacts.corpus_artifact(spark, corpus, "pb_empty", build_empty)
+    artifacts._CACHE.clear()
+    e2 = artifacts.corpus_artifact(spark, corpus, "pb_empty", build_empty)
+    assert builds[-1] == "e" and builds.count("e") == 1
+    assert e2.count() == 0 and e2.schema == e1.schema
+
+
+def test_artifact_directory_reuses_and_evicts_generations(
+    tmp_path, monkeypatch
+):
+    """artifact_directory (r10 ADVICE: the per-process mkdtemp IVF
+    index copies leaked): one build per corpus generation, reused
+    across lookups; a corpus rewrite builds a NEW generation and the
+    superseded directory is REMOVED from disk, not leaked."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark import artifacts
+
+    monkeypatch.setattr(artifacts, "_FP_TTL_S", 0.0)
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+
+    def write(payload: str) -> None:
+        with open(os.path.join(corpus, "t.parquet"), "w") as fh:
+            fh.write(payload)
+
+    write("generation-one")
+    builds = []
+
+    def build(d: str) -> None:
+        builds.append(d)
+        with open(os.path.join(d, "payload"), "w") as fh:
+            fh.write("x")
+
+    p1 = artifacts.artifact_directory(corpus, "pb_dir", build)
+    p1b = artifacts.artifact_directory(corpus, "pb_dir", build)
+    assert p1 == p1b and len(builds) == 1
+    assert os.path.isfile(os.path.join(p1, "payload"))
+
+    write("generation-two-(different-size)")
+    p2 = artifacts.artifact_directory(corpus, "pb_dir", build)
+    assert p2 != p1 and len(builds) == 2
+    assert not os.path.exists(p1), "superseded generation must be removed"
+    assert os.path.isfile(os.path.join(p2, "payload"))
+
+
 def test_corpus_fingerprint_memo_collapses_walks(tmp_path, monkeypatch):
     """r9 ADVICE: _corpus_fingerprint walked+stat'ed the whole corpus
     tree on EVERY artifact lookup — O(files) syscalls per cache HIT.

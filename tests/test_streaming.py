@@ -293,6 +293,30 @@ def test_stream_dedupe_exactly_once(spark, sf_dir):
     assert raw > n
 
 
+def test_stream_dedupe_rejects_null_or_dup_ids(spark, tmp_path):
+    """r10 ADVICE: q_stream_dedupe's oracle-exactness RESTS on
+    event_id being unique and non-null (NULL-id rows bypass the
+    stateful operator, so a NULL id in the duplicated overlap band
+    would be emitted once per DELIVERY while the oracle emits it once
+    per source row). The query must refuse such a corpus loudly
+    instead of hash-mismatching silently."""
+    import pytest
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00"),
+            (None, 11, "2024-01-01 00:01:00"),
+            (3, 12, "2024-01-01 00:02:00"),
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        corpus + "/events.parquet"
+    )
+    with pytest.raises(ValueError, match="unique, non-null event_id"):
+        REGISTRY["q_stream_dedupe"].fn(spark, corpus)
+
+
 def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
     """T7 hard proof: stop the stream, add an overlapping file, restart
     from the SAME checkpoint — the seen-id state must carry across the
@@ -1648,3 +1672,108 @@ def test_mg_stream_accumulator_failed_batch_can_retry(spark):
     before = dict(acc.counters)
     acc(good, 0)  # replay of a SUCCEEDED batch is a no-op
     assert acc.counters == before
+
+
+def test_mg_stream_ledger_survives_kill_restart(spark, sf_dir, tmp_path):
+    """Durable sketch ledger (r10 verdict task 4): the in-memory
+    seen-set was enough for availableNow replays WITHIN a run, but a
+    restarted stream re-delivers its uncommitted batch — and a fresh
+    accumulator instance has lost both the seen-set and the folded
+    counters. With ``ledger_dir`` the pair is persisted atomically
+    after every successful fold, so across a kill/restart boundary:
+
+    (a) the resumed instance RELOADS the pre-crash folds (their mass
+        is not lost),
+    (b) the checkpoint-replayed batch folds exactly once (it was never
+        persisted as seen, so the resume re-folds it; a batch that WAS
+        persisted is skipped even by the new instance),
+    (c) candidates and the exact heavy-hitter re-count equal the
+        uninterrupted single-run answer bit-for-bit."""
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        MGStreamAccumulator,
+    )
+
+    capacity = 8
+    data_dir, schema = write_replay_files(
+        spark, sf_dir, "events", n_files=4,
+        base_dir=str(tmp_path / "landing"),
+    )
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    # --- run 1: crash before folding batch 2 -------------------------
+    acc1 = MGStreamAccumulator("event_type", capacity, ledger_dir=ledger)
+
+    def crashing(batch, batch_id):
+        if batch_id >= 2:
+            raise RuntimeError("injected crash")
+        acc1(batch, batch_id)
+
+    q = (
+        replay_as_stream(spark, data_dir, schema, 1)
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash must fail the query")
+    except StreamingQueryException:
+        pass
+    assert acc1._seen == {0, 1}
+
+    # --- run 2: new instance (process restart), same ledger + ckpt ---
+    acc2 = MGStreamAccumulator("event_type", capacity, ledger_dir=ledger)
+    assert acc2._seen == {0, 1}, "persisted seen-set must reload"
+    assert acc2.counters == acc1.counters, "persisted folds must reload"
+    q2 = (
+        replay_as_stream(spark, data_dir, schema, 1)
+        .writeStream.foreachBatch(acc2)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert acc2._seen == {0, 1, 2, 3}
+
+    # a replay of a pre-crash batch is a no-op for the NEW instance —
+    # the skip decision came from the persisted ledger, not memory
+    before = dict(acc2.counters)
+    acc2(load_table(spark, sf_dir, "events"), 0)
+    assert acc2.counters == before
+
+    # --- control: uninterrupted single run ---------------------------
+    acc_ctl = MGStreamAccumulator("event_type", capacity)
+    qc = (
+        replay_as_stream(spark, data_dir, schema, 1)
+        .writeStream.foreachBatch(acc_ctl)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ctl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination()
+    assert sorted(acc2.candidates()) == sorted(acc_ctl.candidates())
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type")
+    )
+    n = ev.count()
+
+    def recount(cand):
+        return {
+            r["event_type"]: r["cnt"]
+            for r in ev.filter(F.col("event_type").isin(list(cand)))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * (capacity + 1) > F.lit(n))
+            .collect()
+        }
+
+    assert recount(acc2.candidates()) == recount(acc_ctl.candidates())
