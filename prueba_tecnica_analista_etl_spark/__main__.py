@@ -92,6 +92,9 @@ def main(
 
         spark = get_spark(app_name=f"cli-{args.cmd}")
     try:
+        import time
+
+        t0 = time.perf_counter()
         df = spec.fn(spark, args.sf_dir)
         if args.cmd == "explain":
             df.explain(mode="formatted")
@@ -111,6 +114,14 @@ def main(
             print(f"wrote {args.out}")
         else:
             df.show(args.limit, truncate=False)
+        if args.cmd == "run":
+            # Query wall (build + execute, excluding JVM/session
+            # startup) to STDERR — stdout stays machine-consumable.
+            print(
+                f"[{args.query}] query wall: "
+                f"{time.perf_counter() - t0:.2f} s",
+                file=sys.stderr,
+            )
     finally:
         if own_session:
             spark.stop()

@@ -86,7 +86,9 @@ _DIR_CACHE: dict[tuple, str] = {}
 # Bump when any artifact BUILDER's semantics change: the disk paths
 # carry it, so persisted artifacts from an older engine revision are
 # invisible to (not silently served to) the new code.
-_STORE_VERSION = "v1"
+# v2: sign_bits moved to the integer-grid signature (r11 q_ann_lsh
+#     oracle upgrade) — ann probe/scored artifacts changed meaning.
+_STORE_VERSION = "v2"
 
 # Disk store root override / kill-switch. Unset -> a per-user cache
 # dir; set to a path -> that path; set to "" -> disk layer disabled

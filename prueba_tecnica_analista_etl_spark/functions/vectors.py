@@ -125,13 +125,30 @@ def sign_bits(v: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH signature: one bit per hyperplane packed into a long.
     Buckets preserve cosine locality (SimHash for dense vectors).
 
+    ENGINE-NEUTRAL by construction (r11, what lifted q_ann_lsh from
+    rows-only to oracle-backed): the vector is quantized onto the
+    ``floor(x·1e6 + 0.5)`` integer grid BEFORE the ±1-plane dot
+    products, so each dot is a sum of int64 terms (≤ ~64·1e6, far
+    inside both int64 and double's 2^53 exact range) — exact in ANY
+    summation order, hence bit-identical between this matmul, a
+    sequential SQL fold, and DuckDB's ``list_dot_product`` on the
+    same grid. Unquantized float dots would hinge the sign on
+    association order near zero (the repo-wide no-float-sort-key
+    rule applied to sign thresholds).
+
     Arrow-batched Pandas UDF: the n_planes dot products are ONE numpy
     matmul per batch. The equivalent native expression (n_planes ×
     64-element ``aggregate`` folds) blows past codegen limits and falls
     back to interpreted evaluation — measured ~10× slower than this
     vectorized path; per-row Python would be ~100× slower still.
     """
-    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    P = np.asarray(planes, dtype=np.int64).T  # dim × n_planes, ±1
+    if not np.isin(P, (-1, 1)).all():
+        raise ValueError(
+            "sign_bits requires ±1 hyperplanes (random_hyperplanes's "
+            "contract) — arbitrary floats would break the exact "
+            "integer-grid signature"
+        )
     weights = (1 << np.arange(P.shape[1])).astype(np.int64)
 
     @F.pandas_udf(T.LongType())
@@ -145,7 +162,8 @@ def sign_bits(v: Column, planes: list[list[float]]) -> Column:
                 f"{P.shape[0]} — regenerate the hyperplanes for this "
                 "corpus's dimension"
             )
-        bits = (M @ P) >= 0.0
+        Q = np.floor(M * 1e6 + 0.5).astype(np.int64)
+        bits = (Q @ P) >= 0
         return pd.Series(bits @ weights)
 
     return _sig(v)

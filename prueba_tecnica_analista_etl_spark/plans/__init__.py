@@ -1,9 +1,9 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 10):
+Registry-order note (transparent rotation, round 11):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 115 queries (105 oracle-backed + 10
+each round; the registry holds 115 queries (106 oracle-backed + 9
 rows-only), so 65 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
@@ -19,41 +19,37 @@ independently-recorded driver result:
   greens for q_funnel/q_retention;
 * round 8 recorded first greens for the 11 round-7 additions — the
   first zero-failure window (42 oracle green + 8 rows>0);
-* round 9 led with the 19 never-recorded queries (the 17 post-r8
-  distributed-algebra/eval-census additions plus the two recall
-  audits) and returned 28 r7-stale queries — the second consecutive
-  zero-failure window (45 oracle green + 5 rows>0);
-* round 10 (this rotation) leads with the FOUR queries added after
-  the r9 window was fixed (q_eval_topk_precision, q_dup_exposure,
-  q_local_supplier_revenue, q_heavy_hitters — parity-proven at three
-  scale factors but never driver-recorded, the r9 verdict's top ask)
-  followed by the NINE queries whose newest green is r7 (the
-  staleness bound's boundary).  The rows-only slots take the
-  minhash/ngram/simhash trio (newest rows>0 r7, due back this round)
-  plus the four r8-recorded rows-only pipelines (multimodal, ann-lsh,
-  ann-ivf, embed-neardup).  The remaining 30 oracle slots return the
-  oldest 29 of the 42 r8-green oracle queries plus q_stream_cdc_apply
-  — UPGRADED mid-round-10 from rows-only to oracle-backed (its
-  drained CDC target provably equals the one-shot SQL compaction), so
-  its first value-hash record lands this round.  q_stream_dedupe was
-  upgraded the same way and sits in _ROTATION_NEW.  Paying for those
-  50 in-slots: the 58 oracle-backed queries in _ROTATION_OUT (the 45
-  greens of the r9 window, one round old, plus 13 r8 greens held at
-  two rounds old — those 13 lead the r11 returns), the three
-  still-rows-only r9-recorded audits/pipelines (lsh/ann recall,
-  corpus curate — fresh records, due back by r12), and the four
-  oracle-backed queries in _ROTATION_NEW (q_stream_heavy_hitters and
-  q_group_safe_split, added mid-round; q_stream_dedupe and
-  q_stream_sessionize, upgraded mid-round from rows-only — all
-  promised the first r11 slots).
+* round 9 led with the 19 never-recorded queries and returned 28
+  r7-stale queries — the second consecutive zero-failure window;
+* round 10 led with the four r9 post-window additions, returned the
+  nine r7-stale queries and the oldest 30 r8 greens, and recorded the
+  seven rows-only pipelines — the third consecutive zero-failure
+  window (43 oracle green + 7 rows>0);
+* round 11 (this rotation) leads with the FOUR queries the r10
+  rotation promised the first slots (q_stream_heavy_hitters and
+  q_group_safe_split, added mid-r10; q_stream_dedupe and
+  q_stream_sessionize, upgraded rows-only→oracle mid-r10 — none has
+  an oracle-grade driver record yet), then q_ann_lsh — upgraded
+  rows-only→oracle THIS round (engine-neutral integer-grid sign-LSH
+  signature, so the full candidate+re-rank path is SQL-checkable) —
+  then the 13 queries whose newest green is r8 (the staleness
+  boundary: a third round without a record would breach the
+  two-round bound).  The rows-only slots take the three r9-recorded
+  audits/pipelines (q_lsh_recall, q_ann_recall, q_corpus_curate — at
+  their own boundary next round).  The remaining 29 oracle slots
+  return the oldest 29 of the 45 r9-green oracle queries.  Paying
+  for those 50 in-slots: the 59 oracle-backed queries in
+  _ROTATION_OUT (the 16 youngest r9 greens — they MUST lead the r12
+  returns — plus the 43 r10 greens, one round old) and the six
+  rows-only queries recorded in r10 (due back by r13).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  105
-oracle queries across 43 oracle slots/round (and 10 rows-only across
-7) satisfy the bound with slack: each needs a record only once per
-three windows (105 <= 3*43, 10 <= 3*7).
+window (or in _ROTATION_NEW, which must lead the NEXT window).  106
+oracle queries across 47 oracle slots/round (and 9 rows-only across
+3) satisfy the bound: each needs a record only once per three windows
+(106 <= 3*47, 9 <= 3*3).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -79,51 +75,22 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# LEAD the window: first the four oracle-backed queries with no driver
-# record in any round (added after the r9 window was fixed — the r9
-# _ROTATION_NEW promise), then the nine queries whose newest green is
-# r7 (two rounds old at r9; three at r10 unless recorded now).  First
-# in the recorded order so a partial driver run still certifies them.
+# LEAD the window: first the four oracle-backed queries the r10
+# rotation promised the first r11 slots (no oracle-grade driver record
+# anywhere), then q_ann_lsh (upgraded rows-only→oracle this round —
+# its prior rows>0 records do not count for an oracle-backed spec),
+# then the 13 queries whose newest green is r8 (two rounds old at r10;
+# three at r11 unless recorded now).  First in the recorded order so a
+# partial driver run still certifies them.
 _ROTATION_FIRST = [
-    # never driver-recorded (r9 post-window additions):
-    "q_eval_topk_precision",
-    "q_dup_exposure",
-    "q_local_supplier_revenue",
-    "q_heavy_hitters",
-    # newest green r7 — the staleness boundary:
-    "q_filter_predicate",
-    "q_union_all",
-    "q_count_distinct",
-    "q_having_dups",
-    "q_sort_limit",
-    "q_case_when_check",
-    "q_string_clean",
-    "q_try_cast_json",
-    "q_split_part",
-]
-
-# Rows-only queries recorded this round: the minhash/ngram/simhash
-# trio (newest rows>0 r7 — the staleness boundary) plus the four
-# r8-recorded rows-only pipelines (one round from their own boundary;
-# q_stream_cdc_apply left this list when it became oracle-backed —
-# it records through the oracle returning slots instead).
-_ROWS_ONLY_IN = [
-    "q_minhash_dedup",
-    "q_ngram_jaccard",
-    "q_simhash_dedup",
-    "q_multimodal_pipeline",
+    # the r10 _ROTATION_NEW promise — no oracle-grade record yet:
+    "q_stream_heavy_hitters",
+    "q_group_safe_split",
+    "q_stream_dedupe",
+    "q_stream_sessionize",
+    # upgraded rows-only→oracle this round (r11):
     "q_ann_lsh",
-    "q_ann_ivf",
-    "q_embed_neardup",
-]
-
-# OUT this round — 58 oracle-backed queries: the 45 recorded green in
-# CORRECTNESS_r09.json (one round old) plus 13 r8 greens held at two
-# rounds old (the newest-r8 tail of the r8 window; they MUST lead the
-# r11 oracle returns — at r11 their newest green would otherwise be
-# three rounds old).
-_ROTATION_OUT = [
-    # newest green r8 — first in line for r11:
+    # newest green r8 — the staleness boundary:
     "q_similarity_topk",
     "q_winnow_fingerprint",
     "q_ann_batch",
@@ -137,36 +104,23 @@ _ROTATION_OUT = [
     "q_length_histogram",
     "q_decontaminate",
     "q_multimodal_meta",
-    # newest green r9 (the full r9 oracle window):
-    "q_global_rank",
-    "q_incremental_agg_merge",
-    "q_bloom_semi_join",
-    "q_winsorize",
-    "q_filter_funnel",
-    "q_train_order",
-    "q_inverted_index",
-    "q_unpivot_long",
-    "q_rolling_distinct",
-    "q_bpe_pairs",
-    "q_split_leakage",
-    "q_source_divergence",
-    "q_eval_auc",
-    "q_ks_distance",
-    "q_neardup_scores",
-    "q_calibration_bins",
-    "q_eval_auc_daily",
-    "q_semi_join",
-    "q_anti_join",
-    "q_ref_integrity",
-    "q_window_running_sum",
-    "q_null_range_checks",
-    "q_profile_stats",
-    "q_volume_by_day",
-    "q_sessionize_batch",
-    "q_scd2",
-    "q_snapshot_diff",
-    "q_trailing_window",
-    "q_funnel",
+]
+
+# Rows-only queries recorded this round: the three r9-recorded
+# audits/pipelines — their rows>0 records hit the two-round boundary
+# at r12, so they come back now.
+_ROWS_ONLY_IN = [
+    "q_lsh_recall",
+    "q_ann_recall",
+    "q_corpus_curate",
+]
+
+# OUT this round — 59 oracle-backed queries: the 16 youngest r9 greens
+# (two rounds old at r11; they MUST lead the r12 oracle returns — at
+# r12 their newest green would otherwise be three rounds old) plus the
+# 43 queries recorded green in CORRECTNESS_r10.json (one round old).
+_ROTATION_OUT = [
+    # newest green r9 — first in line for r12:
     "q_retention",
     "q_lang_stats",
     "q_text_tokens",
@@ -183,37 +137,73 @@ _ROTATION_OUT = [
     "q_dup_clusters",
     "q_mixture_sample",
     "q_group_sample",
+    # newest green r10 (the full r10 oracle window):
+    "q_eval_topk_precision",
+    "q_dup_exposure",
+    "q_local_supplier_revenue",
+    "q_heavy_hitters",
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_string_clean",
+    "q_try_cast_json",
+    "q_split_part",
+    "q_scan_project",
+    "q_groupby_count_sum",
+    "q_groupby_rollup",
+    "q_top_duplicates",
+    "q_pivot_wide",
+    "q_dedup_keep_first",
+    "q_inner_join",
+    "q_upsert_merge",
+    "q_window_rownum",
+    "q_regex_validate",
+    "q_tumbling_window",
+    "q_cube",
+    "q_intersect_except",
+    "q_sliding_window",
+    "q_asof_join",
+    "q_stratified_sample",
+    "q_text_ratios",
+    "q_range_join",
+    "q_hypertable_rollup",
+    "q_cdc_apply",
+    "q_quantile_census",
+    "q_hypertable_quantiles",
+    "q_footer_census",
+    "q_window_rank_metrics",
+    "q_exact_dedup",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_stream_cdc_apply",
 ]
 
-# Oracle-backed queries added AFTER the r10 window was fixed — zero
+# Oracle-backed queries added AFTER the r11 window was fixed — zero
 # records anywhere yet, so they cannot displace a window slot promised
 # above.  Placed directly after the rotated-out queries; they MUST
-# lead the r11 window (tests/test_doc_consistency.py exempts exactly
+# lead the r12 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = [
-    "q_stream_heavy_hitters",  # oracle-exact streaming MG fold (r10)
-    "q_group_safe_split",  # duplicate-group-keyed split census (r10)
-    "q_stream_dedupe",  # rows-only -> oracle upgrade (r10): first
-    # value-hash record pending (its prior rows>0 records do not
-    # count for an oracle-backed spec)
-    "q_stream_sessionize",  # rows-only -> oracle upgrade (r10): the
-    # finalization-margin form (see its oracle note)
-]
+_ROTATION_NEW: list[str] = []
 
 
 def _apply_rotation() -> None:
-    """Order the registry per the documented round-10 rotation.
+    """Order the registry per the documented round-11 rotation.
 
     Window (first WINDOW=50) = _ROTATION_FIRST, then the rows-only
-    trio + pipelines in _ROWS_ONLY_IN, then the returning oracle
-    queries (registration order minus _ROTATION_OUT and
-    _ROTATION_NEW).  Beyond the window: the rotated-out oracle
-    queries, the post-window new queries, then the remaining
-    rows-only.  Adding a query without listing it in _ROTATION_NEW
-    (or resizing _ROTATION_OUT) fails the arithmetic assert below —
-    update the rotation lists AND this module's docstring counts
-    together (tests/test_doc_consistency.py cross-checks both).
+    audits in _ROWS_ONLY_IN, then the returning oracle queries
+    (registration order minus _ROTATION_OUT and _ROTATION_NEW).
+    Beyond the window: the rotated-out oracle queries, the post-window
+    new queries, then the remaining rows-only.  Adding a query without
+    listing it in _ROTATION_NEW (or resizing _ROTATION_OUT) fails the
+    arithmetic assert below — update the rotation lists AND this
+    module's docstring counts together (tests/test_doc_consistency.py
+    cross-checks both).
     """
     first = [n for n in _ROTATION_FIRST if n in REGISTRY]
     returning = [

@@ -14,6 +14,7 @@ import shutil
 import tempfile
 import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,54 +103,101 @@ _SINK_DIRS: dict[tuple, tuple[str, str]] = {}
 _SINK_RUN_LOCKS: dict[tuple, threading.Lock] = {}
 
 
+@contextmanager
+def _cross_process_lock(path: str | None):
+    """Advisory flock for persistent checkpoints shared ACROSS
+    processes (None → no-op, the per-process temp-sink path): two
+    concurrent availableNow resumes of one checkpoint is undefined
+    behavior, and a corrupted checkpoint would poison every future
+    resume. Blocking: the loser waits, then resumes a now-drained
+    checkpoint (zero micro-batches) — cheap and correct."""
+    if path is None:
+        yield
+        return
+    import fcntl
+
+    with open(path, "a") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
 def run_available_now(
     sdf: DataFrame,
     spark: SparkSession,
     cache_key: tuple | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) and
     return the result as a batch DataFrame.
 
-    With ``cache_key`` (the registry-query path): append into a
-    per-key persistent parquet file sink with a persistent checkpoint
+    With ``state_dir`` (the registry-query path, r11): append into a
+    PERSISTENT parquet file sink + checkpoint rooted at that directory
     (T7 — the REAL resumable form) and return the LAZY batch read of
-    the sink directory; the read is exactly-once via the sink's
+    the sink; the read is exactly-once via the sink's
     ``_spark_metadata`` log, and no ``collect()`` happens here at all.
-    At 100 TB this is precisely how the pipeline is consumed: readers
+    Callers root it INSIDE the landing-dir artifact
+    (``<landing>/_sinks/<query>``), so the sink outlives the process —
+    a fresh process resumes the checkpoint, finds no new source files,
+    runs zero micro-batches and pays only the snapshot read (the
+    fresh-process replay was the r10 verdict's cost finding) — and
+    dies with its generation when the artifact store evicts a
+    superseded landing dir (no separate GC). Cross-process safety: an
+    ``flock`` around the run serializes two processes resuming the
+    same checkpoint (two live queries on one checkpoint is undefined
+    behavior); in-process re-runs share a run lock as before. At
+    100 TB this is precisely how the pipeline is consumed: readers
     scan the sink table, they never pull a streaming result through
-    the driver. Repeat invocations resume the checkpoint, find no new
-    source files, run zero micro-batches and return in ~startup time.
+    the driver.
 
-    Without ``cache_key`` (tests / ad-hoc): one-shot memory sink,
-    eagerly materialized, then the sink table and checkpoint dir are
-    freed — a memory sink pins its ENTIRE result in the driver for the
-    life of the session, so unkeyed repeated invocations would
-    otherwise accumulate every past result.
+    ``cache_key`` (without ``state_dir``) keeps the pre-r11 semantic:
+    a per-process temp sink reused across invocations.
+
+    With neither (tests / ad-hoc): one-shot memory sink, eagerly
+    materialized, then the sink table and checkpoint dir are freed —
+    a memory sink pins its ENTIRE result in the driver for the life
+    of the session, so unkeyed repeated invocations would otherwise
+    accumulate every past result.
     """
-    if cache_key is not None:
+    if state_dir is not None or cache_key is not None:
+        if state_dir is not None:
+            os.makedirs(state_dir, exist_ok=True)
+            dirs = (
+                os.path.join(state_dir, "out"),
+                os.path.join(state_dir, "ckpt"),
+            )
+            lock_key: tuple = ("state_dir", state_dir)
+        else:
+            lock_key = cache_key
         with _SINK_LOCK:
-            dirs = _SINK_DIRS.get(cache_key)
-            if dirs is None:
-                root = tempfile.mkdtemp(prefix="stream_sink_")
-                dirs = (
-                    os.path.join(root, "out"),
-                    os.path.join(root, "ckpt"),
-                )
-                _SINK_DIRS[cache_key] = dirs
+            if state_dir is None:
+                dirs = _SINK_DIRS.get(cache_key)
+                if dirs is None:
+                    root = tempfile.mkdtemp(prefix="stream_sink_")
+                    dirs = (
+                        os.path.join(root, "out"),
+                        os.path.join(root, "ckpt"),
+                    )
+                    _SINK_DIRS[cache_key] = dirs
             run_lock = _SINK_RUN_LOCKS.setdefault(
-                cache_key, threading.Lock()
+                lock_key, threading.Lock()
             )
         out, ckpt = dirs
         with run_lock:
-            q = (
-                sdf.writeStream.format("parquet")
-                .option("path", out)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _cross_process_lock(
+                state_dir and os.path.join(state_dir, ".lock")
+            ):
+                q = (
+                    sdf.writeStream.format("parquet")
+                    .option("path", out)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
         # Empty-sink guard: a run that committed ZERO output rows (e.g.
         # every window still open at the final watermark) leaves only
         # _spark_metadata in the sink, schema inference fails — and

@@ -226,7 +226,11 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
         "q_simhash_dedup",
         "q_ann_lsh",
         "q_ann_ivf",
-        "q_ann_recall",  # composes the two Arrow-allowed ANN tiers
+        # q_ann_recall left this set in r11: its Arrow stages (the
+        # signature scan, the exact-truth brute force) moved into
+        # artifact BUILDERS, so the declared plan is artifact reads +
+        # native ops — the disk-backed store erases Python from the
+        # audit's steady-state plan entirely.
         "q_embed_neardup",
         "q_heavy_hitters",  # Misra-Gries summaries are mapInPandas
     }
