@@ -55,6 +55,24 @@ def single() -> None:
     # caller override wins. The fraction is marked in the payload.
     os.environ.setdefault("SPARK_GRAFT_LSH_TRUTH_FRACTION", "0.5")
     lsh_frac = float(os.environ["SPARK_GRAFT_LSH_TRUTH_FRACTION"])
+    # Record whether this corpus's disk-backed artifact store was
+    # already warm when the trial started (r11 honesty flag: with the
+    # store, per-corpus builds — IVF index, pair frames, exhaustive
+    # truths, stream sinks — are paid once EVER, so a warm-store trial
+    # measures steady state while a cold-store trial 1 includes the
+    # one-time builds; the flag makes the payload self-describing).
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        _corpus_fingerprint,
+        _corpus_tag,
+        artifact_root,
+    )
+
+    _root = artifact_root()
+    store_warm = bool(
+        _root
+        and os.path.isdir(os.path.join(_root, _corpus_tag(sf_dir)))
+    )
+    _corpus_fingerprint(sf_dir)  # prime the TTL memo before the pass
     spark = get_spark(app_name="bench")
 
     # Full warm-up pass: JVM classloading + JIT + codegen caches, not
@@ -176,6 +194,7 @@ def single() -> None:
         "oracle_subset_wall": oracle_subset_total,
         "oracle_subset_n": len(oracle_specs),
         "lsh_truth_fraction": lsh_frac,
+        "artifact_store_warm": store_warm,
         "queries": timings,
         "sf": sf,
     }

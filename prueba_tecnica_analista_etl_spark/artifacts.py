@@ -148,13 +148,27 @@ def _corpus_fingerprint(sf_dir: str) -> int:
     return crc
 
 
-def invalidate_corpus(sf_dir: str) -> None:
-    """Drop the fingerprint memo for ``sf_dir`` — called by helpers
-    that WRITE into a corpus directory, so the TTL staleness window
-    never spans a rewrite (r10 ADVICE). Cheap: the next lookup
-    re-walks and the changed fingerprint misses every cache level."""
+def invalidate_corpus(path: str) -> None:
+    """Drop the fingerprint memo for any corpus CONTAINING (or equal
+    to, or contained in) ``path`` — called by every helper that
+    WRITES into a directory tree (versioned commits, compaction,
+    z-order rewrites, shard export), so the TTL staleness window
+    never spans a rewrite (r10 ADVICE). Containment matters both
+    ways: a writer deep inside a corpus changes that corpus's
+    fingerprint, and a writer rewriting a whole tree invalidates any
+    memoized subdirectory. Cheap — the memo holds a handful of
+    directories; the next lookup re-walks and the changed fingerprint
+    misses every cache level."""
+    ap = os.path.abspath(path)
     with _LOCK:
-        _FP_MEMO.pop(sf_dir, None)
+        for k in [
+            k
+            for k in _FP_MEMO
+            if os.path.abspath(k) == ap
+            or ap.startswith(os.path.abspath(k) + os.sep)
+            or os.path.abspath(k).startswith(ap + os.sep)
+        ]:
+            _FP_MEMO.pop(k, None)
 
 
 # Consumers run CONCURRENTLY (the bench's 16-thread pass issues
@@ -197,7 +211,25 @@ def artifact_root() -> str | None:
     if not _GC_DONE:
         _GC_DONE = True
         _gc_vanished_corpora(root)
+        _gc_stale_versions(root)
     return root
+
+
+def _gc_stale_versions(root: str) -> None:
+    """Remove sibling store roots from OLDER _STORE_VERSIONs (the
+    default layout is .../artifacts-<version>): their artifacts can
+    never be read again — the version bump exists precisely to make
+    them unreachable — so they are pure disk debt."""
+    parent, base = os.path.split(os.path.abspath(root))
+    if base != f"artifacts-{_STORE_VERSION}":
+        return  # custom root via env var: not ours to prune
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for n in names:
+        if n.startswith("artifacts-") and n != base:
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
 
 
 def _gc_vanished_corpora(root: str) -> None:

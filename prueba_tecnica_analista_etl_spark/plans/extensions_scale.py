@@ -59,8 +59,11 @@ BUCKET_CAP = 64  # skew guard: per-bucket pair work is bounded by
 # silently dropping them.
 
 # CDC streaming sink: one persistent (target, checkpoint) pair per
-# corpus per process — the run_available_now cache_key discipline
-# (streaming/windows.py) applied to the foreachBatch upsert sink.
+# corpus GENERATION, rooted inside the landing-dir artifact — the
+# run_available_now state_dir discipline (streaming/windows.py)
+# applied to the foreachBatch upsert sink. The in-process run lock
+# serializes same-process re-runs; the on-disk flock serializes
+# cross-process resumes of the shared checkpoint.
 _CDC_LOCK = threading.Lock()
 _CDC_RUN_LOCKS: dict[str, threading.Lock] = {}
 

@@ -207,6 +207,11 @@ def export_training_shards(
     # atomic-enough swap: the live dir appears only fully written
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        invalidate_corpus,
+    )
+
+    invalidate_corpus(path)  # rewrite must not hide inside the TTL memo
 
     return stats
 

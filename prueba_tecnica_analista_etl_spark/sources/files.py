@@ -138,6 +138,11 @@ def compact_parquet(
     tmp = path + "._tmp_compact"
     df.write.mode("overwrite").parquet(tmp)
     _swap_in(path, tmp, "compact")
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        invalidate_corpus,
+    )
+
+    invalidate_corpus(path)  # rewrite must not hide inside the TTL memo
     return sum(
         1
         for e in os.scandir(path)
@@ -235,6 +240,12 @@ def compact_partitioned(
             for f in os.scandir(e.path)
             if f.is_file() and f.name.endswith(".parquet")
         )
+    if done:
+        from prueba_tecnica_analista_etl_spark.artifacts import (
+            invalidate_corpus,
+        )
+
+        invalidate_corpus(data_path)
     return done
 
 
@@ -330,3 +341,8 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        invalidate_corpus,
+    )
+
+    invalidate_corpus(path)  # rewrite must not hide inside the TTL memo

@@ -74,6 +74,15 @@ def _publish_pointer(table: str, version: int) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+    # Every publish mutates the table tree: drop the fingerprint TTL
+    # memo for any corpus containing it, so a memoized artifact can
+    # never be served across this write (r10 ADVICE — the TTL window
+    # must not span a rewrite).
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        invalidate_corpus,
+    )
+
+    invalidate_corpus(table)
 
 
 def list_versions(table: str) -> list[int]:
@@ -175,4 +184,10 @@ def vacuum(table: str, keep: int = 2) -> list[int]:
         # silently-readable snapshot survives on disk.
         if not os.path.isdir(d):
             removed.append(v)
+    if removed:
+        from prueba_tecnica_analista_etl_spark.artifacts import (
+            invalidate_corpus,
+        )
+
+        invalidate_corpus(table)
     return removed

@@ -698,6 +698,40 @@ def test_corpus_fingerprint_memo_collapses_walks(tmp_path, monkeypatch):
     assert artifacts._corpus_fingerprint(corpus) != first
 
 
+def test_corpus_writers_drop_fingerprint_memo(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: the fingerprint TTL memo reintroduced a bounded
+    stale-artifact window — a corpus rewritten within the TTL of a
+    prior lookup served artifacts from the old generation. The engine's
+    corpus-WRITING helpers now call invalidate_corpus after every
+    mutation, so the TTL window can never span one of the engine's own
+    rewrites (an external writer still relies on the TTL expiring or
+    clear_artifacts, the documented contract). Pin it with an
+    effectively-infinite TTL: a versioned commit INSIDE the corpus
+    must be visible to the very next fingerprint lookup."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark import artifacts
+    from prueba_tecnica_analista_etl_spark.sources.versioned import (
+        commit_snapshot,
+    )
+
+    monkeypatch.setattr(artifacts, "_FP_TTL_S", 3600.0)
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    with open(os.path.join(corpus, "seed"), "w") as fh:
+        fh.write("x")
+    before = artifacts._corpus_fingerprint(corpus)
+    # memo is warm: an untracked external write would now be invisible
+    commit_snapshot(
+        spark.createDataFrame([(1,)], "id long"),
+        os.path.join(corpus, "dim_table"),
+    )
+    after = artifacts._corpus_fingerprint(corpus)
+    assert after != before, (
+        "engine write inside the corpus must invalidate the TTL memo"
+    )
+
+
 def test_misra_gries_guarantee_and_bounds(spark):
     """operators/sketch.py invariants on an adversarially skewed key
     set: (a) the candidate frame is bounded by capacity×partitions;
