@@ -1452,16 +1452,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF (or widen the radius) for top-k RETRIEVAL while keeping
     sign-LSH for duplicate DETECTION.
     """
-    import numpy as np
-    from pyspark.sql import Window
-
     from prueba_tecnica_analista_etl_spark.artifacts import (
-        census_artifact,
         corpus_artifact,
-    )
-    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
-        _read_data,
-        ivf_probe_clusters,
     )
     from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
         q_similarity_topk,
@@ -1476,6 +1468,75 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "ann_exact_top10",
         lambda: q_similarity_topk(spark, sf_dir).select("vec_id"),
+    )
+
+    tiers, top_live = ann_sweep_parts(spark, sf_dir)
+    # The per-point top-10 frame (|tiers|·10 rows) is the last
+    # corpus-deterministic intermediate — staging it keeps the recall
+    # census (the joins + aggregate below) LIVE while the six-tier
+    # exploded-union window, the biggest codegen unit in the registry,
+    # compiles once per corpus instead of once per process (the
+    # residual fresh-process cost after the r11 artifact work was
+    # exactly this plan's first compile+execute, ~4 s). The LIVE form
+    # stays plan-pinned by tests via ann_sweep_parts.
+    top = corpus_artifact(
+        spark,
+        sf_dir,
+        "ann_recall_top10:"
+        + "|".join(f"{m}:{pt}" for m, pt, _ in tiers),
+        lambda: top_live,
+    )
+    hits = top.join(exact, "vec_id").groupBy("ord").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tiers_dim = spark.createDataFrame(
+        [(i, m, pt, sh) for i, (m, pt, sh) in enumerate(tiers)],
+        "ord int, method string, operating_point string, shipped boolean",
+    )
+    return (
+        tiers_dim.join(F.broadcast(hits), "ord", "left")
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        )
+        .select(
+            "method",
+            "operating_point",
+            "shipped",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+            ).alias("recall"),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
+def ann_sweep_parts(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[tuple[str, str, bool]], DataFrame]":
+    """LIVE construction of the recall sweep: returns ``(tiers,
+    top)`` where ``tiers`` is the (method, operating_point, shipped)
+    row list and ``top`` is the UNSTAGED per-point top-10 frame —
+    q_ann_recall stages it per corpus through the artifact store;
+    tests plan-pin THIS frame directly for the properties the staging
+    would otherwise hide (the IVF tier's cluster predicate is a
+    PARTITION filter over the on-disk index — the audited read path
+    IS the 100 TB read path)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        census_artifact,
+        corpus_artifact,
+    )
+    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
+        _read_data,
+        ivf_probe_clusters,
     )
 
     # Sweep AROUND the shipped constants (LSH_HAMMING, IVF_NPROBE), so
@@ -1604,31 +1665,4 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = exploded.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 10
     )
-    hits = top.join(exact, "vec_id").groupBy("ord").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    tiers_dim = spark.createDataFrame(
-        [(i, m, pt, sh) for i, (m, pt, sh) in enumerate(tiers)],
-        "ord int, method string, operating_point string, shipped boolean",
-    )
-    return (
-        tiers_dim.join(F.broadcast(hits), "ord", "left")
-        .crossJoin(
-            F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact")))
-        )
-        .select(
-            "method",
-            "operating_point",
-            "shipped",
-            "n_exact",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            F.when(
-                F.col("n_exact") > 0,
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_exact").cast("double"),
-            ).alias("recall"),
-            "ord",
-        )
-        .orderBy("ord")
-        .drop("ord")
-    )
+    return tiers, top

@@ -1146,14 +1146,19 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
         IVF_K,
         IVF_NPROBE,
         LSH_HAMMING,
+        ann_sweep_parts,
         q_ann_recall,
     )
 
     frame = q_ann_recall(spark, sf_dir)
     # The IVF tier must audit the ON-DISK index (r9 verdict task 4):
     # its scan's cluster predicate is a PARTITION filter (directory
-    # pruning), not a post-scan data filter.
-    plan = frame._jdf.queryExecution().executedPlan().toString()
+    # pruning), not a post-scan data filter. q_ann_recall stages the
+    # swept top-10 frame per corpus (r11), which erases the scan from
+    # ITS plan — so pin the LIVE sweep construction the staging
+    # builds from (ann_sweep_parts is that single source of truth).
+    live_top = ann_sweep_parts(spark, sf_dir)[1]
+    plan = live_top._jdf.queryExecution().executedPlan().toString()
     pfs = [
         seg.split("]")[0]
         for seg in plan.split("PartitionFilters: [")[1:]
