@@ -88,7 +88,10 @@ _DIR_CACHE: dict[tuple, str] = {}
 # invisible to (not silently served to) the new code.
 # v2: sign_bits moved to the integer-grid signature (r11 q_ann_lsh
 #     oracle upgrade) — ann probe/scored artifacts changed meaning.
-_STORE_VERSION = "v2"
+# v3: the near-dup family moved from xxhash64 to engine-neutral
+#     md5_60 hashing (r11 minhash/simhash/ngram oracle upgrades) —
+#     cached minhash-pair and LSH-truth artifacts changed meaning.
+_STORE_VERSION = "v3"
 
 # Disk store root override / kill-switch. Unset -> a per-user cache
 # dir; set to a path -> that path; set to "" -> disk layer disabled

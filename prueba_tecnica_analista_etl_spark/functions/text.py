@@ -140,14 +140,33 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     return _winnow(hs, hp)
 
 
+def md5_60(s: Column) -> Column:
+    """ENGINE-NEUTRAL 60-bit integer hash: the first 15 hex chars of
+    md5 read as an int64 (the ``winnow_fingerprints`` prefix trick
+    promoted to the shared primitive). Bit-identical to DuckDB's
+    ``('0x' || substr(md5(s),1,15))::BIGINT`` — which is what lifts
+    every consumer (minhash/simhash/ngram near-dup, capped-bucket
+    chunk order) from rows-only to oracle-checkable. Always
+    non-negative (< 2^60), so signed and unsigned shifts agree in
+    both engines. md5 costs ~5× xxhash64 per call, but the hashing
+    stage is a fraction of these queries' shuffle-dominated walls and
+    stays JVM-side codegen."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_60(expr: str) -> str:
+    """The DuckDB spelling of :func:`md5_60` for generated oracles."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def shingle_hashes(toks: Column, k: int) -> Column:
-    """Sorted distinct xxhash64 values of k-shingles — the minhash
-    signature source (xxhash64: 64-bit, JVM-side, fast; engine-specific
-    so rows-only checks)."""
+    """Sorted distinct :func:`md5_60` values of k-shingles — the
+    minhash signature source. r11: switched from xxhash64 (engine-
+    specific, forced rows-only checks on the whole minhash family) to
+    the portable 60-bit md5 prefix, making the banded-LSH candidate
+    sets and Jaccard re-ranks reproducible in ANSI SQL."""
     return F.array_sort(
-        F.transform(
-            F.array_distinct(shingles(toks, k)), lambda s: F.xxhash64(s)
-        )
+        F.transform(F.array_distinct(shingles(toks, k)), md5_60)
     )
 
 
@@ -155,12 +174,15 @@ def simhash64(feature_hashes: Column) -> Column:
     """64-bit SimHash from an ``array<long>`` of feature hashes: per-bit
     majority vote across features, majority bits packed into a long.
 
-    Split of labor: the feature hashing (xxhash64 per shingle) stays
+    Split of labor: the feature hashing (:func:`md5_60` per shingle —
+    engine-neutral, so the signature is SQL-reproducible) stays
     JVM-side where it's a native codegen'd expression; the 64-way bit
     census runs as an Arrow-batched Pandas UDF (one numpy pass per
     batch). The all-expression alternative (64 sum(when(bit)) aggs over
     an exploded feature table) costs a shuffle plus interpreted
     evaluation of 64 conditionals per feature — measured ~10× slower.
+    The census is exact integer arithmetic, so it equals a per-bit
+    SQL majority fold bit-for-bit (the q_simhash_dedup oracle).
     """
 
     def _core(hs: pd.Series) -> np.ndarray:

@@ -3,7 +3,7 @@
 Registry-order note (transparent rotation, round 11):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 115 queries (106 oracle-backed + 9
+each round; the registry holds 115 queries (112 oracle-backed + 3
 rows-only), so 65 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
@@ -29,27 +29,33 @@ independently-recorded driver result:
   rotation promised the first slots (q_stream_heavy_hitters and
   q_group_safe_split, added mid-r10; q_stream_dedupe and
   q_stream_sessionize, upgraded rows-only→oracle mid-r10 — none has
-  an oracle-grade driver record yet), then q_ann_lsh — upgraded
-  rows-only→oracle THIS round (engine-neutral integer-grid sign-LSH
-  signature, so the full candidate+re-rank path is SQL-checkable) —
+  an oracle-grade driver record yet), then the SEVEN rows-only→oracle
+  upgrades of THIS round — q_ann_lsh (engine-neutral integer-grid
+  sign-LSH signature), the near-dup family q_minhash_dedup /
+  q_ngram_jaccard / q_simhash_dedup / q_embed_neardup (engine-neutral
+  md5_60 hashing end-to-end, so candidate sets, skew chunks, and
+  re-rank scores are SQL-checkable), and the composites the same
+  switch lifted: q_corpus_curate (purge fixpoint unrolled in SQL)
+  and q_lsh_recall (truth and found sides both SQL-expressible) —
   then the 13 queries whose newest green is r8 (the staleness
   boundary: a third round without a record would breach the
-  two-round bound).  The rows-only slots take the three r9-recorded
-  audits/pipelines (q_lsh_recall, q_ann_recall, q_corpus_curate — at
-  their own boundary next round).  The remaining 29 oracle slots
-  return the oldest 29 of the 45 r9-green oracle queries.  Paying
-  for those 50 in-slots: the 59 oracle-backed queries in
-  _ROTATION_OUT (the 16 youngest r9 greens — they MUST lead the r12
-  returns — plus the 43 r10 greens, one round old) and the six
-  rows-only queries recorded in r10 (due back by r13).
+  two-round bound).  The one rows-only slot takes q_ann_recall (r9
+  record, at its boundary next round; stays rows-only because its
+  IVF tier rides unquantized float argmax).  The remaining 25 oracle
+  slots return the oldest 25 of the 45 r9-green oracle queries.
+  Paying for those 50 in-slots:
+  the 63 oracle-backed queries in _ROTATION_OUT (the 20 youngest r9
+  greens — they MUST lead the r12 returns — plus the 43 r10 greens,
+  one round old) and the two rows-only queries recorded in r10
+  (q_ann_ivf, q_multimodal_pipeline — due back by r13).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  106
-oracle queries across 47 oracle slots/round (and 9 rows-only across
+window (or in _ROTATION_NEW, which must lead the NEXT window).  112
+oracle queries across 47 oracle slots/round (and 3 rows-only across
 3) satisfy the bound: each needs a record only once per three windows
-(106 <= 3*47, 9 <= 3*3).
+(112 <= 3*47, 3 <= 3*3).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -88,8 +94,20 @@ _ROTATION_FIRST = [
     "q_group_safe_split",
     "q_stream_dedupe",
     "q_stream_sessionize",
-    # upgraded rows-only→oracle this round (r11):
+    # upgraded rows-only→oracle this round (r11) — q_ann_lsh via the
+    # integer-grid sign signature; the near-dup family via
+    # engine-neutral md5_60 hashing (seeded Mersenne-prime minhash
+    # family, SQL-folded simhash majority, md5_60 skew-chunk order):
     "q_ann_lsh",
+    "q_minhash_dedup",
+    "q_ngram_jaccard",
+    "q_simhash_dedup",
+    "q_embed_neardup",
+    # composites lifted by the same md5_60 switch (the curate purge
+    # fixpoint unrolled in SQL; the recall census's truth AND found
+    # sides both SQL-expressible) — previously in _ROWS_ONLY_IN:
+    "q_corpus_curate",
+    "q_lsh_recall",
     # newest green r8 — the staleness boundary:
     "q_similarity_topk",
     "q_winnow_fingerprint",
@@ -106,13 +124,13 @@ _ROTATION_FIRST = [
     "q_multimodal_meta",
 ]
 
-# Rows-only queries recorded this round: the three r9-recorded
-# audits/pipelines — their rows>0 records hit the two-round boundary
-# at r12, so they come back now.
+# Rows-only queries recorded this round: of the three r9-recorded
+# audits/pipelines due back now, two (q_lsh_recall, q_corpus_curate)
+# were upgraded to oracle-backed mid-round and moved to
+# _ROTATION_FIRST; q_ann_recall stays rows-only (its IVF tier rides
+# unquantized float argmax) and takes the rows-only slot.
 _ROWS_ONLY_IN = [
-    "q_lsh_recall",
     "q_ann_recall",
-    "q_corpus_curate",
 ]
 
 # OUT this round — 59 oracle-backed queries: the 16 youngest r9 greens
@@ -120,6 +138,13 @@ _ROWS_ONLY_IN = [
 # r12 their newest green would otherwise be three rounds old) plus the
 # 43 queries recorded green in CORRECTNESS_r10.json (one round old).
 _ROTATION_OUT = [
+    # newest green r9, displaced by the four r11 near-dup oracle
+    # upgrades (which have no oracle-grade record at all and take
+    # priority) — these four MUST also lead the r12 returns:
+    "q_eval_auc",
+    "q_ks_distance",
+    "q_calibration_bins",
+    "q_eval_auc_daily",
     # newest green r9 — first in line for r12:
     "q_retention",
     "q_lang_stats",

@@ -1845,10 +1845,11 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="extension (near-dup scoring, ORACLE-BACKED tier): exact "
     "Jaccard similarity for every candidate pair of the shared-"
-    "shingle graph — md5 fingerprints end-to-end, so unlike the "
-    "xxhash64 minhash/simhash tiers (rows-only by necessity) the "
-    "full candidate-generation + scoring path is value-hash-checked "
-    "against SQL. Candidates: docs sharing >=3 distinct 8-token "
+    "shingle graph — md5 fingerprints end-to-end, value-hash-checked "
+    "against SQL (the FIRST oracle-backed near-dup tier; since r11 "
+    "the minhash/simhash LSH tiers are oracle-backed too, via "
+    "engine-neutral md5_60 hashing). Candidates: docs sharing >=3 "
+    "distinct 8-token "
     "shingle fingerprints (shingle_edges — one fingerprint-keyed "
     "shuffle, inline a<b pair expansion, max_df boilerplate cap "
     "available at scale); scores: |A∩B| = the pair's shared-"
@@ -1865,9 +1866,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pair scores over the shingle-fingerprint graph.
 
-    The rows-only LSH tiers (minhash/simhash/ngram-jaccard) trade
-    oracle-checkability for speed by hashing with xxhash64; this query
-    is the exact tier a curation run uses to AUDIT them: the same
+    The LSH tiers (minhash/simhash/ngram-jaccard — oracle-backed
+    since r11 via engine-neutral md5_60 hashing) are approximate by
+    design; this query is the exact tier a curation run uses to
+    AUDIT their recall: the same
     candidate edges q_dup_clusters clusters (docs sharing >=
     CLUSTER_MIN_SHARED 8-token md5 shingle fingerprints), each scored
     with its true Jaccard over distinct shingle sets.

@@ -1,16 +1,25 @@
-"""Scale-path extension queries (rows-only checks — their operators are
-engine-specific hashing / ML / streaming, not ANSI-SQL-expressible; the
-driver records the weaker rows check and tests assert semantics).
+"""Scale-path extension queries — the 100 TB designs: every one
+replaces an O(n²) all-pairs comparison with a bucketing scheme (LSH
+band join, shared-minhash, sign-bit hamming) whose cost is one shuffle
+on the bucket key plus per-bucket work.
 
-These are the 100 TB designs: every one replaces an O(n²) all-pairs
-comparison with a bucketing scheme (LSH band join, shared-minhash,
-sign-bit hamming) whose cost is one shuffle on the bucket key plus
-per-bucket work.
+ORACLE STATUS (r11): the near-dup family (minhash / ngram-jaccard /
+simhash / embed-cosine) and the sign-LSH ANN tier are value-proven
+against generated DuckDB SQL — every hash in their paths is
+engine-neutral by construction (``md5_60`` 60-bit prefixes, the
+Mersenne-prime seeded minhash family over them, integer-grid sign
+bits), so candidate sets, chunked skew splits, and re-rank scores are
+bit-identical across engines.  Still rows-only, each for a stated
+reason: q_ann_ivf (k-means argmax rides unquantized float
+comparisons), q_ann_recall / q_lsh_recall (audit census over the IVF
+tier / engine artifacts), q_corpus_curate (multi-stage pipeline with
+artifact staging), q_multimodal_pipeline (stubbed codec stage).
 """
 
 from __future__ import annotations
 
 import os
+import random
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,9 +27,11 @@ from pyspark.sql import functions as F
 
 from prueba_tecnica_analista_etl_spark.functions.text import (
     jaccard,
+    md5_60,
     shingle_hashes,
     shingles,
     simhash64,
+    sql_md5_60,
     tokens,
 )
 from prueba_tecnica_analista_etl_spark.functions.vectors import (
@@ -58,6 +69,72 @@ BUCKET_CAP = 64  # skew guard: per-bucket pair work is bounded by
 # SUB-SPLITTING oversized buckets (see capped_pair_array), never by
 # silently dropping them.
 
+# ENGINE-NEUTRAL seeded minhash family (r11, what lifted
+# q_minhash_dedup to oracle-backed): mh_j(h) = (a_j·x + b_j·y + c_j)
+# mod (2^61−1) where x = h & (2^30−1), y = h >> 30 split the 60-bit
+# md5 prefix hash. Coefficients < 2^30 keep every intermediate under
+# 2^62 — exact int64 arithmetic in Spark, DuckDB, and any ANSI engine
+# (no xxhash64 dependence), and a standard Mersenne-prime
+# multiply-shift universal family, so minima stay uniform. Seeded
+# deterministically: the literals are embedded in both the Spark plan
+# and the generated oracle SQL.
+MINHASH_P = (1 << 61) - 1
+_LOW30 = (1 << 30) - 1
+
+
+def _minhash_coeffs(
+    n: int, seed: int = 1105
+) -> list[tuple[int, int, int]]:
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(1, 1 << 30),
+            rng.randrange(1, 1 << 30),
+            rng.randrange(1, 1 << 30),
+        )
+        for _ in range(n)
+    ]
+
+
+MINHASH_COEFFS = _minhash_coeffs(MINHASH_BANDS * MINHASH_ROWS)
+
+
+def _sql_doc_shingle_cte(k: int = 3) -> str:
+    """Shared oracle CTE text: per-doc DISTINCT k-token shingles
+    (``sh``: doc_id, sg) and their md5_60 hashes (``hs``: doc_id, h)
+    over the documents table — the SQL twin of ``shingles()`` /
+    ``shingle_hashes()`` (single-space tokenizer; short docs yield one
+    whole-text shingle via the greatest(...,1) clamp, exactly like the
+    Spark expression)."""
+    return f"""
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - {k - 1},
+                                                     1))) AS i
+           FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, i, i + {k - 1}), ' ')
+                    AS sg
+           FROM ix),
+    hs AS (SELECT doc_id, {sql_md5_60('sg')} AS h FROM sh)"""
+
+
+def _sql_chunk(part: str, seed: str, id_col: str, cap: int = BUCKET_CAP) -> str:
+    """SQL twin of ``capped_pair_array``'s skew sub-split: the 0-based
+    chunk index of ``id_col`` within its ``part`` bucket, ordered by
+    the same md5_60("<seed>:<id>") secondary hash the engine sorts on
+    (ids are unique per bucket, so the order is total). Buckets at or
+    under ``cap`` land entirely in chunk 0 — identical pair sets to
+    the engine's uncapped fast path."""
+    h = sql_md5_60(
+        f"CAST({seed} AS VARCHAR) || ':' || CAST({id_col} AS VARCHAR)"
+    )
+    return (
+        f"(row_number() OVER (PARTITION BY {part} "
+        f"ORDER BY {h}, {id_col}) - 1) // {cap}"
+    )
+
 # CDC streaming sink: one persistent (target, checkpoint) pair per
 # corpus GENERATION, rooted inside the landing-dir artifact — the
 # run_available_now state_dir discipline (streaming/windows.py)
@@ -83,7 +160,7 @@ def capped_pair_array(
     the skew guard that makes degenerate buckets safe at 100 TB:
 
     a bucket larger than ``cap`` is SUB-SPLIT, not dropped — members
-    are ordered by a secondary ``xxhash64`` of their id and chunked
+    are ordered by a secondary ``md5_60`` of their seeded id and chunked
     into ``ceil(n/cap)`` groups of ≤ cap, and pairs expand within each
     chunk only. Per-bucket work is O(n·cap) instead of O(n²), and a
     popular bucket still yields its intra-chunk pairs instead of
@@ -129,12 +206,22 @@ def capped_pair_array(
         ),
     )
     chunk_seed = F.lit(seed) if seed_col is None else seed_col
+    # Secondary chunk-order hash: md5_60 of "<seed>:<id>" — engine-
+    # neutral (r11, was xxhash64), so an oracle reproduces the exact
+    # chunk boundaries with row_number() over the same hash. Ids are
+    # unique within a bucket, so (hash, id) totally orders it.
     ordered = F.transform(
         F.array_sort(
             F.transform(
                 docs_col,
                 lambda m: F.struct(
-                    F.xxhash64(chunk_seed, m[id_field]).alias("_h"),
+                    md5_60(
+                        F.concat_ws(
+                            ":",
+                            chunk_seed.cast("string"),
+                            m[id_field].cast("string"),
+                        )
+                    ).alias("_h"),
                     m[id_field].alias("_id"),
                     m[payload_field].alias("_p"),
                 ),
@@ -180,28 +267,44 @@ def minhash_pair_frame(
     the target threshold). Output columns are always
     (doc_a, doc_b, jaccard_sim) regardless of ``id_col``."""
     n_hashes = bands * rows
+    coeffs = _minhash_coeffs(n_hashes)
     # Shingle once, hash once: every downstream step (minhashes, band
     # keys, exact re-rank) works on the array<long> of shingle hashes,
     # so the expensive string shingling is built exactly once and the
     # whole query is ONE shuffle (the band-key groupBy). Jaccard over
-    # hashed shingles equals Jaccard over shingles up to xxhash64
-    # collisions (P ≈ |sh|²·2⁻⁶⁴ per doc — negligible).
+    # hashed shingles equals Jaccard over shingles up to md5_60
+    # collisions (P ≈ |sh|²·2⁻⁶⁰ per doc — negligible).
     d = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(tokens(F.col(text_col)), shingle_n).alias("hs"),
     )
-    # Seeded minhash family. The transform lambda MUST take exactly one
-    # parameter: PySpark inspects lambda arity and passes (element,
-    # index) to a two-parameter function, so the `lambda h, j=j:` idiom
-    # silently rebinds the seed to the array index — collapsing all
-    # n_hashes "independent" hash functions into one and destroying
-    # banded-LSH recall. Bind the seed via an outer closure instead.
+    # Seeded minhash family (engine-neutral Mersenne-prime
+    # multiply-shift over the 60-bit md5 prefix — see MINHASH_P). The
+    # transform lambda MUST take exactly one parameter: PySpark
+    # inspects lambda arity and passes (element, index) to a
+    # two-parameter function, so the `lambda h, j=j:` idiom silently
+    # rebinds the seed to the array index — collapsing all n_hashes
+    # "independent" hash functions into one and destroying banded-LSH
+    # recall. Bind the coefficients via an outer closure instead.
     def _seeded_min(j: int):
+        a, b, c = coeffs[j]
         return F.array_min(
-            F.transform("hs", lambda h: F.xxhash64(F.lit(j), h))
+            F.transform(
+                "hs",
+                lambda h: (
+                    F.lit(a) * h.bitwiseAND(F.lit(_LOW30))
+                    + F.lit(b) * F.shiftrightunsigned(h, 30)
+                    + F.lit(c)
+                )
+                % F.lit(MINHASH_P),
+            )
         ).alias(f"mh{j}")
 
     sig = d.select("doc_id", "hs", *[_seeded_min(j) for j in range(n_hashes)])
+    # Band key = the row minima THEMSELVES as a struct (not a combiner
+    # hash): equality of the struct == equality of all `rows` minima,
+    # and a SQL oracle joins on the plain columns — no cross-engine
+    # combiner function needed.
     banded = sig.select(
         "doc_id",
         "hs",
@@ -210,9 +313,9 @@ def minhash_pair_frame(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.struct(
                             *[
-                                F.col(f"mh{b * rows + r}")
+                                F.col(f"mh{b * rows + r}").alias(f"k{r}")
                                 for r in range(rows)
                             ]
                         ).alias("key"),
@@ -270,17 +373,90 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pair_frame(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_scored_pairs_cte() -> str:
+    """Shared oracle CTE chain ending in ``j`` (doc_a, doc_b, _j) —
+    the UNCAPPED banded-minhash candidate pairs with exact Jaccard,
+    i.e. the SQL twin of :func:`minhash_pair_frame` before its
+    threshold gate. Every stage is engine-neutral by construction:
+    shingle hashes are md5_60 prefixes, the 12 seeded minima are the
+    embedded-literal Mersenne-prime family (exact int64 arithmetic),
+    band keys are the raw minima triples (joined on plain columns, no
+    combiner hash), skew chunks replay the md5_60 secondary order,
+    and the Jaccard re-rank counts DISTINCT shared hashes (==
+    array_intersect/array_union over the engine's distinct-by-string
+    hash arrays). Consumers: q_minhash_dedup (threshold + top-100),
+    q_corpus_curate (purge input), q_lsh_recall (found side)."""
+    rows, bands = MINHASH_ROWS, MINHASH_BANDS
+
+    def mh(j: int) -> str:
+        a, b, c = MINHASH_COEFFS[j]
+        return (
+            f"min(({a} * (h & {_LOW30}) + {b} * (h >> 30) + {c}) "
+            f"% {MINHASH_P})"
+        )
+
+    mins = ",\n             ".join(
+        f"{mh(j)} AS mh{j}" for j in range(bands * rows)
+    )
+    bk = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"mh{b * rows + r} AS k{r}" for r in range(rows))
+        + " FROM mins"
+        for b in range(bands)
+    )
+    keys = ", ".join(f"k{r}" for r in range(rows))
+    keyeq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(rows))
+    chunk = _sql_chunk(f"band, {keys}", "band", "doc_id")
+    return f"""{_sql_doc_shingle_cte(3)},
+    mins AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+    bk AS ({bk}),
+    r AS (SELECT doc_id, band, {keys}, {chunk} AS chunk FROM bk),
+    p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM r a JOIN r b
+            ON a.band = b.band AND {keyeq}
+           AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(DISTINCT h) AS n FROM hs GROUP BY doc_id),
+    iv AS (SELECT p.doc_a, p.doc_b, count(DISTINCT ha.h) AS shared
+           FROM p
+           JOIN hs ha ON ha.doc_id = p.doc_a
+           JOIN hs hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+           GROUP BY 1, 2),
+    j AS (SELECT p.doc_a, p.doc_b,
+                 CAST(coalesce(iv.shared, 0) AS DOUBLE)
+                   / CAST(sa.n + sb.n - coalesce(iv.shared, 0) AS DOUBLE)
+                   AS _j
+          FROM p
+          LEFT JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b
+          JOIN sz sa ON sa.doc_id = p.doc_a
+          JOIN sz sb ON sb.doc_id = p.doc_b)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB oracle for the FULL banded-minhash path (r11 upgrade
+    from rows-only): the shared scored-pairs chain plus the >= 0.5
+    gate — comparing the SAME IEEE division both sides — and the
+    reporting top-100."""
+    return f"""
+    WITH {_minhash_scored_pairs_cte()}
+    SELECT doc_a, doc_b, round(_j, 4) AS jaccard_sim
+    FROM j WHERE _j >= 0.5
+    ORDER BY jaccard_sim DESC, doc_a, doc_b LIMIT 100
+    """
+
+
 @query(
     "q_minhash_dedup",
-    None,
-    doc="D6 (near-dup, MinHash+LSH): banded minhash over 3-token "
-    "shingles, pure DataFrame ops. Signature = 12 seeded xxhash64 "
-    "minima, grouped 4 bands × 3 rows; candidates share a band key "
-    "(one explode + one shuffle on the key), oversized buckets "
-    "sub-split with a band-dependent secondary hash (skew guard), "
-    "exact Jaccard re-rank on candidates only — O(n·b) join input "
-    "instead of O(n²) all-pairs. Reporting query = top-100 of "
-    "minhash_pairs; pipelines consume the uncapped frame.",
+    _minhash_oracle_sql(),
+    doc="D6 (near-dup, MinHash+LSH), ORACLE-EXACT end-to-end (r11, "
+    "was rows-only): banded minhash over 3-token shingles, pure "
+    "DataFrame ops. Signature = 12 seeded Mersenne-prime minima over "
+    "engine-neutral md5_60 shingle hashes, grouped 4 bands × 3 rows; "
+    "candidates share a band's minima triple (one explode + one "
+    "shuffle on the key), oversized buckets sub-split with a "
+    "band-dependent md5_60 secondary hash (skew guard), exact Jaccard "
+    "re-rank on candidates only — O(n·b) join input instead of O(n²) "
+    "all-pairs. Reporting query = top-100 of minhash_pairs; pipelines "
+    "consume the uncapped frame.",
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -311,7 +487,7 @@ def ngram_pair_frame(
     )
     d = d.withColumn(
         "minhash",
-        F.array_min(F.transform("sh", lambda s: F.xxhash64(s))),
+        F.array_min(F.transform("sh", md5_60)),
     )
     # Capped-bucket expansion (same machinery as minhash/simhash):
     # collect each min-shingle bucket; oversized buckets sub-split by
@@ -340,20 +516,55 @@ def ngram_pair_frame(
     )
 
 
+def _ngram_oracle_sql() -> str:
+    """DuckDB oracle for the single-band min-shingle path (r11 upgrade
+    from rows-only): bucket key = min md5_60 shingle hash (engine-
+    neutral), skew chunks replay the constant-seed ('7') md5_60
+    secondary order, exact trigram Jaccard per candidate pair via the
+    shared-shingle count (|A∩B| join) and per-doc distinct-shingle
+    census (|A∪B| = n_a + n_b − shared)."""
+    chunk = _sql_chunk("mh", "7", "doc_id")
+    return f"""
+    WITH {_sql_doc_shingle_cte(3)},
+    m AS (SELECT doc_id, min(h) AS mh FROM hs GROUP BY doc_id),
+    r AS (SELECT doc_id, mh, {chunk} AS chunk FROM m),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM r a JOIN r b
+            ON a.mh = b.mh AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    iv AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+           FROM p
+           JOIN sh sa ON sa.doc_id = p.doc_a
+           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sg = sa.sg
+           GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(coalesce(iv.shared, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - coalesce(iv.shared, 0) AS DOUBLE),
+                 4) AS jaccard_sim
+    FROM p
+    LEFT JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    ORDER BY jaccard_sim DESC, p.doc_a, p.doc_b LIMIT 100
+    """
+
+
 @query(
     "q_ngram_jaccard",
-    None,
-    doc="n-gram Jaccard near-dup: trigram-shingle sets, candidates = "
-    "docs sharing the global min xxhash shingle (1-band minhash LSH), "
-    "exact Jaccard on candidates only. One groupBy(minhash) shuffle "
-    "replaces the n² comparison; oversized buckets are sub-split by a "
-    "secondary hash into <=BUCKET_CAP chunks (skew guard: a popular "
-    "min-shingle would otherwise create one quadratic bucket; "
-    "sub-splitting bounds work at n*cap while still emitting "
-    "intra-chunk pairs). Trigrams, not bigrams: "
-    "the corpus vocabulary is tiny (31 words → ~900 possible bigrams), "
-    "so bigram min-shingle buckets degenerate into near-all-pairs; "
-    "trigram space (27k observed) keeps fan-out bounded.",
+    _ngram_oracle_sql(),
+    doc="n-gram Jaccard near-dup, ORACLE-EXACT end-to-end (r11, was "
+    "rows-only): trigram-shingle sets, candidates = docs sharing the "
+    "global min md5_60 shingle hash (1-band minhash LSH, engine-"
+    "neutral), exact Jaccard on candidates only. One groupBy(minhash) "
+    "shuffle replaces the n² comparison; oversized buckets are "
+    "sub-split by a secondary md5_60 hash into <=BUCKET_CAP chunks "
+    "(skew guard: a popular min-shingle would otherwise create one "
+    "quadratic bucket; sub-splitting bounds work at n*cap while still "
+    "emitting intra-chunk pairs). Trigrams, not bigrams: the corpus "
+    "vocabulary is tiny (31 words → ~900 possible bigrams), so bigram "
+    "min-shingle buckets degenerate into near-all-pairs; trigram "
+    "space (27k observed) keeps fan-out bounded.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -390,9 +601,7 @@ def simhash_pair_frame(
         )
         .select(
             "doc_id",
-            simhash64(
-                F.transform("sh", lambda s: F.xxhash64(s))
-            ).alias("sig"),
+            simhash64(F.transform("sh", md5_60)).alias("sig"),
         )
     )
     # The signature is one long, so it rides along into the buckets —
@@ -444,12 +653,52 @@ def simhash_pair_frame(
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB oracle for the banded-SimHash path (r11 upgrade from
+    rows-only): features are md5_60 shingle hashes (engine-neutral,
+    < 2^60 so bits 60-63 are zero both sides), the signature is the
+    per-bit majority fold 2·ones_j > n — EXACT integer arithmetic, so
+    it equals the engine's Arrow/numpy bit census bit-for-bit — and
+    bands, skew chunks, hamming, and the <= 8 gate are all integer
+    ops."""
+    bits = "\n             + ".join(
+        f"(CASE WHEN 2 * sum((h >> {j}) & 1) > count(*) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(60)
+    )
+    bandsel = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"(sig >> {b * BAND_BITS}) & {(1 << BAND_BITS) - 1} AS key "
+        "FROM sc"
+        for b in range(N_BANDS)
+    )
+    chunk = _sql_chunk("band, key", "band", "doc_id")
+    return f"""
+    WITH {_sql_doc_shingle_cte(3)},
+    sc AS (SELECT doc_id,
+                  ({bits})::BIGINT AS sig
+           FROM hs GROUP BY doc_id),
+    bk AS ({bandsel}),
+    r AS (SELECT doc_id, sig, band, key, {chunk} AS chunk FROM bk),
+    p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM r a JOIN r b
+            ON a.band = b.band AND a.key = b.key
+           AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM p WHERE bit_count(xor(sig_a, sig_b)) <= 8
+    ORDER BY hamming, doc_a, doc_b LIMIT 100
+    """
+
+
 @query(
     "q_simhash_dedup",
-    None,
-    doc="SimHash near-dup: 64-bit majority signature over 3-shingle "
-    "xxhash64 features (JVM hashing + Arrow-batched numpy bit census), "
-    "banded 4×16 bits; candidates share a band value (one shuffle on "
+    _simhash_oracle_sql(),
+    doc="SimHash near-dup, ORACLE-EXACT end-to-end (r11, was "
+    "rows-only): 64-bit majority signature over 3-shingle md5_60 "
+    "features (JVM hashing + Arrow-batched numpy bit census — exact "
+    "integer majority, reproduced bit-for-bit by a SQL fold), banded "
+    "4×16 bits; candidates share a band value (one shuffle on "
     "(band, value), buckets skew-capped), kept if hamming(sig) <= 8. "
     "Features are shingles, not unigrams: the 31-word corpus "
     "vocabulary makes unigram signatures collide for most docs "
@@ -572,8 +821,8 @@ def _lsh_oracle_sql() -> str:
     "rows-only in r11): 16 ±1-hyperplane sign bits per vector over "
     "the floor(x*1e6+0.5) integer grid — int64 dot terms are exact "
     "in any summation order, so the signature (and thus the "
-    "candidate set) is engine-independent, unlike the xxhash64 "
-    "minhash tiers; candidates = hamming(sig, query sig) <= 4, "
+    "candidate set) is engine-independent; candidates = "
+    "hamming(sig, query sig) <= 4, "
     "exact cosine re-rank of candidates only (the oracle-proven "
     "q_similarity_topk ranking convention). Scales as one broadcast "
     "+ one filter instead of full brute force per query.",
@@ -730,19 +979,68 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(spark, sf_dir, k=IVF_K, nprobe=IVF_NPROBE, iters=2)
 
 
+def _embed_neardup_oracle_sql() -> str:
+    """DuckDB oracle for the all-pairs sign-LSH path (r11 upgrade from
+    rows-only): the 32-bit signature rides the same floor(x·1e6+0.5)
+    integer grid as q_ann_lsh (exact int sums → engine-independent
+    bits), band keys and skew chunks are integer/md5_60 ops, and the
+    cosine re-rank is the oracle-proven sequential-fold double
+    convention."""
+    n_bits, band_bits, n_bands = 32, 8, 4
+    planes = random_hyperplanes(n_bits, 64, seed=42)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(qv, ["
+        + ", ".join(str(x) for x in planes[j])
+        + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    bandsel = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"(sig >> {b * band_bits}) & {(1 << band_bits) - 1} AS key "
+        "FROM s"
+        for b in range(n_bands)
+    )
+    chunk = _sql_chunk("band, key", "band", "vec_id")
+    return f"""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             ({bits})::BIGINT AS sig
+      FROM (SELECT vec_id, embedding,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x*1000000 + 0.5)) AS qv
+            FROM embeddings)),
+    bk AS ({bandsel}),
+    r AS (SELECT vec_id, band, key, {chunk} AS chunk FROM bk),
+    p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM r a JOIN r b
+            ON a.band = b.band AND a.key = b.key
+           AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+    SELECT p.vec_a, p.vec_b,
+           round(list_dot_product(va.v, vb.v)
+                 / (sqrt(list_dot_product(va.v, va.v))
+                    * sqrt(list_dot_product(vb.v, vb.v))), 4) AS cos_sim
+    FROM p
+    JOIN s va ON va.vec_id = p.vec_a
+    JOIN s vb ON vb.vec_id = p.vec_b
+    ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100
+    """
+
+
 @query(
     "q_embed_neardup",
-    None,
-    doc="embedding-cosine near-dup (all-pairs): 32-bit sign-LSH "
-    "signature per vector (Arrow-batched matmul), candidates = vectors "
-    "sharing a signature-band (4 bands × 8 bits, one shuffle on the "
-    "band key, buckets skew-capped), exact cosine re-rank of candidate "
-    "pairs only. Sign-LSH: P(bit agree) = 1 − angle/π, so a cos≥0.95 "
-    "dup pair agrees on an 8-bit band w.p. ~0.43 → ~89%% recall over "
-    "4 bands, while a random pair is a candidate w.p. ~1.6%% — the "
-    "all-pairs O(n²) comparison is never materialized. The corpus "
-    "plants no true dups (max pairwise cosine ≈0.51), so the query "
-    "reports the top-100 most-similar candidate pairs.",
+    _embed_neardup_oracle_sql(),
+    doc="embedding-cosine near-dup (all-pairs), ORACLE-EXACT "
+    "end-to-end (r11, was rows-only): 32-bit sign-LSH signature per "
+    "vector (Arrow-batched matmul over the engine-neutral integer "
+    "grid), candidates = vectors sharing a signature-band (4 bands × "
+    "8 bits, one shuffle on the band key, buckets skew-capped), exact "
+    "cosine re-rank of candidate pairs only. Sign-LSH: P(bit agree) = "
+    "1 − angle/π, so a cos≥0.95 dup pair agrees on an 8-bit band w.p. "
+    "~0.43 → ~89%% recall over 4 bands, while a random pair is a "
+    "candidate w.p. ~1.6%% — the all-pairs O(n²) comparison is never "
+    "materialized. The corpus plants no true dups (max pairwise "
+    "cosine ≈0.51), so the query reports the top-100 most-similar "
+    "candidate pairs.",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bits, band_bits, n_bands = 32, 8, 4
@@ -1020,14 +1318,75 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("end_us")
 
 
+def _corpus_curate_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB oracle for the FULL curation pipeline (r11 upgrade from
+    rows-only, enabled by the engine-neutral minhash pairs): quality
+    gate (>= 4 tokens; the 0.0 stopword-ratio floor is vacuous on
+    non-empty docs, matching the engine default), exact dedup
+    (row_number keep-first per text), endpoint-restricted pairs, the
+    greedy min-id survivor FIXPOINT unrolled to the engine's exact
+    ``rounds`` iterations (alive_k = endpoints − {b : ∃(a,b), a ∈
+    alive_{k−1}}, alive_0 = endpoints), and the final enforcement
+    pass dropping doc_b of any still-both-alive pair — the same
+    no-surviving-near-dup-pair invariant, term for term."""
+    alive = ["ep"]
+    cte_rounds = []
+    for k in range(1, rounds + 1):
+        # losers_k = doc_b of pairs whose doc_a is alive; alive_k =
+        # endpoints EXCEPT losers_k — plain joins/EXCEPT (set-safe:
+        # every frame is distinct ids), not correlated NOT IN. Every
+        # multi-referenced CTE here is MATERIALIZED: DuckDB inlines
+        # CTEs by default, so without the hint the full minhash pair
+        # chain re-evaluates once per reference (~10×, measured 60 s
+        # vs 1.5 s at sf0.01).
+        cte_rounds.append(
+            f"a{k} AS MATERIALIZED (SELECT doc_id FROM ep EXCEPT "
+            f"SELECT r.doc_b FROM rp r "
+            f"JOIN {alive[-1]} x ON x.doc_id = r.doc_a)"
+        )
+        alive.append(f"a{k}")
+    last = alive[-1]
+    rounds_sql = ",\n    ".join(cte_rounds)
+    return f"""
+    WITH {_minhash_scored_pairs_cte()},
+    ap AS MATERIALIZED (SELECT doc_a, doc_b FROM j WHERE _j >= 0.5),
+    gated AS (SELECT doc_id, lang, text,
+                     CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 4),
+    dd AS MATERIALIZED (SELECT doc_id, lang, n_tokens FROM (
+             SELECT doc_id, lang, n_tokens,
+                    row_number() OVER (PARTITION BY text
+                                       ORDER BY doc_id) AS rn
+             FROM gated) WHERE rn = 1),
+    rp AS MATERIALIZED (SELECT p.doc_a, p.doc_b FROM ap p
+           JOIN dd da ON da.doc_id = p.doc_a
+           JOIN dd db ON db.doc_id = p.doc_b),
+    ep AS MATERIALIZED (SELECT doc_a AS doc_id FROM rp
+           UNION SELECT doc_b FROM rp),
+    {rounds_sql},
+    af AS (SELECT doc_id FROM {last} EXCEPT
+           SELECT r.doc_b FROM rp r
+           JOIN {last} x ON x.doc_id = r.doc_a
+           JOIN {last} y ON y.doc_id = r.doc_b),
+    dr AS (SELECT doc_id FROM ep EXCEPT SELECT doc_id FROM af)
+    SELECT dd.doc_id, dd.lang, dd.n_tokens FROM dd
+    LEFT JOIN dr ON dr.doc_id = dd.doc_id
+    WHERE dr.doc_id IS NULL
+    """
+
+
 @query(
     "q_corpus_curate",
-    None,
-    doc="flagship training-data composition: quality gate (length + "
-    "stopword density) -> exact dedup (content keep-first) -> minhash "
-    "near-dup purge (greedy min-id survivor per pair) as ONE lazy DAG "
-    "(pipelines/corpus.py); returns the surviving corpus. Rows-only: "
-    "the minhash stage is not SQL-expressible.",
+    _corpus_curate_oracle_sql(),
+    doc="flagship training-data composition, ORACLE-EXACT end-to-end "
+    "(r11, was rows-only — the engine-neutral minhash pairs made the "
+    "whole DAG SQL-expressible): quality gate (length + stopword "
+    "density) -> exact dedup (content keep-first) -> minhash "
+    "near-dup purge (greedy min-id survivor fixpoint, 3 rounds + "
+    "enforcement, unrolled term-for-term in the oracle) as ONE lazy "
+    "DAG (pipelines/corpus.py); returns the surviving corpus.",
 )
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
@@ -1220,10 +1579,73 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle_sql() -> str:
+    """DuckDB oracle for the recall census (r11 upgrade from
+    rows-only): the truth side is the share-any-shingle exhaustive
+    Jaccard census over the same md5_60 shingle hashes (join on h,
+    multiplicities matching the engine's per-bucket pair expansion),
+    the found side is the shared scored-pairs chain at the 0.5 gate,
+    and the census is one LEFT JOIN + counts. Mirrors the query's
+    SPARK_GRAFT_LSH_TRUTH_FRACTION knob at GENERATION time with the
+    same fallback rules (the driver and parity tests never set it, so
+    the recorded oracle is always the exact fraction-1.0 census; a
+    bench process that sets it imports this module under the same
+    env, so even then the two sides agree)."""
+    raw = os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0")
+    try:
+        frac = float(raw)
+    except ValueError:
+        frac = 1.0
+    if not (0.0 < frac <= 1.0):
+        frac = 1.0
+    sample = ""
+    if frac < 1.0:
+        from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (  # noqa: E501
+            _hex_threshold,
+        )
+
+        sample = (
+            " WHERE substr(md5('lsh-truth:' || "
+            f"CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex_threshold(frac)}'"
+        )
+    return f"""
+    WITH {_minhash_scored_pairs_cte()},
+    ap AS (SELECT doc_a, doc_b FROM j WHERE _j >= 0.5),
+    sd AS (SELECT doc_id FROM documents{sample}),
+    thp AS (SELECT ha.doc_id AS doc_a, hb.doc_id AS doc_b,
+                   count(*) AS inter
+            FROM hs ha JOIN hs hb
+              ON hb.h = ha.h AND ha.doc_id < hb.doc_id
+            WHERE ha.doc_id IN (SELECT doc_id FROM sd)
+              AND hb.doc_id IN (SELECT doc_id FROM sd)
+            GROUP BY 1, 2),
+    tsz AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+    truth AS (SELECT doc_a, doc_b FROM thp
+              JOIN tsz sa ON sa.doc_id = thp.doc_a
+              JOIN tsz sb ON sb.doc_id = thp.doc_b
+              WHERE CAST(inter AS DOUBLE)
+                    / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
+    c AS (SELECT count(*) AS n_true,
+                 CAST(coalesce(sum(CASE WHEN f.doc_a IS NOT NULL
+                                        THEN 1 END), 0) AS BIGINT)
+                   AS n_found
+          FROM truth t LEFT JOIN ap f
+            ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b)
+    SELECT n_true, n_found, n_true - n_found AS n_missed,
+           CASE WHEN n_true > 0
+                THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+           END AS recall,
+           CAST({frac} AS DOUBLE) AS truth_fraction
+    FROM c
+    """
+
+
 @query(
     "q_lsh_recall",
-    None,
-    doc="LSH quality audit: candidate-stage RECALL of the banded "
+    _lsh_recall_oracle_sql(),
+    doc="LSH quality audit, ORACLE-EXACT (r11, was rows-only — the "
+    "engine-neutral md5_60 shingle hashing made BOTH sides "
+    "SQL-expressible): candidate-stage RECALL of the banded "
     "minhash tier against exhaustive ground truth. Truth = every "
     "pair with exact Jaccard >= 0.5 over the same 3-token shingle "
     "hashes, candidate-generated COMPLETELY by share-any-shingle "
@@ -1244,8 +1666,11 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(fraction 1.0).",
 )
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall audit of the minhash LSH near-dup tier (rows-only: the
-    shingle hashing is xxhash64, engine-specific by design).
+    """Recall audit of the minhash LSH near-dup tier (ORACLE-EXACT
+    since r11: the engine-neutral md5_60 hashing makes both the
+    exhaustive truth census and the banded found side
+    SQL-expressible; the corpus-artifact staging only caches the
+    truth frame — the values are staging-independent).
 
     The output row is the audit census a curation run reads before
     trusting the LSH tier's purge: n_true (exhaustive pairs at the

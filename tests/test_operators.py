@@ -774,7 +774,12 @@ def test_cli_surface(spark, sf_dir, tmp_path, capsys):
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):
-        main(["oracle", "q_lsh_recall"])  # rows-only → explicit error
+        # rows-only → explicit error; q_ann_ivf is PERMANENTLY
+        # rows-only (its k-means assignment argmax rides unquantized
+        # float comparisons — no engine-neutral form exists), unlike
+        # the audits that keep getting upgraded out from under this
+        # test (q_lsh_recall went oracle-backed in r11).
+        main(["oracle", "q_ann_ivf"])
     with _pytest.raises(SystemExit):
         main(["run", "q_nonexistent"], spark=spark)
     with _pytest.raises(SystemExit):  # unknown --out extension → error
