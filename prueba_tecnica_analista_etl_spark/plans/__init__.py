@@ -3,7 +3,7 @@
 Registry-order note (transparent rotation, round 11):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 115 queries (112 oracle-backed + 3
+each round; the registry holds 115 queries (113 oracle-backed + 2
 rows-only), so 65 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
@@ -29,33 +29,36 @@ independently-recorded driver result:
   rotation promised the first slots (q_stream_heavy_hitters and
   q_group_safe_split, added mid-r10; q_stream_dedupe and
   q_stream_sessionize, upgraded rows-only→oracle mid-r10 — none has
-  an oracle-grade driver record yet), then the SEVEN rows-only→oracle
-  upgrades of THIS round — q_ann_lsh (engine-neutral integer-grid
-  sign-LSH signature), the near-dup family q_minhash_dedup /
-  q_ngram_jaccard / q_simhash_dedup / q_embed_neardup (engine-neutral
-  md5_60 hashing end-to-end, so candidate sets, skew chunks, and
-  re-rank scores are SQL-checkable), and the composites the same
-  switch lifted: q_corpus_curate (purge fixpoint unrolled in SQL)
-  and q_lsh_recall (truth and found sides both SQL-expressible) —
-  then the 13 queries whose newest green is r8 (the staleness
-  boundary: a third round without a record would breach the
-  two-round bound).  The one rows-only slot takes q_ann_recall (r9
-  record, at its boundary next round; stays rows-only because its
-  IVF tier rides unquantized float argmax).  The remaining 25 oracle
-  slots return the oldest 25 of the 45 r9-green oracle queries.
+  an oracle-grade driver record yet), then the EIGHT rows-only→
+  oracle upgrades of THIS round — q_ann_lsh (engine-neutral
+  integer-grid sign-LSH signature), the near-dup family
+  q_minhash_dedup / q_ngram_jaccard / q_simhash_dedup /
+  q_embed_neardup (engine-neutral md5_60 hashing end-to-end, so
+  candidate sets, skew chunks, and re-rank scores are
+  SQL-checkable), the composites the same switch lifted:
+  q_corpus_curate (purge fixpoint unrolled in SQL) and q_lsh_recall
+  (truth and found sides both SQL-expressible), and
+  q_multimodal_pipeline (the stub feature stage is exact
+  nibble-histogram arithmetic on the fake-asset corpus) — then the
+  13 queries whose newest green is r8 (the staleness boundary: a
+  third round without a record would breach the two-round bound).
+  The one rows-only slot takes q_ann_recall (r9 record, at its
+  boundary next round; stays rows-only because its IVF tier rides
+  unquantized float argmax).  The remaining 24 oracle slots return
+  the oldest 24 of the 45 r9-green oracle queries.
   Paying for those 50 in-slots:
-  the 63 oracle-backed queries in _ROTATION_OUT (the 20 youngest r9
+  the 64 oracle-backed queries in _ROTATION_OUT (the 21 youngest r9
   greens — they MUST lead the r12 returns — plus the 43 r10 greens,
-  one round old) and the two rows-only queries recorded in r10
-  (q_ann_ivf, q_multimodal_pipeline — due back by r13).
+  one round old) and the one rows-only query recorded in r10
+  (q_ann_ivf — due back by r13).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  112
-oracle queries across 47 oracle slots/round (and 3 rows-only across
+window (or in _ROTATION_NEW, which must lead the NEXT window).  113
+oracle queries across 47 oracle slots/round (and 2 rows-only across
 3) satisfy the bound: each needs a record only once per three windows
-(112 <= 3*47, 3 <= 3*3).
+(113 <= 3*47, 2 <= 3*3).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -108,6 +111,10 @@ _ROTATION_FIRST = [
     # sides both SQL-expressible) — previously in _ROWS_ONLY_IN:
     "q_corpus_curate",
     "q_lsh_recall",
+    # the stub feature stage is exact nibble-histogram arithmetic on
+    # the fake-asset corpus (payloads never decode as images), so the
+    # retrieve-similar pipeline is SQL-checkable too:
+    "q_multimodal_pipeline",
     # newest green r8 — the staleness boundary:
     "q_similarity_topk",
     "q_winnow_fingerprint",
@@ -133,18 +140,19 @@ _ROWS_ONLY_IN = [
     "q_ann_recall",
 ]
 
-# OUT this round — 59 oracle-backed queries: the 16 youngest r9 greens
+# OUT this round — 64 oracle-backed queries: the 21 youngest r9 greens
 # (two rounds old at r11; they MUST lead the r12 oracle returns — at
 # r12 their newest green would otherwise be three rounds old) plus the
 # 43 queries recorded green in CORRECTNESS_r10.json (one round old).
 _ROTATION_OUT = [
-    # newest green r9, displaced by the four r11 near-dup oracle
-    # upgrades (which have no oracle-grade record at all and take
-    # priority) — these four MUST also lead the r12 returns:
+    # newest green r9, displaced by the r11 oracle upgrades (which
+    # have no oracle-grade record at all and take priority) — these
+    # five MUST also lead the r12 returns:
     "q_eval_auc",
     "q_ks_distance",
     "q_calibration_bins",
     "q_eval_auc_daily",
+    "q_rolling_distinct",
     # newest green r9 — first in line for r12:
     "q_retention",
     "q_lang_stats",

@@ -1410,25 +1410,89 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_pipeline_oracle_sql(dim: int = 16) -> str:
+    """DuckDB oracle for the multimodal retrieve-similar pipeline
+    (r11 upgrade from rows-only). Sound because, ON THE FAKE-ASSET
+    CORPUS, the engine's extractor deterministically takes the
+    byte-histogram path — the UTF-8 payloads never decode as images,
+    with or without PIL — and that stub is exact arithmetic:
+    ``byte % 16`` is the byte's LOW HEX NIBBLE, so the histogram is a
+    count of each hex digit at the even positions of hex(content);
+    the L2 norm sums 16 integer squares (exact in float64 in any
+    summation order), and the single divide + float32 cast are
+    deterministic IEEE ops both engines perform identically. Real
+    image corpora take the PIL pixel tier, which this oracle does
+    not model (the oracle, like every other, is defined against the
+    harness corpus)."""
+    assert dim == 16, "nibble-histogram oracle is specific to dim=16"
+    # DuckDB hex() emits UPPERCASE digits (unlike its md5()).
+    hexd = "0123456789ABCDEF"
+    cnts = ",\n                  ".join(
+        f"CAST(sum(CASE WHEN substr(h, 2*i, 1) = '{hexd[k]}' "
+        f"THEN 1 ELSE 0 END) AS DOUBLE) AS c{k}"
+        for k in range(dim)
+    )
+    norm = "sqrt(" + " + ".join(f"c{k}*c{k}" for k in range(dim)) + ")"
+    # coalesce: an EMPTY payload has no nibble rows (generate_series
+    # over 0 bytes), but the engine still emits its all-zero vector —
+    # the LEFT JOIN + coalesce keeps that asset with c_k = 0.
+    vec = ", ".join(
+        f"CAST(CAST(CASE WHEN nrm > 0 THEN coalesce(c{k}, 0)/nrm "
+        f"ELSE coalesce(c{k}, 0) END AS FLOAT) AS DOUBLE)"
+        for k in range(dim)
+    )
+    return f"""
+    WITH hx AS (SELECT doc_id AS asset_id,
+                       CASE CAST(doc_id % 3 AS INT)
+                            WHEN 0 THEN 'image/png'
+                            WHEN 1 THEN 'audio/wav'
+                            ELSE 'video/mp4' END AS media_type,
+                       hex(encode(text)) AS h
+                FROM documents WHERE text IS NOT NULL),
+    nb AS (SELECT asset_id, h,
+                  unnest(generate_series(1, len(h) // 2)) AS i
+           FROM hx),
+    cn AS (SELECT asset_id,
+                  {cnts}
+           FROM nb GROUP BY asset_id),
+    nr AS (SELECT asset_id, {norm} AS nrm,
+                  {', '.join(f'c{k}' for k in range(dim))}
+           FROM cn),
+    ft AS (SELECT hx.asset_id, hx.media_type, [{vec}] AS v
+           FROM hx LEFT JOIN nr ON nr.asset_id = hx.asset_id),
+    pf AS (SELECT v AS pv FROM ft WHERE asset_id = 1)
+    SELECT f.asset_id, f.media_type,
+           round(list_dot_product(f.v, pf.pv)
+                 / (sqrt(list_dot_product(f.v, f.v))
+                    * sqrt(list_dot_product(pf.pv, pf.pv))), 4)
+             AS cos_sim
+    FROM ft f, pf
+    WHERE f.asset_id <> 1
+    ORDER BY cos_sim DESC, f.asset_id LIMIT 10
+    """
+
+
 @query(
     "q_multimodal_pipeline",
-    None,
-    doc="multimodal END-TO-END composition (rows-only: the feature "
-    "extractor is a mapInPandas stage DuckDB cannot mirror): binary "
-    "assets -> Arrow-batched feature extraction (byte-histogram "
-    "stub standing in for a model forward pass; decoded-pixel "
-    "histogram where PIL exists) -> brute cosine top-10 against a "
-    "probe asset's vector — the retrieve-similar-assets loop of a "
-    "multimodal curation pipeline, composed from the declared "
-    "pieces (fake_assets, extract_features, functions.vectors."
-    "cosine). Plan shape: features are computed in one mapInPandas "
-    "pass; the probe vector is a 16-float driver value broadcast "
-    "into a map-only cosine + TakeOrderedAndProject top-k — ONE "
-    "scan of the asset frame, no self-join, no global sort; at "
-    "100 TB this is the q_similarity_topk shape with the embedding "
-    "column produced inline instead of precomputed. Determinism: "
-    "the stub features are pure functions of payload bytes, so "
-    "row count and membership are stable across runs/engines.",
+    _multimodal_pipeline_oracle_sql(),
+    doc="multimodal END-TO-END composition, ORACLE-EXACT on the "
+    "harness corpus (r11, was rows-only — the stub feature stage is "
+    "exact integer/IEEE arithmetic, and the fake UTF-8 payloads "
+    "never decode as images, so the byte-histogram path is the one "
+    "taken with or without PIL): binary assets -> Arrow-batched "
+    "feature extraction (byte-histogram stub standing in for a "
+    "model forward pass; decoded-pixel histogram where PIL exists "
+    "on REAL image corpora, outside this oracle's scope) -> brute "
+    "cosine top-10 against a probe asset's vector — the "
+    "retrieve-similar-assets loop of a multimodal curation "
+    "pipeline, composed from the declared pieces (fake_assets, "
+    "extract_features, functions.vectors.cosine). Plan shape: "
+    "features are computed in one mapInPandas pass; the probe "
+    "vector is a 16-float driver value broadcast into a map-only "
+    "cosine + TakeOrderedAndProject top-k — ONE scan of the asset "
+    "frame, no self-join, no global sort; at 100 TB this is the "
+    "q_similarity_topk shape with the embedding column produced "
+    "inline instead of precomputed.",
 )
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prueba_tecnica_analista_etl_spark.functions.vectors import (

@@ -1308,3 +1308,100 @@ def test_ivf_index_batch_search_matches_per_query(spark, sf_dir, tmp_path):
         single = ivf_search_index(spark, path, vec, nprobe=3, topk=5)
         want = [(r["vec_id"], r["cos_sim"]) for r in single.collect()]
         assert sorted(got[q_id]) == sorted(want), q_id
+
+
+def test_md5_60_matches_duckdb_parse(spark):
+    """The engine-neutral 60-bit hash (r11, the near-dup family's
+    oracle foundation) must be bit-identical between Spark's
+    conv(substring(md5)) and DuckDB's ('0x'||substr(md5))::BIGINT —
+    pinned on assorted strings including unicode, the empty string,
+    and seeded chunk-order keys, so an oracle regression here is
+    caught by a unit test and not only by end-to-end parity."""
+    import duckdb
+
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        md5_60,
+        sql_md5_60,
+    )
+
+    vals = [
+        "", "a", "abc", "the quick brown fox", "0:42", "3:doc-9",
+        "café au lait", "ñandú 草書", "7:123456789",
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", md5_60(F.col("s")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            f"SELECT {sql_md5_60('?')}", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+        assert 0 <= got[v] < (1 << 60)
+    con.close()
+
+
+def test_minhash_family_int64_safe_and_matches_reference():
+    """The seeded Mersenne-prime minhash family must (a) keep every
+    intermediate strictly inside int64 for ANY 60-bit input — the
+    property that makes it exact in Spark, DuckDB, and the oracle
+    literals — and (b) match an independent big-int reference."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        _LOW30,
+        MINHASH_COEFFS,
+        MINHASH_P,
+    )
+
+    worst = (1 << 60) - 1
+    for a, b, c in MINHASH_COEFFS:
+        assert 1 <= a < (1 << 30) and 1 <= b < (1 << 30)
+        assert 1 <= c < (1 << 30)
+        # worst-case intermediate before the mod
+        assert a * (worst & _LOW30) + b * (worst >> 30) + c < (1 << 63)
+    # independent reference (python big ints never overflow)
+    h = 648541476951500027  # md5_60("abc")
+    a, b, c = MINHASH_COEFFS[3]
+    assert (a * (h & _LOW30) + b * (h >> 30) + c) % MINHASH_P == (
+        (a * (h % (1 << 30)) + b * (h // (1 << 30)) + c)
+        % ((1 << 61) - 1)
+    )
+
+
+def test_capped_chunk_sql_twin_on_oversized_bucket(spark):
+    """capped_pair_array's skew sub-split must equal the oracle's
+    row_number()-over-md5_60 chunking for a bucket LARGER than the
+    cap — the harness corpora rarely exercise oversized buckets, so
+    the subtlest oracle equivalence gets its own synthetic pin: 150
+    one-token docs (one shared min-shingle bucket) through the real
+    q_ngram_jaccard frame vs the generated SQL on the same data."""
+    import duckdb
+
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        _ngram_oracle_sql,
+        ngram_pair_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(150)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard_sim"])
+        for r in ngram_pair_frame(docs).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        docs.toPandas(),
+    )
+    sql = _ngram_oracle_sql().replace("LIMIT 100", "LIMIT 100000")
+    want = sorted(tuple(t) for t in con.execute(sql).fetchall())
+    con.close()
+    # one 150-member bucket: 3 chunks of <=64, intra-chunk pairs only
+    assert len(got) > 0
+    full = 150 * 149 // 2
+    assert len(got) < full, "cap must prune cross-chunk pairs"
+    assert got == want
