@@ -44,17 +44,23 @@ def run_query(df) -> None:
 
 
 def single() -> None:
+    # Bench q_lsh_recall in its 100 TB operating mode (sampled truth,
+    # r9 verdict task 8) — the exact census is the correctness
+    # driver's mode, which never sets this. setdefault: an explicit
+    # caller override wins. The fraction is marked in the payload.
+    # MUST be set BEFORE the registry import: q_lsh_recall's oracle
+    # SQL is generated at import time under the same knob, so setting
+    # it afterwards would leave the engine (call-time read) and the
+    # registered oracle (import-time bake) disagreeing in this
+    # process.
+    os.environ.setdefault("SPARK_GRAFT_LSH_TRUTH_FRACTION", "0.5")
+    lsh_frac = float(os.environ["SPARK_GRAFT_LSH_TRUTH_FRACTION"])
+
     from prueba_tecnica_analista_etl_spark.plans import REGISTRY
     from prueba_tecnica_analista_etl_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
-    # Bench q_lsh_recall in its 100 TB operating mode (sampled truth,
-    # r9 verdict task 8) — the exact census is the correctness
-    # driver's mode, which never sets this. setdefault: an explicit
-    # caller override wins. The fraction is marked in the payload.
-    os.environ.setdefault("SPARK_GRAFT_LSH_TRUTH_FRACTION", "0.5")
-    lsh_frac = float(os.environ["SPARK_GRAFT_LSH_TRUTH_FRACTION"])
     # Record whether this corpus's disk-backed artifact store was
     # already warm when the trial started (r11 honesty flag: with the
     # store, per-corpus builds — IVF index, pair frames, exhaustive

@@ -219,10 +219,20 @@ def artifact_root() -> str | None:
 
 
 def _gc_stale_versions(root: str) -> None:
-    """Remove sibling store roots from OLDER _STORE_VERSIONs (the
-    default layout is .../artifacts-<version>): their artifacts can
-    never be read again — the version bump exists precisely to make
-    them unreachable — so they are pure disk debt."""
+    """Remove sibling store roots from strictly OLDER _STORE_VERSIONs
+    (the default layout is .../artifacts-v<N>): their artifacts can
+    never be read again by THIS revision — the version bump exists
+    precisely to make them unreachable — so they are pure disk debt.
+
+    Strictly-older only, compared numerically: an unparseable or
+    NEWER version is left alone, so a checkout still on v2 sharing a
+    $HOME with one on v3 cannot wipe v3's store out from under it
+    (two revisions that alternate would otherwise each delete the
+    other's store on every run and re-pay all one-time builds)."""
+    m = re.fullmatch(r"v(\d+)", _STORE_VERSION)
+    if m is None:  # defensive: unversioned scheme — prune nothing
+        return
+    mine = int(m.group(1))
     parent, base = os.path.split(os.path.abspath(root))
     if base != f"artifacts-{_STORE_VERSION}":
         return  # custom root via env var: not ours to prune
@@ -231,7 +241,8 @@ def _gc_stale_versions(root: str) -> None:
     except OSError:
         return
     for n in names:
-        if n.startswith("artifacts-") and n != base:
+        sib = re.fullmatch(r"artifacts-v(\d+)", n)
+        if sib and int(sib.group(1)) < mine:
             shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
 
 
@@ -286,9 +297,6 @@ def _evict_superseded_disk(final: str) -> None:
         return
     for n in names:
         if n == base or not n.startswith(prefix):
-            continue
-        stem = n.split(".tmp-", 1)[0]
-        if stem == base and ".tmp-" not in n:
             continue
         if re.fullmatch(re.escape(prefix) + r"[0-9a-f]{8}(\.tmp-.*)?", n):
             shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
@@ -380,9 +388,10 @@ def corpus_artifact(
     :func:`artifact_root` and a later process re-reads it instead of
     rebuilding (the r10 verdict's fresh-process finding). The key
     carries a corpus fingerprint (file sizes + mtimes), so rewriting
-    the corpus under the same path invalidates implicitly. With the
-    disk layer disabled the frame is ``localCheckpoint``-ed instead
-    (lineage truncation is what makes in-session reuse cheap)."""
+    the corpus under the same path invalidates implicitly. The served
+    frame is always ``localCheckpoint``-ed (lineage truncation makes
+    in-session reuse cheap, and a checkpointed frame survives its
+    generation's on-disk files being evicted under a live consumer)."""
     key = (id(spark), sf_dir, name, _corpus_fingerprint(sf_dir))
     with _LOCK:
         for k in [
@@ -407,13 +416,37 @@ def corpus_artifact(
             if root is not None and key[3] != -1:
                 path = _disk_dir(root, sf_dir, name, key[3])
                 df = _frame_disk_read(spark, path)
+                if df is not None:
+                    # Checkpoint the disk copy before serving: the
+                    # returned frame must stay valid even if this
+                    # generation's files are later rmtree'd (corpus
+                    # regeneration publishing a successor, a
+                    # name-scoped clear_artifacts) while a consumer
+                    # still holds it — a live parquet scan would
+                    # throw FileNotFound mid-query. Frames are
+                    # census-sized by design, so the one
+                    # materialization is cheap; a corrupt read
+                    # surfaces HERE (inside the build lock, where we
+                    # can rebuild) instead of lazily in a consumer.
+                    try:
+                        df = df.localCheckpoint()
+                    except Exception:
+                        shutil.rmtree(path, ignore_errors=True)
+                        df = None
             if df is None:
                 built = build()
                 if path is not None and _frame_disk_write(built, path):
-                    # Serve the disk copy: its lineage is a trivial
-                    # scan, and the write already paid the one
-                    # materialization a localCheckpoint would.
-                    df = _frame_disk_read(spark, path)
+                    # Persist for LATER processes; serve this session
+                    # the checkpointed re-read (same robustness as
+                    # above — the write already paid one
+                    # materialization, the checkpoint pays the other
+                    # once per session).
+                    reread = _frame_disk_read(spark, path)
+                    if reread is not None:
+                        try:
+                            df = reread.localCheckpoint()
+                        except Exception:
+                            df = None
                 if df is None:
                     df = built.localCheckpoint()
         finally:
@@ -612,6 +645,13 @@ def clear_artifacts(
                 k for k in _DIR_CACHE if k[2] in (name, f"dir:{name}")
             ]:
                 shutil.rmtree(_DIR_CACHE.pop(key), ignore_errors=True)
+        elif spark is None:
+            # bare drop-ALL must cover every artifact shape: the
+            # no-root dir memo too (its entries are per-process temp
+            # dirs — reclaim them now rather than at exit). A
+            # session-scoped clear leaves them alone: dir artifacts
+            # are session-independent by construction.
+            _cleanup_dir_cache()
     root = artifact_root()
     if root is None:
         return

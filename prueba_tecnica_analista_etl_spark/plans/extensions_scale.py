@@ -4,16 +4,18 @@ band join, shared-minhash, sign-bit hamming) whose cost is one shuffle
 on the bucket key plus per-bucket work.
 
 ORACLE STATUS (r11): the near-dup family (minhash / ngram-jaccard /
-simhash / embed-cosine) and the sign-LSH ANN tier are value-proven
-against generated DuckDB SQL — every hash in their paths is
-engine-neutral by construction (``md5_60`` 60-bit prefixes, the
-Mersenne-prime seeded minhash family over them, integer-grid sign
-bits), so candidate sets, chunked skew splits, and re-rank scores are
-bit-identical across engines.  Still rows-only, each for a stated
-reason: q_ann_ivf (k-means argmax rides unquantized float
-comparisons), q_ann_recall / q_lsh_recall (audit census over the IVF
-tier / engine artifacts), q_corpus_curate (multi-stage pipeline with
-artifact staging), q_multimodal_pipeline (stubbed codec stage).
+simhash / embed-cosine), the sign-LSH ANN tier, and the composites
+built on them (q_corpus_curate — purge fixpoint unrolled in SQL;
+q_lsh_recall — truth and found sides both SQL-expressible;
+q_multimodal_pipeline — exact nibble-histogram stub features) are
+value-proven against generated DuckDB SQL — every hash in their
+paths is engine-neutral by construction (``md5_60`` 60-bit prefixes,
+the Mersenne-prime seeded minhash family over them, integer-grid
+sign bits), so candidate sets, chunked skew splits, and re-rank
+scores are bit-identical across engines.  Still rows-only, one
+stated reason: q_ann_ivf and q_ann_recall — their k-means assignment
+argmax rides unquantized float comparisons, where a cross-engine
+near-tie flip would cascade through the fit.
 """
 
 from __future__ import annotations
@@ -1643,25 +1645,38 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_truth_fraction() -> float:
+    """The q_lsh_recall sampling knob, parsed with fail-open
+    fallbacks (malformed or out-of-range opt-ins must not break plan
+    construction). Snapshotted ONCE at import into
+    ``LSH_TRUTH_FRACTION`` and used by BOTH the query fn and its
+    generated oracle, so the two sides cannot disagree within a
+    process regardless of when a caller mutates the env (bench.py
+    additionally sets it before importing the registry)."""
+    raw = os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0")
+    try:
+        frac = float(raw)
+    except ValueError:
+        return 1.0
+    if not (0.0 < frac <= 1.0):
+        return 1.0
+    return frac
+
+
+LSH_TRUTH_FRACTION = _lsh_truth_fraction()
+
+
 def _lsh_recall_oracle_sql() -> str:
     """DuckDB oracle for the recall census (r11 upgrade from
     rows-only): the truth side is the share-any-shingle exhaustive
     Jaccard census over the same md5_60 shingle hashes (join on h,
     multiplicities matching the engine's per-bucket pair expansion),
     the found side is the shared scored-pairs chain at the 0.5 gate,
-    and the census is one LEFT JOIN + counts. Mirrors the query's
-    SPARK_GRAFT_LSH_TRUTH_FRACTION knob at GENERATION time with the
-    same fallback rules (the driver and parity tests never set it, so
-    the recorded oracle is always the exact fraction-1.0 census; a
-    bench process that sets it imports this module under the same
-    env, so even then the two sides agree)."""
-    raw = os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0")
-    try:
-        frac = float(raw)
-    except ValueError:
-        frac = 1.0
-    if not (0.0 < frac <= 1.0):
-        frac = 1.0
+    and the census is one LEFT JOIN + counts. Built at the
+    import-time ``LSH_TRUTH_FRACTION`` snapshot — the same value the
+    query fn uses (the driver and parity tests never set the env, so
+    the recorded oracle is always the exact fraction-1.0 census)."""
+    frac = LSH_TRUTH_FRACTION
     sample = ""
     if frac < 1.0:
         from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (  # noqa: E501
@@ -1746,20 +1761,16 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The truth tier runs EXACT by default; SPARK_GRAFT_LSH_TRUTH_FRACTION
     opts a run into the documented 100 TB sampling mode (the bench sets
-    0.5 and marks it in its payload; the correctness driver never sets
-    it, so its recorded row is always the exact census). The emitted
+    0.5 BEFORE importing the registry and marks it in its payload; the
+    correctness driver never sets it, so its recorded row is always the
+    exact census). The fraction is the import-time LSH_TRUTH_FRACTION
+    snapshot — the same value baked into the generated oracle, so the
+    two sides cannot diverge within a process. The emitted
     truth_fraction column makes the mode self-describing either way.
     """
-    import os
-
-    raw = os.environ.get("SPARK_GRAFT_LSH_TRUTH_FRACTION", "1.0")
-    try:
-        frac = float(raw)
-    except ValueError:
-        frac = 1.0  # malformed opt-in must not break plan construction
-    if not (0.0 < frac <= 1.0):
-        frac = 1.0  # out-of-range values fall back to the exact census
-    return lsh_recall_frame(spark, sf_dir, truth_sample_fraction=frac)
+    return lsh_recall_frame(
+        spark, sf_dir, truth_sample_fraction=LSH_TRUTH_FRACTION
+    )
 
 
 def lsh_recall_frame(

@@ -23,11 +23,17 @@ def pytest_configure(config):
     tmp-corpus artifacts. The store's own logic (fingerprint keying,
     tmp-then-rename, generation eviction) still runs for real."""
     if "PTAE_ARTIFACT_DIR" not in os.environ:
+        import atexit
+        import shutil
         import tempfile
 
-        os.environ["PTAE_ARTIFACT_DIR"] = tempfile.mkdtemp(
-            prefix="ptae_test_artifacts_"
-        )
+        root = tempfile.mkdtemp(prefix="ptae_test_artifacts_")
+        os.environ["PTAE_ARTIFACT_DIR"] = root
+        # reclaim the populated store at process exit — repeated
+        # local runs would otherwise accumulate unbounded /tmp debt
+        # (the same temp-dir-leak class the r10 ADVICE fix closed in
+        # artifacts.py)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

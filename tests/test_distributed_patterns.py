@@ -808,3 +808,33 @@ def test_misra_gries_all_distinct_and_empty(spark):
     empty = distinct.filter(F.lit(False))
     assert mg_candidates(empty, "k", capacity).count() == 0
     assert frequent_items(empty, "k", capacity).count() == 0
+
+
+def test_gc_stale_versions_prunes_only_strictly_older(tmp_path):
+    """The version GC must remove ONLY strictly-older artifacts-v<N>
+    siblings, compared numerically: a NEWER revision's store (another
+    checkout sharing this $HOME) and unparseable siblings must
+    survive, or two alternating revisions would wipe each other's
+    stores on every run (r11 review finding)."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        _STORE_VERSION,
+        _gc_stale_versions,
+    )
+
+    mine = int(_STORE_VERSION[1:])
+    base = tmp_path / f"artifacts-{_STORE_VERSION}"
+    older = tmp_path / f"artifacts-v{mine - 1}"
+    newer = tmp_path / f"artifacts-v{mine + 7}"
+    # numeric compare matters: lexicographically "v10" < "v9"
+    much_newer = tmp_path / f"artifacts-v{mine * 10}"
+    weird = tmp_path / "artifacts-custom"
+    for d in (base, older, newer, much_newer, weird):
+        os.makedirs(d)
+    _gc_stale_versions(str(base))
+    assert not older.exists(), "strictly older version must be pruned"
+    assert newer.exists(), "newer version must survive"
+    assert much_newer.exists(), "numerically newer must survive"
+    assert weird.exists(), "unparseable sibling must survive"
+    assert base.exists()
