@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 11):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 115 queries (113 oracle-backed + 2
-rows-only), so 65 must sit outside the recorded window in any given
+each round; the registry holds 116 queries (114 oracle-backed + 2
+rows-only), so 66 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -50,15 +50,18 @@ independently-recorded driver result:
   the 64 oracle-backed queries in _ROTATION_OUT (the 21 youngest r9
   greens — they MUST lead the r12 returns — plus the 43 r10 greens,
   one round old) and the one rows-only query recorded in r10
-  (q_ann_ivf — due back by r13).
+  (q_ann_ivf — due back by r13).  One query was added AFTER this
+  window was fixed: q_stream_neardup (the streaming near-dup gate,
+  oracle-backed from birth) sits in _ROTATION_NEW and MUST lead the
+  r12 window.
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  113
+window (or in _ROTATION_NEW, which must lead the NEXT window).  114
 oracle queries across 47 oracle slots/round (and 2 rows-only across
 3) satisfy the bound: each needs a record only once per three windows
-(113 <= 3*47, 2 <= 3*3).
+(114 <= 3*47, 2 <= 3*3).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -222,7 +225,11 @@ _ROTATION_OUT = [
 # lead the r12 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = []
+_ROTATION_NEW: list[str] = [
+    # added late in r11 (oracle-backed from birth — the purge-unroll
+    # oracle over the engine-neutral minhash pairs); MUST lead r12:
+    "q_stream_neardup",
+]
 
 
 def _apply_rotation() -> None:

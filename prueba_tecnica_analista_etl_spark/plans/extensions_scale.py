@@ -250,44 +250,28 @@ def capped_pair_array(
     )
 
 
-def minhash_pair_frame(
+def minhash_band_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.5,
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Generic banded-minhash near-dup pair detection over ANY
-    (id, text) DataFrame — the user-facing operator API behind the
-    ``documents``-table queries (``minhash_pairs`` below is this at
-    the harness defaults). Emits every ordered pair (doc_a < doc_b)
-    with exact Jaccard ≥ ``threshold`` over ``shingle_n``-token
-    shingles, candidate-generated by ``bands``×``rows`` banded LSH
-    (recall at similarity s ≈ 1-(1-s^rows)^bands — tune the split to
-    the target threshold). Output columns are always
-    (doc_a, doc_b, jaccard_sim) regardless of ``id_col``."""
+    """Per-doc banded minhash signature frame — ``(doc_id, hs, band,
+    key)`` with one row per (doc, band), ``hs`` the sorted distinct
+    md5_60 shingle hashes and ``key`` the band's struct of row minima
+    (engine-neutral end-to-end; see MINHASH_P). The shared candidate
+    source for :func:`minhash_pair_frame` (all-pairs batch) and the
+    streaming near-dup gate (probe vs accepted index): both join on
+    the plain (band, key) columns."""
     n_hashes = bands * rows
     coeffs = _minhash_coeffs(n_hashes)
-    # Shingle once, hash once: every downstream step (minhashes, band
-    # keys, exact re-rank) works on the array<long> of shingle hashes,
-    # so the expensive string shingling is built exactly once and the
-    # whole query is ONE shuffle (the band-key groupBy). Jaccard over
-    # hashed shingles equals Jaccard over shingles up to md5_60
-    # collisions (P ≈ |sh|²·2⁻⁶⁰ per doc — negligible).
     d = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(tokens(F.col(text_col)), shingle_n).alias("hs"),
     )
-    # Seeded minhash family (engine-neutral Mersenne-prime
-    # multiply-shift over the 60-bit md5 prefix — see MINHASH_P). The
-    # transform lambda MUST take exactly one parameter: PySpark
-    # inspects lambda arity and passes (element, index) to a
-    # two-parameter function, so the `lambda h, j=j:` idiom silently
-    # rebinds the seed to the array index — collapsing all n_hashes
-    # "independent" hash functions into one and destroying banded-LSH
-    # recall. Bind the coefficients via an outer closure instead.
+
     def _seeded_min(j: int):
         a, b, c = coeffs[j]
         return F.array_min(
@@ -303,11 +287,7 @@ def minhash_pair_frame(
         ).alias(f"mh{j}")
 
     sig = d.select("doc_id", "hs", *[_seeded_min(j) for j in range(n_hashes)])
-    # Band key = the row minima THEMSELVES as a struct (not a combiner
-    # hash): equality of the struct == equality of all `rows` minima,
-    # and a SQL oracle joins on the plain columns — no cross-engine
-    # combiner function needed.
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         "hs",
         F.explode(
@@ -327,6 +307,49 @@ def minhash_pair_frame(
             )
         ).alias("bk"),
     ).select("doc_id", "hs", "bk.band", "bk.key")
+
+
+def minhash_pair_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Generic banded-minhash near-dup pair detection over ANY
+    (id, text) DataFrame — the user-facing operator API behind the
+    ``documents``-table queries (``minhash_pairs`` below is this at
+    the harness defaults). Emits every ordered pair (doc_a < doc_b)
+    with exact Jaccard ≥ ``threshold`` over ``shingle_n``-token
+    shingles, candidate-generated by ``bands``×``rows`` banded LSH
+    (recall at similarity s ≈ 1-(1-s^rows)^bands — tune the split to
+    the target threshold). Output columns are always
+    (doc_a, doc_b, jaccard_sim) regardless of ``id_col``.
+
+    Shingle once, hash once: every downstream step (minhashes, band
+    keys, exact re-rank) works on the array<long> of shingle hashes,
+    so the expensive string shingling is built exactly once and the
+    whole query is ONE shuffle (the band-key groupBy). Jaccard over
+    hashed shingles equals Jaccard over shingles up to md5_60
+    collisions (P ≈ |sh|²·2⁻⁶⁰ per doc — negligible). The seeded
+    family lives in :func:`minhash_band_frame` — NB its historical
+    trap: a two-parameter transform lambda would silently rebind the
+    seed to the array index (PySpark passes (element, index)),
+    collapsing all hash functions into one; the coefficients bind via
+    an outer closure. Band key = the row minima THEMSELVES as a
+    struct (not a combiner hash): equality of the struct == equality
+    of all ``rows`` minima, and a SQL oracle joins on the plain
+    columns — no cross-engine combiner function needed."""
+    banded = minhash_band_frame(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        bands=bands,
+        rows=rows,
+        shingle_n=shingle_n,
+    )
     small = (
         banded.groupBy("band", "key")
         .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
@@ -1643,6 +1666,111 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(target, DATA)).select(
         "user_id", "event_id", "value"
     )
+
+
+def _stream_neardup_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB oracle for the streaming near-dup gate. The drained
+    accepted set equals the batch greedy min-id survivor FIXPOINT
+    over the full corpus (arrival order == id order by construction:
+    range-partitioned replay on doc_id), and the fixpoint is the
+    q_corpus_curate purge recursion unrolled — here to ``rounds`` = 8
+    with NO enforcement pass: the stream computes the exact greedy
+    set, and once the unroll reaches the corpus's alternating-chain
+    depth the iterate IS the fixpoint (measured depth 2 at
+    sf0.001/0.01/0.1 — near-dup families are cliques — so 8 is a 4×
+    margin; a corpus with chains deeper than 8 would need the bound
+    raised, and the stream-vs-batch parity test measures the depth
+    every run). No quality gate and no exact-dedup stage here — the
+    gate admits everything that is not a near-dup of an accepted
+    doc; byte-identical texts are jaccard-1.0 pairs and fall out of
+    the same rule."""
+    alive = ["ep"]
+    cte_rounds = []
+    for k in range(1, rounds + 1):
+        cte_rounds.append(
+            f"a{k} AS MATERIALIZED (SELECT doc_id FROM ep EXCEPT "
+            f"SELECT r.doc_b FROM ap r "
+            f"JOIN {alive[-1]} x ON x.doc_id = r.doc_a)"
+        )
+        alive.append(f"a{k}")
+    last = alive[-1]
+    rounds_sql = ",\n    ".join(cte_rounds)
+    return f"""
+    WITH {_minhash_scored_pairs_cte()},
+    ap AS MATERIALIZED (SELECT doc_a, doc_b FROM j WHERE _j >= 0.5),
+    ep AS MATERIALIZED (SELECT doc_a AS doc_id FROM ap
+                        UNION SELECT doc_b FROM ap),
+    {rounds_sql},
+    dr AS (SELECT doc_id FROM ep EXCEPT SELECT doc_id FROM {last})
+    SELECT d.doc_id, d.lang FROM documents d
+    LEFT JOIN dr ON dr.doc_id = d.doc_id
+    WHERE dr.doc_id IS NULL
+    """
+
+
+@query(
+    "q_stream_neardup",
+    _stream_neardup_oracle_sql(),
+    doc="STREAMING near-dup gate, ORACLE-EXACT (new in r11 — the "
+    "engine-neutral minhash family makes even the streaming tier "
+    "value-provable): documents replayed in id order through a "
+    "foreachBatch gate that admits a doc only if no ALREADY-ACCEPTED "
+    "doc is a near-dup (exact Jaccard >= 0.5 over md5_60 shingle "
+    "hashes, candidates via the banded-signature index probe) and "
+    "applies the greedy min-id survivor rule within each batch — "
+    "the feed-curation twin of the at-rest q_corpus_curate purge. "
+    "Accepted index = append-only parquet of banded signature rows, "
+    "one dir per committed batch (tmp-then-rename = idempotency "
+    "ledger; replays are no-ops). Drained result == the batch greedy "
+    "fixpoint, so the oracle is the purge recursion unrolled (8 "
+    "rounds, 4x the measured corpus chain depth). Scale: per batch "
+    "one signature pass + one (band,key) index probe + an intra-"
+    "batch purge over candidate pairs — the accepted corpus is "
+    "touched only through its signature index, never its text.",
+)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.streaming.neardup import (
+        accepted_ids,
+        foreach_batch_neardup_gate,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.windows import (
+        _cross_process_lock,
+    )
+
+    data_dir, schema = write_replay_files(
+        spark, sf_dir, "documents", n_files=4, time_col="doc_id"
+    )
+    s = ensure_runtime_conf(spark.newSession())
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    state_root = os.path.join(
+        os.path.dirname(data_dir), "_sinks", "q_stream_neardup"
+    )
+    os.makedirs(state_root, exist_ok=True)
+    index_dir = os.path.join(state_root, "index")
+    ckpt = os.path.join(state_root, "ckpt")
+    with _CDC_LOCK:
+        run_lock = _CDC_RUN_LOCKS.setdefault(state_root, threading.Lock())
+    with run_lock, _cross_process_lock(os.path.join(state_root, ".lock")):
+        stream = replay_as_stream(
+            s, data_dir, schema, max_files_per_trigger=2
+        ).select("doc_id", "text")
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_neardup_gate(
+                    index_dir,
+                    band_frame=minhash_band_frame,
+                    pair_frame=minhash_pair_frame,
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return _t(spark, sf_dir, "documents").join(
+        accepted_ids(spark, index_dir), "doc_id", "left_semi"
+    ).select("doc_id", "lang")
 
 
 def _lsh_truth_fraction() -> float:

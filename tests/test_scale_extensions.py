@@ -1405,3 +1405,43 @@ def test_capped_chunk_sql_twin_on_oversized_bucket(spark):
     full = 150 * 149 // 2
     assert len(got) < full, "cap must prune cross-chunk pairs"
     assert got == want
+
+
+def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
+    """The streaming near-dup gate's drained accepted set must equal
+    the batch greedy min-id survivor FIXPOINT (near_dup_purge_stable)
+    over the same corpus and pair frame — the sequential-equivalence
+    claim its oracle rests on — and re-invoking the query must be a
+    fixpoint (the committed-batch ledger makes replays no-ops). The
+    audit also guards the oracle's unroll margin: the measured
+    alternating-chain depth must stay well inside the 8 rounds the
+    generated SQL unrolls."""
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        near_dup_purge_stable,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        minhash_pairs,
+    )
+
+    got = {
+        r["doc_id"]
+        for r in REGISTRY["q_stream_neardup"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    surv, audit = near_dup_purge_stable(
+        docs, minhash_pairs(spark, sf_dir)
+    )
+    want = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert got == want
+    assert audit["enforcement_over_purged"] == 0
+    assert audit["purge_rounds"] <= 8, (
+        "corpus chain depth exceeds the oracle's unroll margin — "
+        "raise _stream_neardup_oracle_sql(rounds=...)"
+    )
+    # replay fixpoint: a second drain applies zero batches and
+    # returns the identical accepted set
+    again = {
+        r["doc_id"]
+        for r in REGISTRY["q_stream_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert again == got
