@@ -91,7 +91,10 @@ _DIR_CACHE: dict[tuple, str] = {}
 # v3: the near-dup family moved from xxhash64 to engine-neutral
 #     md5_60 hashing (r11 minhash/simhash/ngram oracle upgrades) —
 #     cached minhash-pair and LSH-truth artifacts changed meaning.
-_STORE_VERSION = "v3"
+# v4: the streaming near-dup gate's accepted index (rooted inside the
+#     documents landing-dir artifact) split into keys/docs frames —
+#     a v3 landing dir would resume a sink in the old flat layout.
+_STORE_VERSION = "v4"
 
 # Disk store root override / kill-switch. Unset -> a per-user cache
 # dir; set to a path -> that path; set to "" -> disk layer disabled

@@ -153,7 +153,7 @@ def capped_pair_array(
     payload_field: str,
     a_name: str,
     b_name: str,
-    cap: int = BUCKET_CAP,
+    cap: int | None = BUCKET_CAP,
     seed: int = 7,
     seed_col=None,
 ):
@@ -207,6 +207,13 @@ def capped_pair_array(
             m[id_field].alias("_id"), m[payload_field].alias("_p")
         ),
     )
+    # cap=None: UNCAPPED all-pairs expansion — for consumers whose
+    # contract is exhaustive within the bucket (the streaming near-dup
+    # gate: admitting a doc because its match sat in another chunk
+    # would be a quality bug, and its per-unit work is bounded by the
+    # micro-batch, not the bucket).
+    if cap is None:
+        return expand(plain)
     chunk_seed = F.lit(seed) if seed_col is None else seed_col
     # Secondary chunk-order hash: md5_60 of "<seed>:<id>" — engine-
     # neutral (r11, was xxhash64), so an oracle reproduces the exact
@@ -317,6 +324,7 @@ def minhash_pair_frame(
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
     shingle_n: int = 3,
+    cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Generic banded-minhash near-dup pair detection over ANY
     (id, text) DataFrame — the user-facing operator API behind the
@@ -350,6 +358,21 @@ def minhash_pair_frame(
         rows=rows,
         shingle_n=shingle_n,
     )
+    return pairs_from_band_frame(banded, threshold=threshold, cap=cap)
+
+
+def pairs_from_band_frame(
+    banded: DataFrame,
+    threshold: float = 0.5,
+    cap: int | None = BUCKET_CAP,
+) -> DataFrame:
+    """The second half of :func:`minhash_pair_frame`: scored near-dup
+    pairs from an already-built banded signature frame ``(doc_id, hs,
+    band, key)``. Split out so consumers that ALREADY hold the banded
+    frame (the streaming gate localCheckpoints it for its index
+    probe) derive intra-frame pairs without re-running the
+    shingle/minhash pipeline. ``cap=None`` disables the skew
+    chunking (exhaustive within each bucket — the gate's contract)."""
     small = (
         banded.groupBy("band", "key")
         .agg(F.collect_list(F.struct("doc_id", "hs")).alias("docs"))
@@ -364,6 +387,7 @@ def minhash_pair_frame(
                     "hs",
                     "doc_a",
                     "doc_b",
+                    cap=cap,
                     seed_col=F.col("band"),
                 )
             ).alias("p")
@@ -398,19 +422,24 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pair_frame(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_scored_pairs_cte() -> str:
+def _minhash_scored_pairs_cte(capped: bool = True) -> str:
     """Shared oracle CTE chain ending in ``j`` (doc_a, doc_b, _j) —
-    the UNCAPPED banded-minhash candidate pairs with exact Jaccard,
-    i.e. the SQL twin of :func:`minhash_pair_frame` before its
-    threshold gate. Every stage is engine-neutral by construction:
-    shingle hashes are md5_60 prefixes, the 12 seeded minima are the
-    embedded-literal Mersenne-prime family (exact int64 arithmetic),
-    band keys are the raw minima triples (joined on plain columns, no
-    combiner hash), skew chunks replay the md5_60 secondary order,
-    and the Jaccard re-rank counts DISTINCT shared hashes (==
-    array_intersect/array_union over the engine's distinct-by-string
-    hash arrays). Consumers: q_minhash_dedup (threshold + top-100),
-    q_corpus_curate (purge input), q_lsh_recall (found side)."""
+    the banded-minhash candidate pairs with exact Jaccard, i.e. the
+    SQL twin of :func:`minhash_pair_frame` before its threshold gate.
+    Every stage is engine-neutral by construction: shingle hashes are
+    md5_60 prefixes, the 12 seeded minima are the embedded-literal
+    Mersenne-prime family (exact int64 arithmetic), band keys are the
+    raw minima triples (joined on plain columns, no combiner hash),
+    skew chunks replay the md5_60 secondary order, and the Jaccard
+    re-rank counts DISTINCT shared hashes (== array_intersect/
+    array_union over the engine's distinct-by-string hash arrays).
+    ``capped=False`` omits the chunk split — the twin of
+    ``pairs_from_band_frame(cap=None)``, which the streaming gate's
+    oracle needs (an incremental consumer cannot reproduce chunk
+    boundaries that depend on the FINAL bucket membership).
+    Consumers: q_minhash_dedup (threshold + top-100, capped),
+    q_corpus_curate (purge input, capped), q_lsh_recall (found side,
+    capped), q_stream_neardup (uncapped)."""
     rows, bands = MINHASH_ROWS, MINHASH_BANDS
 
     def mh(j: int) -> str:
@@ -431,15 +460,24 @@ def _minhash_scored_pairs_cte() -> str:
     )
     keys = ", ".join(f"k{r}" for r in range(rows))
     keyeq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(rows))
-    chunk = _sql_chunk(f"band, {keys}", "band", "doc_id")
+    if capped:
+        chunk = _sql_chunk(f"band, {keys}", "band", "doc_id")
+        r_cte = (
+            f"r AS (SELECT doc_id, band, {keys}, {chunk} AS chunk "
+            "FROM bk)"
+        )
+        chunk_eq = " AND a.chunk = b.chunk"
+    else:
+        r_cte = f"r AS (SELECT doc_id, band, {keys} FROM bk)"
+        chunk_eq = ""
     return f"""{_sql_doc_shingle_cte(3)},
     mins AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
     bk AS ({bk}),
-    r AS (SELECT doc_id, band, {keys}, {chunk} AS chunk FROM bk),
+    {r_cte},
     p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM r a JOIN r b
-            ON a.band = b.band AND {keyeq}
-           AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+            ON a.band = b.band AND {keyeq}{chunk_eq}
+           AND a.doc_id < b.doc_id),
     sz AS (SELECT doc_id, count(DISTINCT h) AS n FROM hs GROUP BY doc_id),
     iv AS (SELECT p.doc_a, p.doc_b, count(DISTINCT ha.h) AS shared
            FROM p
@@ -1680,10 +1718,15 @@ def _stream_neardup_oracle_sql(rounds: int = 8) -> str:
     sf0.001/0.01/0.1 — near-dup families are cliques — so 8 is a 4×
     margin; a corpus with chains deeper than 8 would need the bound
     raised, and the stream-vs-batch parity test measures the depth
-    every run). No quality gate and no exact-dedup stage here — the
-    gate admits everything that is not a near-dup of an accepted
-    doc; byte-identical texts are jaccard-1.0 pairs and fall out of
-    the same rule."""
+    every run). Pairs are the UNCAPPED CTE variant: the gate's
+    contract is exhaustive-within-bucket — admitting a doc because
+    its accepted match sat in another skew chunk would be a quality
+    bug, and an incremental consumer could not reproduce chunk
+    boundaries that depend on FINAL bucket membership anyway. No
+    quality gate and no exact-dedup stage here — the gate admits
+    everything that is not a near-dup of an accepted doc;
+    byte-identical texts are jaccard-1.0 pairs and fall out of the
+    same rule."""
     alive = ["ep"]
     cte_rounds = []
     for k in range(1, rounds + 1):
@@ -1696,7 +1739,7 @@ def _stream_neardup_oracle_sql(rounds: int = 8) -> str:
     last = alive[-1]
     rounds_sql = ",\n    ".join(cte_rounds)
     return f"""
-    WITH {_minhash_scored_pairs_cte()},
+    WITH {_minhash_scored_pairs_cte(capped=False)},
     ap AS MATERIALIZED (SELECT doc_a, doc_b FROM j WHERE _j >= 0.5),
     ep AS MATERIALIZED (SELECT doc_a AS doc_id FROM ap
                         UNION SELECT doc_b FROM ap),
@@ -1719,19 +1762,25 @@ def _stream_neardup_oracle_sql(rounds: int = 8) -> str:
     "hashes, candidates via the banded-signature index probe) and "
     "applies the greedy min-id survivor rule within each batch — "
     "the feed-curation twin of the at-rest q_corpus_curate purge. "
-    "Accepted index = append-only parquet of banded signature rows, "
-    "one dir per committed batch (tmp-then-rename = idempotency "
-    "ledger; replays are no-ops). Drained result == the batch greedy "
-    "fixpoint, so the oracle is the purge recursion unrolled (8 "
-    "rounds, 4x the measured corpus chain depth). Scale: per batch "
-    "one signature pass + one (band,key) index probe + an intra-"
-    "batch purge over candidate pairs — the accepted corpus is "
+    "Accepted index = append-only parquet, one dir per committed "
+    "batch (tmp-then-rename = idempotency ledger; replays are "
+    "no-ops), split into keys (doc_id, band, key) and docs (doc_id, "
+    "hs) frames so the shingle-hash array is stored once per doc, "
+    "not once per band. Candidates are UNCAPPED within a bucket — a "
+    "gate that admitted a doc because its match sat in another skew "
+    "chunk would be a quality bug — so the oracle uses the uncapped "
+    "pair CTE. Drained result == the batch greedy fixpoint; the "
+    "oracle is the purge recursion unrolled (8 rounds, 4x the "
+    "measured corpus chain depth). Scale: per batch ONE signature "
+    "pass (checkpointed, reused by probe + intra-batch purge + "
+    "append) + one (band,key) index probe — the accepted corpus is "
     "touched only through its signature index, never its text.",
 )
 def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prueba_tecnica_analista_etl_spark.streaming.neardup import (
         accepted_ids,
         foreach_batch_neardup_gate,
+        sweep_orphan_tmps,
     )
     from prueba_tecnica_analista_etl_spark.streaming.windows import (
         _cross_process_lock,
@@ -1751,6 +1800,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _CDC_LOCK:
         run_lock = _CDC_RUN_LOCKS.setdefault(state_root, threading.Lock())
     with run_lock, _cross_process_lock(os.path.join(state_root, ".lock")):
+        sweep_orphan_tmps(index_dir)
         stream = replay_as_stream(
             s, data_dir, schema, max_files_per_trigger=2
         ).select("doc_id", "text")
@@ -1759,7 +1809,14 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 foreach_batch_neardup_gate(
                     index_dir,
                     band_frame=minhash_band_frame,
-                    pair_frame=minhash_pair_frame,
+                    # cap=None: the gate is exhaustive within a
+                    # bucket (see the module/oracle notes); one
+                    # threshold governs probe AND intra-batch purge
+                    pairs_from_bands=lambda banded, thr: (
+                        pairs_from_band_frame(
+                            banded, threshold=thr, cap=None
+                        )
+                    ),
                 )
             )
             .outputMode("update")

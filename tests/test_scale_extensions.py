@@ -1420,7 +1420,7 @@ def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
         near_dup_purge_stable,
     )
     from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
-        minhash_pairs,
+        minhash_pair_frame,
     )
 
     got = {
@@ -1428,8 +1428,11 @@ def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
         for r in REGISTRY["q_stream_neardup"].fn(spark, sf_dir).collect()
     }
     docs = load_table(spark, sf_dir, "documents")
+    # UNCAPPED pair frame: the gate's contract is exhaustive within a
+    # bucket (the at-rest tiers' skew chunking is an output-bounding
+    # device the gate deliberately does not inherit)
     surv, audit = near_dup_purge_stable(
-        docs, minhash_pairs(spark, sf_dir)
+        docs, minhash_pair_frame(docs, cap=None)
     )
     want = {r["doc_id"] for r in surv.select("doc_id").collect()}
     assert got == want
@@ -1445,3 +1448,38 @@ def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
         for r in REGISTRY["q_stream_neardup"].fn(spark, sf_dir).collect()
     }
     assert again == got
+
+
+def test_stream_neardup_uncapped_on_oversized_bucket(spark, tmp_path):
+    """A dup family LARGER than BUCKET_CAP must collapse to exactly
+    ONE survivor through the gate — the uncapped-within-bucket
+    contract. The capped at-rest pair frame would keep one survivor
+    per skew chunk (several), so this pins the deliberate semantic
+    difference between the gate and the chunked batch tiers, AND
+    pins the gate's oracle (uncapped purge unroll) on the same
+    corpus."""
+    import duckdb
+
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        BUCKET_CAP,
+    )
+
+    n = 2 * BUCKET_CAP + 22  # 150: three skew chunks in the capped tier
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact text repeated in every document row").alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit(50).alias("n_chars"),
+    )
+    skew_dir = str(tmp_path / "skew_sf")
+    docs.write.parquet(f"{skew_dir}/documents.parquet")
+    out = REGISTRY["q_stream_neardup"].fn(spark, skew_dir).collect()
+    assert [(r["doc_id"], r["lang"]) for r in out] == [(0, "en")]
+    # the registered oracle agrees on the same synthetic corpus
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute(REGISTRY["q_stream_neardup"].oracle).fetchall()
+    con.close()
+    assert want == [(0, "en")]
