@@ -1,6 +1,6 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 11):
+Registry-order note (transparent rotation, round 12):
 
 The external correctness harness records the FIRST 50 registry entries
 each round; the registry holds 116 queries (114 oracle-backed + 2
@@ -25,43 +25,35 @@ independently-recorded driver result:
   nine r7-stale queries and the oldest 30 r8 greens, and recorded the
   seven rows-only pipelines — the third consecutive zero-failure
   window (43 oracle green + 7 rows>0);
-* round 11 (this rotation) leads with the FOUR queries the r10
-  rotation promised the first slots (q_stream_heavy_hitters and
-  q_group_safe_split, added mid-r10; q_stream_dedupe and
-  q_stream_sessionize, upgraded rows-only→oracle mid-r10 — none has
-  an oracle-grade driver record yet), then the EIGHT rows-only→
-  oracle upgrades of THIS round — q_ann_lsh (engine-neutral
-  integer-grid sign-LSH signature), the near-dup family
-  q_minhash_dedup / q_ngram_jaccard / q_simhash_dedup /
-  q_embed_neardup (engine-neutral md5_60 hashing end-to-end, so
-  candidate sets, skew chunks, and re-rank scores are
-  SQL-checkable), the composites the same switch lifted:
-  q_corpus_curate (purge fixpoint unrolled in SQL) and q_lsh_recall
-  (truth and found sides both SQL-expressible), and
-  q_multimodal_pipeline (the stub feature stage is exact
-  nibble-histogram arithmetic on the fake-asset corpus) — then the
-  13 queries whose newest green is r8 (the staleness boundary: a
-  third round without a record would breach the two-round bound).
-  The one rows-only slot takes q_ann_recall (r9 record, at its
-  boundary next round; stays rows-only because its IVF tier rides
-  unquantized float argmax).  The remaining 24 oracle slots return
-  the oldest 24 of the 45 r9-green oracle queries.
-  Paying for those 50 in-slots:
-  the 64 oracle-backed queries in _ROTATION_OUT (the 21 youngest r9
-  greens — they MUST lead the r12 returns — plus the 43 r10 greens,
-  one round old) and the one rows-only query recorded in r10
-  (q_ann_ivf — due back by r13).  One query was added AFTER this
-  window was fixed: q_stream_neardup (the streaming near-dup gate,
-  oracle-backed from birth) sits in _ROTATION_NEW and MUST lead the
-  r12 window.
+* round 11 led with the four queries the r10 rotation promised the
+  first slots, then the eight rows-only→oracle upgrades of that
+  round (q_ann_lsh and the whole near-dup/curate/recall family via
+  engine-neutral md5_60 / integer-grid hashing), then the 13
+  r8-stale queries; the one rows-only slot took q_ann_recall — the
+  fourth consecutive zero-failure window (49 oracle green +
+  1 rows>0);
+* round 12 (this rotation) leads with q_stream_neardup (the
+  streaming near-dup gate, oracle-backed from birth, added after
+  the r11 window froze — the r11 _ROTATION_NEW promise, zero
+  records anywhere), then the 21 queries whose newest green is r9
+  (two rounds old at r11; a third unrecorded round would breach the
+  staleness bound).  The one rows-only slot takes q_ann_ivf (r10
+  record, at its boundary next round; stays rows-only because its
+  IVF tier rides unquantized float argmax).  The remaining 27
+  oracle slots return the oldest 27 of the 43 r10-green oracle
+  queries.  Paying for those 50 in-slots: the 65 oracle-backed
+  queries in _ROTATION_OUT (the 16 youngest r10 greens — they MUST
+  lead the r13 returns — plus the 49 r11 greens, one round old) and
+  the one rows-only query recorded in r11 (q_ann_recall — due back
+  by r14).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
 window (or in _ROTATION_NEW, which must lead the NEXT window).  114
-oracle queries across 47 oracle slots/round (and 2 rows-only across
-3) satisfy the bound: each needs a record only once per three windows
-(114 <= 3*47, 2 <= 3*3).
+oracle queries across 49 oracle slots/round (and 2 rows-only across
+1) satisfy the bound: each needs a record only once per three windows
+(114 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -87,76 +79,21 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# LEAD the window: first the four oracle-backed queries the r10
-# rotation promised the first r11 slots (no oracle-grade driver record
-# anywhere), then q_ann_lsh (upgraded rows-only→oracle this round —
-# its prior rows>0 records do not count for an oracle-backed spec),
-# then the 13 queries whose newest green is r8 (two rounds old at r10;
-# three at r11 unless recorded now).  First in the recorded order so a
-# partial driver run still certifies them.
+# LEAD the window: first q_stream_neardup — the r11 _ROTATION_NEW
+# promise (oracle-backed from birth, zero driver records anywhere) —
+# then the 21 queries whose newest green is r9 (two rounds old at the
+# r11 artifact; a third unrecorded round would breach the staleness
+# bound).  First in the recorded order so a partial driver run still
+# certifies them.
 _ROTATION_FIRST = [
-    # the r10 _ROTATION_NEW promise — no oracle-grade record yet:
-    "q_stream_heavy_hitters",
-    "q_group_safe_split",
-    "q_stream_dedupe",
-    "q_stream_sessionize",
-    # upgraded rows-only→oracle this round (r11) — q_ann_lsh via the
-    # integer-grid sign signature; the near-dup family via
-    # engine-neutral md5_60 hashing (seeded Mersenne-prime minhash
-    # family, SQL-folded simhash majority, md5_60 skew-chunk order):
-    "q_ann_lsh",
-    "q_minhash_dedup",
-    "q_ngram_jaccard",
-    "q_simhash_dedup",
-    "q_embed_neardup",
-    # composites lifted by the same md5_60 switch (the curate purge
-    # fixpoint unrolled in SQL; the recall census's truth AND found
-    # sides both SQL-expressible) — previously in _ROWS_ONLY_IN:
-    "q_corpus_curate",
-    "q_lsh_recall",
-    # the stub feature stage is exact nibble-histogram arithmetic on
-    # the fake-asset corpus (payloads never decode as images), so the
-    # retrieve-similar pipeline is SQL-checkable too:
-    "q_multimodal_pipeline",
-    # newest green r8 — the staleness boundary:
-    "q_similarity_topk",
-    "q_winnow_fingerprint",
-    "q_ann_batch",
-    "q_token_histogram",
-    "q_bm25",
-    "q_unigram_logprob",
-    "q_perplexity_buckets",
-    "q_tfidf",
-    "q_source_priority_dedup",
-    "q_train_val_split",
-    "q_length_histogram",
-    "q_decontaminate",
-    "q_multimodal_meta",
-]
-
-# Rows-only queries recorded this round: of the three r9-recorded
-# audits/pipelines due back now, two (q_lsh_recall, q_corpus_curate)
-# were upgraded to oracle-backed mid-round and moved to
-# _ROTATION_FIRST; q_ann_recall stays rows-only (its IVF tier rides
-# unquantized float argmax) and takes the rows-only slot.
-_ROWS_ONLY_IN = [
-    "q_ann_recall",
-]
-
-# OUT this round — 64 oracle-backed queries: the 21 youngest r9 greens
-# (two rounds old at r11; they MUST lead the r12 oracle returns — at
-# r12 their newest green would otherwise be three rounds old) plus the
-# 43 queries recorded green in CORRECTNESS_r10.json (one round old).
-_ROTATION_OUT = [
-    # newest green r9, displaced by the r11 oracle upgrades (which
-    # have no oracle-grade record at all and take priority) — these
-    # five MUST also lead the r12 returns:
+    # the r11 _ROTATION_NEW promise — no driver record yet:
+    "q_stream_neardup",
+    # newest green r9 — the staleness boundary:
     "q_eval_auc",
     "q_ks_distance",
     "q_calibration_bins",
     "q_eval_auc_daily",
     "q_rolling_distinct",
-    # newest green r9 — first in line for r12:
     "q_retention",
     "q_lang_stats",
     "q_text_tokens",
@@ -173,34 +110,22 @@ _ROTATION_OUT = [
     "q_dup_clusters",
     "q_mixture_sample",
     "q_group_sample",
-    # newest green r10 (the full r10 oracle window):
-    "q_eval_topk_precision",
-    "q_dup_exposure",
-    "q_local_supplier_revenue",
-    "q_heavy_hitters",
-    "q_filter_predicate",
-    "q_union_all",
-    "q_count_distinct",
-    "q_having_dups",
-    "q_sort_limit",
-    "q_case_when_check",
-    "q_string_clean",
-    "q_try_cast_json",
-    "q_split_part",
-    "q_scan_project",
-    "q_groupby_count_sum",
-    "q_groupby_rollup",
-    "q_top_duplicates",
-    "q_pivot_wide",
-    "q_dedup_keep_first",
-    "q_inner_join",
-    "q_upsert_merge",
-    "q_window_rownum",
-    "q_regex_validate",
-    "q_tumbling_window",
-    "q_cube",
-    "q_intersect_except",
-    "q_sliding_window",
+]
+
+# Rows-only queries recorded this round: q_ann_ivf (newest record r10,
+# at its two-round boundary; stays rows-only because its IVF tier
+# rides unquantized float argmax).  q_ann_recall was recorded in r11
+# and sits out until r14.
+_ROWS_ONLY_IN = [
+    "q_ann_ivf",
+]
+
+# OUT this round — 65 oracle-backed queries: the 16 youngest r10
+# greens (two rounds old at r12; they MUST lead the r13 returns — at
+# r13 their newest green would otherwise be three rounds old) plus the
+# 49 queries recorded green in CORRECTNESS_r11.json (one round old).
+_ROTATION_OUT = [
+    # newest green r10 — first in line for r13:
     "q_asof_join",
     "q_stratified_sample",
     "q_text_ratios",
@@ -217,19 +142,65 @@ _ROTATION_OUT = [
     "q_lang_id",
     "q_doc_fingerprint",
     "q_stream_cdc_apply",
+    # newest green r11 (the full r11 oracle window):
+    "q_stream_heavy_hitters",
+    "q_group_safe_split",
+    "q_stream_dedupe",
+    "q_stream_sessionize",
+    "q_ann_lsh",
+    "q_minhash_dedup",
+    "q_ngram_jaccard",
+    "q_simhash_dedup",
+    "q_embed_neardup",
+    "q_corpus_curate",
+    "q_lsh_recall",
+    "q_multimodal_pipeline",
+    "q_similarity_topk",
+    "q_winnow_fingerprint",
+    "q_ann_batch",
+    "q_token_histogram",
+    "q_bm25",
+    "q_unigram_logprob",
+    "q_perplexity_buckets",
+    "q_tfidf",
+    "q_source_priority_dedup",
+    "q_train_val_split",
+    "q_length_histogram",
+    "q_decontaminate",
+    "q_multimodal_meta",
+    "q_semi_join",
+    "q_anti_join",
+    "q_ref_integrity",
+    "q_window_running_sum",
+    "q_null_range_checks",
+    "q_profile_stats",
+    "q_volume_by_day",
+    "q_sessionize_batch",
+    "q_scd2",
+    "q_snapshot_diff",
+    "q_trailing_window",
+    "q_funnel",
+    "q_bpe_pairs",
+    "q_source_divergence",
+    "q_split_leakage",
+    "q_neardup_scores",
+    "q_global_rank",
+    "q_train_order",
+    "q_incremental_agg_merge",
+    "q_bloom_semi_join",
+    "q_winsorize",
+    "q_inverted_index",
+    "q_filter_funnel",
+    "q_unpivot_long",
 ]
 
-# Oracle-backed queries added AFTER the r11 window was fixed — zero
+# Oracle-backed queries added AFTER the r12 window was fixed — zero
 # records anywhere yet, so they cannot displace a window slot promised
 # above.  Placed directly after the rotated-out queries; they MUST
-# lead the r12 window (tests/test_doc_consistency.py exempts exactly
+# lead the r13 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = [
-    # added late in r11 (oracle-backed from birth — the purge-unroll
-    # oracle over the engine-neutral minhash pairs); MUST lead r12:
-    "q_stream_neardup",
-]
+_ROTATION_NEW: list[str] = []
 
 
 def _apply_rotation() -> None:
