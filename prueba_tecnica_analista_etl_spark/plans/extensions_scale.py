@@ -1748,19 +1748,29 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_neardup_oracle_sql(rounds: int = 8) -> str:
+# Purge-recursion unroll depth of the q_stream_neardup oracle; the
+# parity test guards measured chain depth <= UNROLL // 2 so a corpus
+# drift surfaces as a loud assertion, never a silent oracle mismatch.
+STREAM_NEARDUP_UNROLL = 16
+
+
+def _stream_neardup_oracle_sql(
+    rounds: int = STREAM_NEARDUP_UNROLL,
+) -> str:
     """DuckDB oracle for the streaming near-dup gate. The drained
     accepted set equals the batch greedy min-id survivor FIXPOINT
     over the full corpus (arrival order == id order by construction:
     range-partitioned replay on doc_id), and the fixpoint is the
-    q_corpus_curate purge recursion unrolled — here to ``rounds`` = 8
-    with NO enforcement pass: the stream computes the exact greedy
-    set, and once the unroll reaches the corpus's alternating-chain
-    depth the iterate IS the fixpoint (measured depth 2 at
-    sf0.001/0.01/0.1 — near-dup families are cliques — so 8 is a 4×
-    margin; a corpus with chains deeper than 8 would need the bound
-    raised, and the stream-vs-batch parity test measures the depth
-    every run). Pairs are the UNCAPPED CTE variant: the gate's
+    q_corpus_curate purge recursion unrolled — here to ``rounds`` =
+    ``STREAM_NEARDUP_UNROLL`` with NO enforcement pass: the stream
+    computes the exact greedy set, and once the unroll reaches the
+    corpus's alternating-chain depth the iterate IS the fixpoint
+    (measured depth 2 at sf0.001/0.01/0.1 — near-dup families are
+    cliques — so 16 is an 8× margin, raised from 8 per the r11
+    ADVICE; the stream-vs-batch parity test measures the depth every
+    run and trips at HALF the unroll, so a drifting corpus surfaces
+    as a named assertion long before the registered oracle could go
+    silently wrong). Pairs are the UNCAPPED CTE variant: the gate's
     contract is exhaustive-within-bucket — admitting a doc because
     its accepted match sat in another skew chunk would be a quality
     bug, and an incremental consumer could not reproduce chunk
@@ -1812,8 +1822,11 @@ def _stream_neardup_oracle_sql(rounds: int = 8) -> str:
     "gate that admitted a doc because its match sat in another skew "
     "chunk would be a quality bug — so the oracle uses the uncapped "
     "pair CTE. Drained result == the batch greedy fixpoint; the "
-    "oracle is the purge recursion unrolled (8 rounds, 4x the "
-    "measured corpus chain depth). Scale: per batch ONE signature "
+    "oracle is the purge recursion unrolled (16 rounds, 8x the "
+    "measured corpus chain depth, guard-tested at half the unroll). "
+    "The index folds into gen-* generations past 16 loose units "
+    "(compact_index), keeping probe cost and file listing bounded "
+    "over a long stream. Scale: per batch ONE signature "
     "pass (checkpointed, reused by probe + intra-batch purge + "
     "append) + one (band,key) index probe — the accepted corpus is "
     "touched only through its signature index, never its text.",
@@ -1995,6 +2008,23 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     two sides cannot diverge within a process. The emitted
     truth_fraction column makes the mode self-describing either way.
     """
+    # r11 ADVICE: a caller that mutates the env var AFTER this module
+    # was imported would silently get the snapshot, not their value —
+    # make the mismatch loud at query-build time (both sides still
+    # use the snapshot, so engine and oracle stay consistent).
+    live = _lsh_truth_fraction()
+    if live != LSH_TRUTH_FRACTION:
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_LSH_TRUTH_FRACTION changed after the plans "
+            f"module was imported (env now {live}, snapshot "
+            f"{LSH_TRUTH_FRACTION}); q_lsh_recall uses the IMPORT-TIME "
+            "snapshot so the engine and its generated oracle cannot "
+            "diverge — set the env var before importing "
+            "prueba_tecnica_analista_etl_spark.plans (bench.py does).",
+            stacklevel=2,
+        )
     return lsh_recall_frame(
         spark, sf_dir, truth_sample_fraction=LSH_TRUTH_FRACTION
     )

@@ -1099,6 +1099,33 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     assert row["truth_fraction"] == 1.0
 
 
+def test_lsh_truth_fraction_post_import_mutation_warns(
+    spark, sf_dir, monkeypatch
+):
+    """r11 ADVICE: SPARK_GRAFT_LSH_TRUTH_FRACTION is snapshotted at
+    import of the plans module (so the engine and its generated
+    oracle cannot diverge within a process); a caller who mutates the
+    env AFTER import must get a loud warning at query-build time, not
+    a silently-ignored opt-in."""
+    import warnings
+
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        LSH_TRUTH_FRACTION,
+        q_lsh_recall,
+    )
+
+    assert LSH_TRUTH_FRACTION == 1.0  # tests never set the knob
+    monkeypatch.setenv("SPARK_GRAFT_LSH_TRUTH_FRACTION", "0.25")
+    with pytest.warns(UserWarning, match="IMPORT-TIME"):
+        frame = q_lsh_recall(spark, sf_dir)
+    # the snapshot, not the mutated env, governs the built plan
+    assert frame.collect()[0]["truth_fraction"] == 1.0
+    monkeypatch.delenv("SPARK_GRAFT_LSH_TRUTH_FRACTION")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        q_lsh_recall(spark, sf_dir)
+
+
 def test_lsh_recall_sampled_truth_agrees_with_exact(spark, sf_dir):
     """The 100 TB mode (r9 verdict task 3): restricting the
     exhaustive-truth tier to a deterministic half of the documents
@@ -1507,12 +1534,14 @@ def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
     claim its oracle rests on — and re-invoking the query must be a
     fixpoint (the committed-batch ledger makes replays no-ops). The
     audit also guards the oracle's unroll margin: the measured
-    alternating-chain depth must stay well inside the 8 rounds the
-    generated SQL unrolls."""
+    alternating-chain depth must stay at or below HALF the rounds the
+    generated SQL unrolls (r11 ADVICE: the guard is what keeps the
+    fixed unroll from going silently wrong on a deeper corpus)."""
     from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
         near_dup_purge_stable,
     )
     from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        STREAM_NEARDUP_UNROLL,
         minhash_pair_frame,
     )
 
@@ -1530,9 +1559,9 @@ def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
     want = {r["doc_id"] for r in surv.select("doc_id").collect()}
     assert got == want
     assert audit["enforcement_over_purged"] == 0
-    assert audit["purge_rounds"] <= 8, (
+    assert audit["purge_rounds"] <= STREAM_NEARDUP_UNROLL // 2, (
         "corpus chain depth exceeds the oracle's unroll margin — "
-        "raise _stream_neardup_oracle_sql(rounds=...)"
+        "raise STREAM_NEARDUP_UNROLL"
     )
     # replay fixpoint: a second drain applies zero batches and
     # returns the identical accepted set
@@ -1541,6 +1570,116 @@ def test_stream_neardup_equals_batch_greedy_fixpoint(spark, sf_dir):
         for r in REGISTRY["q_stream_neardup"].fn(spark, sf_dir).collect()
     }
     assert again == got
+
+
+def test_stream_neardup_index_compaction_long_replay(spark, tmp_path):
+    """Long-replay compaction gate (r11 verdict task 3): 24
+    micro-batches through foreach_batch_neardup_gate must keep the
+    index's unit-directory count BOUNDED (folds into gen-* past
+    COMPACT_MAX_UNITS instead of growing one dir pair per batch),
+    while (1) the accepted set stays exactly the batch greedy
+    fixpoint over the whole replayed corpus, (2) a kill/restart-style
+    replay of already-committed batch ids — including ids whose own
+    dirs a fold removed — is a no-op with a byte-identical accepted
+    set, and (3) a crash BETWEEN the generation rename and the folded
+    units' removal (duplicate rows across units) is harmless to
+    readers and healed by the next fold."""
+    import os
+    import shutil
+
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        near_dup_purge_stable,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        minhash_band_frame,
+        minhash_pair_frame,
+        pairs_from_band_frame,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.neardup import (
+        COMPACT_MAX_UNITS,
+        _committed,
+        accepted_ids,
+        foreach_batch_neardup_gate,
+    )
+
+    def doc_batch(batch_id: int, per_batch: int = 8):
+        # every 4th doc repeats an earlier text → cross-batch
+        # near-dups the index must catch; the rest are unique
+        rows = []
+        for i in range(per_batch):
+            doc_id = batch_id * per_batch + i
+            fam = doc_id % 4 == 3
+            seed = (doc_id // 16) if fam else doc_id
+            kind = "family repeated" if fam else f"unique {seed} payload"
+            rows.append(
+                (
+                    doc_id,
+                    f"document text {kind} alpha beta gamma delta "
+                    f"epsilon zeta {'' if fam else seed}",
+                )
+            )
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "gate-index")
+    gate = foreach_batch_neardup_gate(
+        index_dir,
+        band_frame=minhash_band_frame,
+        pairs_from_bands=lambda banded, thr: pairs_from_band_frame(
+            banded, threshold=thr, cap=None
+        ),
+    )
+    n_batches = 24
+    max_seen = 0
+    for b in range(n_batches):
+        gate(doc_batch(b), b)
+        units = _committed(index_dir)
+        max_seen = max(max_seen, len(units))
+        # bounded at all times: a fold triggers past COMPACT_MAX_UNITS
+        assert len(units) <= COMPACT_MAX_UNITS + 1, (b, units)
+    assert max_seen > COMPACT_MAX_UNITS - 2  # the fold actually ran
+    assert any(
+        os.path.basename(u).startswith("gen-")
+        for u in _committed(index_dir)
+    )
+
+    got = {r["doc_id"] for r in accepted_ids(spark, index_dir).collect()}
+    corpus = doc_batch(0)
+    for b in range(1, n_batches):
+        corpus = corpus.unionByName(doc_batch(b))
+    surv, _ = near_dup_purge_stable(
+        corpus, minhash_pair_frame(corpus, cap=None)
+    )
+    want = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert got == want
+
+    # kill/restart replay: re-apply a folded-away batch id (0), a
+    # surviving one, and the newest — all must be no-ops
+    for b in (0, n_batches - 2, n_batches - 1):
+        gate(doc_batch(b), b)
+    again = {r["doc_id"] for r in accepted_ids(spark, index_dir).collect()}
+    assert again == got
+
+    # crash window: duplicate one unit's data under a fake batch dir
+    # (as if the fold renamed the generation but died mid-removal) —
+    # readers must not double-admit, and the next fold heals it
+    units = _committed(index_dir)
+    clone_src = units[0]
+    clone = os.path.join(index_dir, f"batch-{n_batches + 5:09d}")
+    shutil.copytree(clone_src, clone)
+    dup_read = {
+        r["doc_id"] for r in accepted_ids(spark, index_dir).collect()
+    }
+    assert dup_read == got
+    from prueba_tecnica_analista_etl_spark.streaming.neardup import (
+        compact_index,
+    )
+
+    assert compact_index(spark, index_dir, max_units=1)
+    healed = {
+        r["doc_id"] for r in accepted_ids(spark, index_dir).collect()
+    }
+    assert healed == got
+    assert len(_committed(index_dir)) == 1
 
 
 def test_stream_neardup_uncapped_on_oversized_bucket(spark, tmp_path):
