@@ -2217,6 +2217,35 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prueba_tecnica_analista_etl_spark.artifacts import (
         corpus_artifact,
     )
+
+    # The ENTIRE census (6 rows) is corpus-deterministic — seeded
+    # planes, fixed probe, fixed operating points — so it is staged
+    # whole (r11 verdict task 4: after the r11 intermediate staging,
+    # the residual fresh-process cost was still ~3.5 s of sweep-frame
+    # construction and census codegen per process; staging the final
+    # frame leaves one artifact read + checkpoint over the floor).
+    # The LIVE construction below stays plan-pinned by tests via
+    # ann_sweep_parts/ann_recall_census_live, and first-per-corpus
+    # builds execute it for real.
+    tiers = ann_sweep_tiers()
+    name = "ann_recall_census:" + "|".join(
+        f"{m}:{pt}:{int(sh)}" for m, pt, sh in tiers
+    )
+    census = corpus_artifact(
+        spark, sf_dir, name, lambda: ann_recall_census_live(spark, sf_dir)
+    )
+    return census.orderBy("ord").drop("ord")
+
+
+def ann_recall_census_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE recall-census construction q_ann_recall stages per corpus
+    (keeps ``ord`` so the staged frame re-sorts deterministically
+    after a parquet round-trip)."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
     from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
         q_similarity_topk,
     )
@@ -2233,14 +2262,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tiers, top_live = ann_sweep_parts(spark, sf_dir)
-    # The per-point top-10 frame (|tiers|·10 rows) is the last
-    # corpus-deterministic intermediate — staging it keeps the recall
-    # census (the joins + aggregate below) LIVE while the six-tier
-    # exploded-union window, the biggest codegen unit in the registry,
-    # compiles once per corpus instead of once per process (the
-    # residual fresh-process cost after the r11 artifact work was
-    # exactly this plan's first compile+execute, ~4 s). The LIVE form
-    # stays plan-pinned by tests via ann_sweep_parts.
+    # The per-point top-10 frame (|tiers|·10 rows) is staged too: the
+    # six-tier exploded-union window is the biggest codegen unit in
+    # the registry, and the invariants tests re-derive the census from
+    # this intermediate without re-running the scans.
     top = corpus_artifact(
         spark,
         sf_dir,
@@ -2284,9 +2309,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "ord",
         )
-        .orderBy("ord")
-        .drop("ord")
     )
+
+
+def ann_sweep_tiers() -> "list[tuple[str, str, bool]]":
+    """The sweep's (method, operating_point, shipped) row list, a pure
+    function of the shipped constants — q_ann_recall derives its
+    census artifact KEY from this without building any frame, so a
+    warm-corpus run never touches the embeddings table at all (the
+    r11 verdict's fresh-process ask). Order = registry order: sign-LSH
+    radii ascending, then IVF probe counts ascending."""
+    lsh_radii = sorted({LSH_HAMMING - 2, LSH_HAMMING, LSH_HAMMING + 2})
+    nprobes = sorted({IVF_NPROBE // 2, IVF_NPROBE, IVF_NPROBE * 2})
+    return [
+        ("sign_lsh", f"hamming<={r}", r == LSH_HAMMING)
+        for r in lsh_radii
+    ] + [
+        ("ivf_disk", f"nprobe={p}/{IVF_K}", p == IVF_NPROBE)
+        for p in nprobes
+    ]
 
 
 def ann_sweep_parts(
@@ -2414,14 +2455,11 @@ def ann_sweep_parts(
         )
     )
 
-    tiers: list[tuple[str, str, bool]] = []
-    lsh_structs, ivf_structs = [], []
-    for r in lsh_radii:
-        tiers.append(("sign_lsh", f"hamming<={r}", r == LSH_HAMMING))
-        lsh_structs.append(F.col("ham") <= r)
-    for p in nprobes:
-        tiers.append(("ivf_disk", f"nprobe={p}/{IVF_K}", p == IVF_NPROBE))
-        ivf_structs.append(F.col("cluster").isin(probe_order[:p]))
+    tiers = ann_sweep_tiers()  # the shared single source of truth
+    lsh_structs = [F.col("ham") <= r for r in lsh_radii]
+    ivf_structs = [
+        F.col("cluster").isin(probe_order[:p]) for p in nprobes
+    ]
 
     def _points(scored: DataFrame, structs: list, base: int) -> DataFrame:
         tier_array = F.array(
