@@ -355,8 +355,48 @@ def orchestrate() -> None:
             pass
     queries = out.pop("queries", {})
     out["queries_n"] = len(queries)
-    print(json.dumps({"detail": "per_query_sequential_sec", "queries": queries}))
-    print(json.dumps(out))
+    # The external record keeps only a BOUNDED stdout tail (measured:
+    # 2000 bytes), which truncated the front of the named per-query
+    # dict every round (r11 verdict task 8: regressions in the
+    # alphabet's front half were invisible to the judge). The summary
+    # line therefore carries the complete per-query detail in the
+    # only form that fits: a positional millisecond array over
+    # sorted(query names) — the names are reconstructable from the
+    # registry, and sorted order is stable across rounds. ~600 bytes
+    # for 116 queries vs ~2.6 KB named.
+    out["q_ms_order"] = "sorted(registry names)"
+    out["q_ms"] = [
+        int(round(queries[n] * 1000)) for n in sorted(queries)
+    ]
+    # Full NAMED map for humans and archives: line 1 of stdout (still
+    # subject to the tail cut) AND a repo file that survives whole.
+    detail = {"detail": "per_query_sequential_sec", "queries": queries}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL_LATEST.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(
+                {"sf": out.get("sf"), "queries": queries}, fh, indent=1
+            )
+    except OSError:
+        pass  # read-only checkout: stdout still carries the detail
+    print(json.dumps(detail))
+    line = json.dumps(out)
+    if len(line) > 1900:
+        # never risk the driver's bounded tail losing the summary —
+        # headline numbers beat positional detail if it comes to that
+        out.pop("q_ms", None)
+        out["q_ms_dropped"] = "summary line would exceed tail capture"
+        line = json.dumps(out)
+        print(
+            "bench: q_ms dropped from summary (line too long)",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

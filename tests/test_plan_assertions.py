@@ -636,3 +636,24 @@ def test_dup_exposure_single_scan_no_pair_expansion(spark, sf_dir):
         l for l in final.splitlines() if "Join" in l and "doc_id" in l
     ]
     assert join_lines and all("fp" not in l for l in join_lines), final
+
+
+def test_tfidf_join_stays_broadcast_under_aqe(spark, sf_dir):
+    """q_tfidf's one unhinted join (per-term tf ⋈ per-term df_) is
+    deliberately left to AQE statistics — the df_ side is vocabulary-
+    sized and AQE picks a broadcast at every tested scale. The r11
+    verdict asked this decision to be PINNED so a statistics change
+    cannot silently degrade it to a sort-merge join: the FINAL
+    adaptive plan must contain a BroadcastHashJoin and no
+    SortMergeJoin (runtime decision, so the query executes first)."""
+    df = REGISTRY["q_tfidf"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+    assert "CartesianProduct" not in final, final
