@@ -2411,16 +2411,24 @@ def ann_sweep_tiers() -> "list[tuple[str, str, bool]]":
     census artifact KEY from this without building any frame, so a
     warm-corpus run never touches the embeddings table at all (the
     r11 verdict's fresh-process ask). Order = registry order: sign-LSH
-    radii ascending, then IVF probe counts ascending."""
+    radii ascending, then IVF probe counts ascending, then the int8
+    compressed-scan tier (r12: one point — the tier has no knob, it
+    re-ranks the WHOLE corpus on quantized cosine, so its
+    n_candidates is honestly the corpus size and its recall measures
+    pure quantization error)."""
     lsh_radii = sorted({LSH_HAMMING - 2, LSH_HAMMING, LSH_HAMMING + 2})
     nprobes = sorted({IVF_NPROBE // 2, IVF_NPROBE, IVF_NPROBE * 2})
-    return [
-        ("sign_lsh", f"hamming<={r}", r == LSH_HAMMING)
-        for r in lsh_radii
-    ] + [
-        ("ivf_disk", f"nprobe={p}/{IVF_K}", p == IVF_NPROBE)
-        for p in nprobes
-    ]
+    return (
+        [
+            ("sign_lsh", f"hamming<={r}", r == LSH_HAMMING)
+            for r in lsh_radii
+        ]
+        + [
+            ("ivf_disk", f"nprobe={p}/{IVF_K}", p == IVF_NPROBE)
+            for p in nprobes
+        ]
+        + [("int8_quant", "full-scan int8 rerank", True)]
+    )
 
 
 def ann_sweep_parts(
@@ -2569,8 +2577,44 @@ def ann_sweep_parts(
             ),
         ).select("vec_id", "cos_sim", F.col("t.ord").alias("ord"))
 
-    exploded = _points(lsh_scored, lsh_structs, 0).unionByName(
-        _points(ivf_scored, ivf_structs, len(lsh_structs))
+    # The int8 compressed-scan tier (r12, q_embed_quantize's storage
+    # layout audited by the same sweep): rank the WHOLE corpus by
+    # QUANTIZED cosine against the quantized probe — no prefilter, so
+    # its n_candidates is honestly the corpus size; its recall
+    # isolates pure quantization error (1.0 on the harness corpora).
+    # At 100 TB this is the 8x-smaller-bytes full-scan tier between
+    # the 16-byte signature scan and the partition-pruned IVF read.
+    assert len(tiers) == len(lsh_structs) + len(ivf_structs) + 1
+    quant_ord = len(lsh_structs) + len(ivf_structs)
+    pq = np.floor(
+        qv * (127.0 / max(np.abs(qv).max(), 1e-12)) + 0.5
+    ).astype(np.int64)
+    pq_lit = F.array(*[F.lit(int(x)) for x in pq])
+    maxabs = F.array_max(F.transform(F.col("v"), F.abs))
+    sc = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-12))
+    qcol = F.transform(F.col("v"), lambda x: F.floor(x * sc + F.lit(0.5)))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    quant_cos = _idot(qcol, pq_lit).cast("double") / (
+        F.sqrt(_idot(qcol, qcol).cast("double"))
+        * F.sqrt(_idot(pq_lit, pq_lit).cast("double"))
+    )
+    quant_points = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(quant_cos, 4).alias("cos_sim"),
+        F.lit(quant_ord).alias("ord"),
+    )
+
+    exploded = (
+        _points(lsh_scored, lsh_structs, 0)
+        .unionByName(_points(ivf_scored, ivf_structs, len(lsh_structs)))
+        .unionByName(quant_points)
     )
     w = Window.partitionBy("ord").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")

@@ -1201,9 +1201,9 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
     by_tier: dict = {}
     for r in rows:
         by_tier.setdefault(r["method"], []).append(r)
-    assert set(by_tier) == {"sign_lsh", "ivf_disk"}
+    assert set(by_tier) == {"sign_lsh", "ivf_disk", "int8_quant"}
     for tier, pts in by_tier.items():
-        assert len(pts) == 3, tier
+        assert len(pts) == (1 if tier == "int8_quant" else 3), tier
         shipped = [p for p in pts if p["shipped"]]
         assert len(shipped) == 1, tier
         for p in pts:
@@ -1224,6 +1224,14 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
     shipped_ivf = next(p for p in by_tier["ivf_disk"] if p["shipped"])
     assert shipped_ivf["operating_point"] == f"nprobe={IVF_NPROBE}/{IVF_K}"
     assert shipped_ivf["recall"] >= 0.8
+    # int8 compressed-scan tier (r12): no prefilter, so its candidate
+    # count is the whole probe-excluded corpus — strictly the largest
+    # in the table — and its recall isolates pure quantization error
+    quant = by_tier["int8_quant"][0]
+    assert quant["n_candidates"] >= max(
+        p["n_candidates"] for p in by_tier["sign_lsh"]
+    )
+    assert quant["recall"] >= 0.8
 
 
 def test_shipped_lsh_recall_at_sf01(spark):
