@@ -1211,3 +1211,60 @@ def test_export_ordered_shards_compose_with_train_order(
             ).collect()
         }
         assert a == b
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The co-located-join storage primitive (sources/bucketed.py):
+    two tables bucketed by the same key into the same bucket count
+    must equi-join with NO Exchange on either side — each task reads
+    bucket i of both and joins locally (the write-once-instead-of-
+    shuffle-per-join trade SCALE.md promises). Broadcast is disabled
+    so the test cannot pass vicariously through a BroadcastExchange;
+    rows must equal the plain join's, and a bucket-count mismatch
+    must fail LOUDLY instead of silently shuffling."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from prueba_tecnica_analista_etl_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 2000, 2).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("b")
+    )
+    for name in ("bkt_left", "bkt_right", "bkt_right5"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(left, "bkt_left", "k", buckets=8)
+    write_bucketed(right, "bkt_right", "k", buckets=8)
+    write_bucketed(right, "bkt_right5", "k", buckets=5)
+    try:
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed_join(spark, "bkt_left", "bkt_right", "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            # bucketed scans expose their layout in the plan text
+            assert "Bucketed: true" in plan, plan
+            got = {(r["k"], r["a"], r["b"]) for r in j.collect()}
+            want = {
+                (r["k"], r["a"], r["b"])
+                for r in left.join(right, "k").collect()
+            }
+            assert got == want and len(got) == 1000
+            # mismatched bucket counts: loud, not a silent shuffle
+            with pytest.raises(ValueError, match="disagree"):
+                bucketed_join(spark, "bkt_left", "bkt_right5", "k")
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thr
+            )
+    finally:
+        for name in ("bkt_left", "bkt_right", "bkt_right5"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
