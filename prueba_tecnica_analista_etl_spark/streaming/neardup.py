@@ -114,43 +114,25 @@ def _is_committed(index_dir: str, batch_id: int) -> bool:
     return batch_id <= _max_gen_id(index_dir)
 
 
-def compact_index(
-    spark, index_dir: str, max_units: int = COMPACT_MAX_UNITS
-) -> bool:
-    """Fold the index's live units into ONE consolidated generation
-    when their count exceeds ``max_units`` — same tmp-then-rename
-    recovery discipline as the per-batch commits and
-    ``sources.files.compact_parquet``.
-
-    Replay idempotency is PRESERVED, not bypassed: the generation is
-    named ``gen-{max folded batch id}``, and because foreachBatch ids
-    are sequential per checkpoint, "my dir exists OR my id <= the
-    newest generation's id" (``_is_committed``) recognizes every
-    folded batch. Crash safety: a crash after the generation's rename
-    but before the folded units' removal leaves duplicate rows across
-    units — harmless to every reader (the probe ``.distinct()``s
-    candidates, ``accepted_ids`` distincts ids) and healed by the next
-    fold's ``dropDuplicates``. Call ONLY under the drain lock (the
-    same serialization the batch commits run under).
-
-    Scale: amortized rewrite is O(index x folds); at 100 TB the fold
-    becomes a tiered merge (fold only loose batch dirs into a new
-    generation, merge generations on a slower cadence) plus bucketing
-    ``keys/`` by band key — the docstring ceiling the r11 ADVICE
-    asked for, now enforced in code instead of prose.
-    """
-    units = _committed(index_dir)
-    if len(units) <= max_units:
-        return False
-    ids = []
+def _fold_units(spark, index_dir: str, units: "list[str]") -> bool:
+    """Consolidate ``units`` (batch and/or gen dirs) into ONE new
+    generation under the tmp-then-rename discipline. The target name
+    is ``gen-{max covered batch id:09d}-{seq}`` with ``seq`` one past
+    any existing generation's sequence for that id, so the new dir
+    NEVER collides with a unit being folded — the rename lands FIRST
+    and the folded units are removed only after it, which makes every
+    crash window additive (duplicate rows across units, which every
+    reader distincts away and the next fold's ``dropDuplicates``
+    heals), never subtractive."""
+    ids, max_seq = [], 0
     for u in units:
-        n = os.path.basename(u)
-        ids.append(int(n.split("-")[1]))
-    target = os.path.join(index_dir, f"gen-{max(ids):09d}")
-    if target in units:
-        # degenerate re-fold with no new batches since the last one —
-        # nothing to consolidate beyond what that generation holds
-        return False
+        parts = os.path.basename(u).split("-")
+        ids.append(int(parts[1]))
+        if parts[0] == "gen" and len(parts) > 2:
+            max_seq = max(max_seq, int(parts[2]))
+    target = os.path.join(
+        index_dir, f"gen-{max(ids):09d}-{max_seq + 1}"
+    )
     keys = spark.read.parquet(
         *[os.path.join(u, "keys") for u in units]
     ).dropDuplicates(["doc_id", "band", "key"])
@@ -168,6 +150,66 @@ def compact_index(
     for u in units:
         shutil.rmtree(u, ignore_errors=True)
     return True
+
+
+# Merge generations once this many accumulate. Tiered cadence: loose
+# batch dirs fold into a new generation every ~COMPACT_MAX_UNITS
+# batches (each fold rewrites only those batches' rows), and only
+# every COMPACT_MAX_GENS folds does the index pay a full rewrite — so
+# total bytes rewritten over a stream of N batches is
+# O(N·(1 + N/(COMPACT_MAX_UNITS·COMPACT_MAX_GENS))) instead of the
+# single-tier O(N²/COMPACT_MAX_UNITS).
+COMPACT_MAX_GENS = 8
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    max_units: int = COMPACT_MAX_UNITS,
+    max_gens: int = COMPACT_MAX_GENS,
+) -> bool:
+    """TIERED index compaction — same tmp-then-rename recovery
+    discipline as the per-batch commits and
+    ``sources.files.compact_parquet``.
+
+    Tier 1: once the live unit count exceeds ``max_units``, fold the
+    LOOSE batch dirs into one new generation (rewrites only those
+    batches' rows — the common, cheap fold). Tier 2: once generations
+    themselves exceed ``max_gens``, merge all generations into one
+    (the rare full rewrite). Directory count therefore stays bounded
+    by ``max_units + max_gens`` while amortized rewrite stays near-
+    linear in stream length (single-tier everything-folds was
+    O(N²/max_units) bytes over N batches).
+
+    Replay idempotency is PRESERVED, not bypassed: generations are
+    named by the newest batch id they cover, and because foreachBatch
+    ids are sequential per checkpoint, "my dir exists OR my id <= the
+    newest generation's id" (``_is_committed``) recognizes every
+    folded batch. Every crash window is additive-only (see
+    ``_fold_units``). Call ONLY under the drain lock (the same
+    serialization the batch commits run under).
+
+    The remaining 100 TB refinement is bucketing each generation's
+    ``keys/`` by band key so a probe reads only its buckets.
+    """
+    units = _committed(index_dir)
+    did = False
+    if len(units) > max_units:
+        batches = [
+            u
+            for u in units
+            if os.path.basename(u).startswith("batch-")
+        ]
+        if len(batches) >= 2:
+            did = _fold_units(spark, index_dir, batches)
+    gens = [
+        u
+        for u in _committed(index_dir)
+        if os.path.basename(u).startswith("gen-")
+    ]
+    if len(gens) > max(max_gens, 1):
+        did = _fold_units(spark, index_dir, gens) or did
+    return did
 
 
 def sweep_orphan_tmps(index_dir: str) -> None:

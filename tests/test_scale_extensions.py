@@ -1686,14 +1686,24 @@ def test_stream_neardup_index_compaction_long_replay(spark, tmp_path):
             banded, threshold=thr, cap=None
         ),
     )
+    from prueba_tecnica_analista_etl_spark.streaming.neardup import (
+        COMPACT_MAX_GENS,
+    )
+
     n_batches = 24
     max_seen = 0
     for b in range(n_batches):
         gate(doc_batch(b), b)
         units = _committed(index_dir)
         max_seen = max(max_seen, len(units))
-        # bounded at all times: a fold triggers past COMPACT_MAX_UNITS
-        assert len(units) <= COMPACT_MAX_UNITS + 1, (b, units)
+        # bounded at all times: tier-1 folds loose batches past
+        # COMPACT_MAX_UNITS, tier-2 merges generations past
+        # COMPACT_MAX_GENS — so the unit count can never exceed the
+        # two caps plus the one batch dir committed this call
+        assert len(units) <= COMPACT_MAX_UNITS + COMPACT_MAX_GENS, (
+            b,
+            units,
+        )
     assert max_seen > COMPACT_MAX_UNITS - 2  # the fold actually ran
     assert any(
         os.path.basename(u).startswith("gen-")
@@ -1732,12 +1742,22 @@ def test_stream_neardup_index_compaction_long_replay(spark, tmp_path):
         compact_index,
     )
 
-    assert compact_index(spark, index_dir, max_units=1)
+    # tier 1 (fold loose batches incl. the clone) + tier 2 (merge the
+    # accumulated generations down to one) in a single tight-threshold
+    # call — both fold paths execute, accepted set byte-identical
+    assert compact_index(spark, index_dir, max_units=1, max_gens=1)
     healed = {
         r["doc_id"] for r in accepted_ids(spark, index_dir).collect()
     }
     assert healed == got
     assert len(_committed(index_dir)) == 1
+    # a replayed batch id stays a committed no-op behind the merged
+    # generation, and the set survives one more degenerate compaction
+    gate(doc_batch(0), 0)
+    assert not compact_index(spark, index_dir, max_units=1, max_gens=1)
+    assert {
+        r["doc_id"] for r in accepted_ids(spark, index_dir).collect()
+    } == got
 
 
 def test_stream_neardup_uncapped_on_oversized_bucket(spark, tmp_path):
