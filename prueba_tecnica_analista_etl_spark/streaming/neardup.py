@@ -353,7 +353,13 @@ def foreach_batch_neardup_gate(
 
 def accepted_ids(spark, index_dir: str) -> DataFrame:
     """The gate's accepted set as a (doc_id) frame — the lazy batch
-    read consumers join against (never a driver collect)."""
+    read consumers join against (never a driver collect).
+
+    Consume (or ``localCheckpoint``) the frame before the NEXT drain
+    of the same index: a later drain's compaction may fold and remove
+    the unit directories this lazy scan references (r12 — before
+    tiered folding the units were immortal and the frame could idle
+    forever). q_stream_neardup consumes it inside the same call."""
     committed = _committed(index_dir)
     if not committed:
         raise FileNotFoundError(
