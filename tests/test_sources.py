@@ -1261,6 +1261,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
             # mismatched bucket counts: loud, not a silent shuffle
             with pytest.raises(ValueError, match="disagree"):
                 bucketed_join(spark, "bkt_left", "bkt_right5", "k")
+            # a plain (non-bucketed) table is rejected by name too
+            spark.sql("DROP TABLE IF EXISTS bkt_plain")
+            right.write.mode("overwrite").saveAsTable("bkt_plain")
+            try:
+                with pytest.raises(ValueError, match="not bucketed"):
+                    bucketed_join(spark, "bkt_left", "bkt_plain", "k")
+            finally:
+                spark.sql("DROP TABLE IF EXISTS bkt_plain")
         finally:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", old_thr
