@@ -408,6 +408,96 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_batch(e, q, k=3)
 
 
+@query(
+    "q_knn_classify",
+    """
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 10),
+    nn AS (
+      SELECT q_id, true_label, label FROM (
+        SELECT q.q_id, q.true_label, e.label,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           q.qv)
+                          / (sqrt(list_dot_product(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))
+                             * sqrt(list_dot_product(q.qv, q.qv)))
+                          DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= 10),
+    votes AS (SELECT q_id, true_label, label,
+                     CAST(count(*) AS BIGINT) AS n_votes
+              FROM nn GROUP BY q_id, true_label, label),
+    pick AS (SELECT q_id, true_label, label AS pred_label, n_votes,
+                    row_number() OVER (
+                      PARTITION BY q_id
+                      ORDER BY n_votes DESC, label) AS vr
+             FROM votes)
+    SELECT q_id, true_label, pred_label, n_votes,
+           CAST(pred_label = true_label AS BIGINT) AS correct
+    FROM pick WHERE vr = 1
+    ORDER BY q_id
+    """,
+    doc="kNN label-vote classification (r12 — the pseudo-labeling / "
+    "annotation-audit op of a training pipeline): for each of 10 "
+    "probe vectors, the 10 exact-cosine nearest LABELED neighbors "
+    "vote; prediction = majority label (count desc, label asc "
+    "tie-break — integer arithmetic, engine-stable), emitted beside "
+    "the probe's true label and a 1/0 correctness flag (bigint — the "
+    "driver-proven dtype set excludes boolean). One corpus scan "
+    "serves all probes (broadcast query block + per-query "
+    "WindowGroupLimit — the q_ann_batch shape), the vote is a "
+    "census-sized aggregate; at scale the neighbor stage swaps to "
+    "the IVF or sign-LSH tier without touching the vote.",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from prueba_tecnica_analista_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    nn = cosine_topk_batch(e, q, k=10).join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    votes = nn.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vr = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vr))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "q_id")
+        .select(
+            "q_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
 TOKEN_HIST_TOP = 15
 
 
