@@ -67,6 +67,7 @@ def cosine_topk_batch(
     query_id_col: str = "q_id",
     query_vec_col: str = "qv",
     exclude_self: bool = True,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Exact cosine top-``k`` per query for a whole query FRAME in one
     corpus scan: ``queries`` (small — it is broadcast) carries
@@ -74,7 +75,10 @@ def cosine_topk_batch(
     (query, neighbor) with ``cos_sim``, ranked per query.
     ``exclude_self`` drops neighbor rows whose id equals the query id
     (the self-match every nearest-neighbor probe over its own corpus
-    would otherwise return)."""
+    would otherwise return). ``carry_cols`` rides extra corpus
+    columns (e.g. a label) through to the output — at 100 TB a
+    consumer joining them back on would pay a SECOND full-corpus
+    read; carrying them keeps the op one scan (r12, q_knn_classify)."""
     # Norms are hoisted BELOW the cross join: cosine(v, qv) inline
     # would re-fold dot(v, v) once per (row, query) pair — |Q|× the
     # necessary work, since Catalyst's subexpression elimination works
@@ -85,6 +89,7 @@ def cosine_topk_batch(
     # produces — bit-identical scores, just not recomputed.
     e = emb.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         as_double(F.col(vec_col)).alias("_v"),
     ).withColumn("_nv", norm(F.col("_v")))
     q = queries.select(
@@ -106,6 +111,7 @@ def cosine_topk_batch(
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
+            *[F.col(c) for c in carry_cols],
             F.round(F.col("_cos"), 4).alias("cos_sim"),
         )
     )

@@ -466,9 +466,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    nn = cosine_topk_batch(e, q, k=10).join(
-        e.select("vec_id", "label"), "vec_id"
-    )
+    # label rides THROUGH the top-k (carry_cols) instead of a
+    # join-back — the join form re-read the full corpus a second
+    # time (plan-visible: 4 embeddings scans vs 3)
+    nn = cosine_topk_batch(e, q, k=10, carry_cols=("label",))
     votes = nn.groupBy("q_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
