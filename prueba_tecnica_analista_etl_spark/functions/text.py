@@ -235,3 +235,36 @@ def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     return inter / F.size(F.array_union(a, b)).cast("double")
+
+
+NON_ASCII_RE = "[^\\x00-\\x7F]"  # same byte-class in Java regex & RE2
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization (Arrow-batched — Spark has no native
+    normalizer expression, so this is a justified Python path; the
+    canonical-composition tables are frozen by Unicode's normalization
+    stability policy, so CPython's unicodedata and DuckDB's
+    utf8proc-backed ``nfc_normalize`` agree byte-for-byte — what makes
+    q_unicode_normalize oracle-checkable).
+
+    Scale note: do NOT apply this to every row. ASCII is NFC-invariant
+    and real corpora are overwhelmingly ASCII, so consumers should
+    route only ``rlike(NON_ASCII_RE)`` rows through this column (the
+    split-union in q_unicode_normalize) — the Arrow transfer then
+    carries the non-ASCII sliver instead of the whole corpus. A
+    CASE WHEN around a Python UDF does NOT do that: Spark hoists the
+    UDF into an ArrowEvalPython stage that evaluates every input row
+    regardless of the branch.
+    """
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    return _nfc(text)

@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 12):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 118 queries (116 oracle-backed + 2
-rows-only), so 68 must sit outside the recorded window in any given
+each round; the registry holds 119 queries (117 oracle-backed + 2
+rows-only), so 69 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -47,9 +47,10 @@ independently-recorded driver result:
   the one rows-only query recorded in r11 (q_ann_recall — due back
   by r14).  One query was added AFTER this window was fixed:
   q_embed_quantize (int8 embedding quantization + quantized-cosine
-  retrieval) and q_knn_classify (kNN majority-label vote), both
-  oracle-backed from birth, sit in _ROTATION_NEW and MUST lead the
-  r13 window.
+  retrieval), q_knn_classify (kNN majority-label vote) and
+  q_unicode_normalize (NFC census, ASCII rows never crossing Arrow),
+  all oracle-backed from birth, sit in _ROTATION_NEW and MUST lead
+  the r13 window.
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
@@ -57,7 +58,7 @@ being recorded, and any never-recorded query sits INSIDE the current
 window (or in _ROTATION_NEW, which must lead the NEXT window).  114
 oracle queries across 49 oracle slots/round (and 2 rows-only across
 1) satisfy the bound: each needs a record only once per three windows
-(116 <= 3*49, 2 <= 3*1).
+(117 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -211,6 +212,8 @@ _ROTATION_NEW: list[str] = [
     # neighbor stage); MUST lead the r13 window:
     "q_embed_quantize",
     "q_knn_classify",
+    # Unicode NFC census with the split-union selective-Arrow path:
+    "q_unicode_normalize",
 ]
 
 

@@ -409,6 +409,71 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unicode_normalize",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii,
+           CAST(sum(CASE WHEN nfc_normalize(text) <> text
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(coalesce(sum(length(text)
+                             - length(nfc_normalize(text))), 0)
+                AS BIGINT) AS chars_saved
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Unicode NFC normalization census (r12 — the corpus-prep "
+    "hygiene op every real text pipeline runs before tokenization): "
+    "per lang, how many docs contain non-ASCII, how many CHANGE "
+    "under NFC (decomposed accents, compatibility forms), and the "
+    "codepoints saved by composing them. Scale pattern: ASCII is "
+    "NFC-invariant, so the corpus is SPLIT on a JVM-side "
+    "rlike('[^\\\\x00-\\\\x7F]') prefilter and only the non-ASCII "
+    "sliver crosses Arrow into the Python normalizer — a CASE WHEN "
+    "around the UDF would ship every row (Spark hoists UDFs into an "
+    "ArrowEvalPython stage that runs unconditionally). On real "
+    "mostly-ASCII corpora that is a ~100x Arrow-traffic cut; the "
+    "all-ASCII harness corpus exercises exactly the "
+    "zero-Python-rows fast path while the unicode-fixture test "
+    "proves the normalizer against DuckDB's utf8proc on a mixed "
+    "corpus (NFC is frozen by Unicode's stability policy, so "
+    "CPython's unicodedata and utf8proc agree byte-for-byte).",
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        NON_ASCII_RE,
+        nfc_normalize,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents")).select("lang", "text")
+    needs = F.coalesce(F.col("text").rlike(NON_ASCII_RE), F.lit(False))
+    ascii_rows = d.filter(~needs).select(
+        "lang",
+        F.lit(0).cast("long").alias("nonascii"),
+        F.lit(0).cast("long").alias("changed"),
+        F.lit(0).cast("long").alias("saved"),
+    )
+    norm = nfc_normalize(F.col("text"))
+    uni_rows = d.filter(needs).select(
+        "lang",
+        F.lit(1).cast("long").alias("nonascii"),
+        (norm != F.col("text")).cast("long").alias("changed"),
+        (F.length("text") - F.length(norm)).cast("long").alias("saved"),
+    )
+    return (
+        ascii_rows.unionByName(uni_rows)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nonascii").alias("n_nonascii"),
+            F.sum("changed").alias("n_changed"),
+            F.sum("saved").alias("chars_saved"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "q_knn_classify",
     """
     WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,

@@ -233,6 +233,10 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
         # audit's steady-state plan entirely.
         "q_embed_neardup",
         "q_heavy_hitters",  # Misra-Gries summaries are mapInPandas
+        # NFC normalizer: Spark has no native expression; the Arrow
+        # stage's input is the non-ASCII SLIVER (split-union), never
+        # the corpus — pinned by the mixed-corpus fixture test
+        "q_unicode_normalize",
     }
     SKIP = {
         "q_corpus_curate",

@@ -1793,3 +1793,64 @@ def test_stream_neardup_uncapped_on_oversized_bucket(spark, tmp_path):
     want = con.execute(REGISTRY["q_stream_neardup"].oracle).fetchall()
     con.close()
     assert want == [(0, "en")]
+
+
+def test_unicode_normalize_parity_on_mixed_corpus(spark, tmp_path):
+    """q_unicode_normalize's REAL path: the all-ASCII harness corpus
+    only exercises the zero-Python-rows fast branch, so this fixture
+    writes a mixed corpus — decomposed accents (NFC composes them),
+    precomposed accents (NFC-invariant), CJK, an astral-plane emoji
+    (surrogate pair in the JVM — the rlike prefilter must still
+    classify it non-ASCII), NULL text, and plain ASCII — and proves
+    the engine hash-exact against DuckDB's utf8proc-backed
+    nfc_normalize (NFC composition tables are frozen by Unicode's
+    stability policy, so CPython's unicodedata agrees byte-for-byte).
+    Also pins the split: the ArrowEvalPython stage's input is the
+    non-ASCII filter, never the full corpus."""
+    import duckdb
+
+    dec = "é"  # e + COMBINING ACUTE: NFC composes to é (saves 1)
+    rows = [
+        (0, f"caf{dec} cr{dec}me", "fr"),
+        (1, "café plain precomposed", "fr"),
+        (2, "hello pure ascii", "en"),
+        (3, "漢字 text with cjk", "zh"),
+        (4, "emoji \U0001f600 astral", "en"),
+        (5, None, "en"),
+        (6, "Å ring composes", "sv"),  # A + COMBINING RING -> Å
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    d = str(tmp_path / "uni_sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["q_unicode_normalize"]
+    got = [tuple(r) for r in spec.fn(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        # Spark writes a part-file DIRECTORY; glob inside it
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(spec.oracle).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
+    by_lang = {r[0]: r[1:] for r in got}
+    # fr: 2 docs, both non-ascii, ONE changes (decomposed), 2 saved
+    assert by_lang["fr"] == (2, 2, 1, 2)
+    # sv: combining ring composes -> 1 changed, 1 saved
+    assert by_lang["sv"] == (1, 1, 1, 1)
+    # en: 3 docs (emoji non-ascii unchanged; NULL counted, unchanged)
+    assert by_lang["en"] == (3, 1, 0, 0)
+    assert by_lang["zh"] == (1, 1, 0, 0)
+
+    # the Python stage's input is the FILTERED sliver, not the corpus
+    plan = (
+        spec.fn(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    arrow_subtree = plan.split("ArrowEvalPython", 1)[1]
+    assert "RLIKE" in arrow_subtree or "rlike" in arrow_subtree, plan
