@@ -1237,3 +1237,47 @@ def test_quantized_cosine_tracks_exact(spark, vecs):
     # component; across an 8-dim unit-normalized dot the loose bound
     # below holds with wide margin (measured worst case ~0.02)
     assert np.abs(exact - quant).max() <= 8 * (1.0 / 127.0)
+
+
+UNI_TEXT = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=UNI_TEXT)
+@SLOW
+def test_nfc_normalize_idempotent_and_matches_python(spark, texts):
+    """NFC properties over generated unicode (the normalizer runs on
+    arbitrary corpus bytes at 100 TB, not just the fixture accents):
+    the Spark column equals CPython's unicodedata reference for every
+    row, and normalizing twice equals normalizing once (idempotence —
+    the property that lets a pipeline re-run the hygiene pass on
+    already-clean shards as a no-op)."""
+    import unicodedata
+
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        nfc_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    out = {
+        r["id"]: (r["once"], r["twice"])
+        for r in df.select(
+            "id",
+            nfc_normalize(F.col("t")).alias("once"),
+            nfc_normalize(nfc_normalize(F.col("t"))).alias("twice"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = unicodedata.normalize("NFC", t)
+        assert out[i][0] == want, (t, out[i][0], want)
+        assert out[i][1] == want
