@@ -32,25 +32,23 @@ independently-recorded driver result:
   r8-stale queries; the one rows-only slot took q_ann_recall — the
   fourth consecutive zero-failure window (49 oracle green +
   1 rows>0);
-* round 12 (this rotation) leads with q_stream_neardup (the
-  streaming near-dup gate, oracle-backed from birth, added after
-  the r11 window froze — the r11 _ROTATION_NEW promise, zero
-  records anywhere), then the 21 queries whose newest green is r9
-  (two rounds old at r11; a third unrecorded round would breach the
-  staleness bound).  The one rows-only slot takes q_ann_ivf (r10
-  record, at its boundary next round; stays rows-only because its
-  IVF tier rides unquantized float argmax).  The remaining 27
-  oracle slots return the oldest 27 of the 43 r10-green oracle
-  queries.  Paying for those 50 in-slots: the 65 oracle-backed
-  queries in _ROTATION_OUT (the 16 youngest r10 greens — they MUST
-  lead the r13 returns — plus the 49 r11 greens, one round old) and
-  the one rows-only query recorded in r11 (q_ann_recall — due back
-  by r14).  One query was added AFTER this window was fixed:
-  q_embed_quantize (int8 embedding quantization + quantized-cosine
-  retrieval), q_knn_classify (kNN majority-label vote) and
-  q_unicode_normalize (NFC census, ASCII rows never crossing Arrow),
-  all oracle-backed from birth, sit in _ROTATION_NEW and MUST lead
-  the r13 window.
+* round 12 rotated in q_stream_neardup (the r11 _ROTATION_NEW
+  promise), the 21 r9-stale queries, and the oldest 27 r10 greens,
+  with q_ann_ivf in the rows-only slot — the fifth consecutive
+  zero-failure window (49 oracle green + 1 rows>0);
+* round 13 (this rotation) leads with the three queries added after
+  the r12 window froze — q_embed_quantize, q_knn_classify,
+  q_unicode_normalize (oracle-backed from birth, zero records
+  anywhere; the r12 _ROTATION_NEW promise) — then the 16 queries
+  whose newest green is r10 (two rounds old at the r12 artifact; a
+  third unrecorded round would breach the staleness bound).  The one
+  rows-only slot takes q_ann_recall (newest record r11, at its
+  boundary next round; q_ann_ivf was recorded in r12 and sits out
+  until r15).  The remaining 30 oracle slots return the oldest 30 of
+  the 49 r11 greens.  Paying for those 50 in-slots: the 68
+  oracle-backed queries in _ROTATION_OUT (the 19 youngest r11 greens
+  — they MUST lead the r14 returns — plus the 49 r12 greens, one
+  round old).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
@@ -84,16 +82,68 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# LEAD the window: first q_stream_neardup — the r11 _ROTATION_NEW
-# promise (oracle-backed from birth, zero driver records anywhere) —
-# then the 21 queries whose newest green is r9 (two rounds old at the
-# r11 artifact; a third unrecorded round would breach the staleness
-# bound).  First in the recorded order so a partial driver run still
-# certifies them.
+# LEAD the window (round 13): the three r12 _ROTATION_NEW queries,
+# then the 16 queries whose newest green is r10.
 _ROTATION_FIRST = [
-    # the r11 _ROTATION_NEW promise — no driver record yet:
+    # the r12 _ROTATION_NEW promise -- no driver record anywhere yet;
+    # FIRST so a partial driver run still certifies them:
+    "q_embed_quantize",
+    "q_knn_classify",
+    "q_unicode_normalize",
+    # newest green r10 -- the staleness boundary:
+    "q_asof_join",
+    "q_stratified_sample",
+    "q_text_ratios",
+    "q_range_join",
+    "q_hypertable_rollup",
+    "q_cdc_apply",
+    "q_quantile_census",
+    "q_hypertable_quantiles",
+    "q_footer_census",
+    "q_window_rank_metrics",
+    "q_exact_dedup",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_stream_cdc_apply",
+]
+
+# Rows-only query recorded this round: q_ann_recall (newest record
+# r11, at its two-round boundary; stays rows-only because the sweep's
+# IVF tier rides unquantized float k-means argmax).  q_ann_ivf was
+# recorded in r12 and sits out until r15.
+_ROWS_ONLY_IN = [
+    "q_ann_recall",
+]
+
+# OUT this round -- 68 oracle-backed queries: the 19 youngest r11
+# greens (two rounds old at r13; they MUST lead the r14 returns) plus
+# the 49 queries recorded green in CORRECTNESS_r12.json (one round
+# old).
+_ROTATION_OUT = [
+    # newest green r11 -- first in line for r14:
+    "q_profile_stats",
+    "q_volume_by_day",
+    "q_sessionize_batch",
+    "q_scd2",
+    "q_snapshot_diff",
+    "q_trailing_window",
+    "q_funnel",
+    "q_bpe_pairs",
+    "q_source_divergence",
+    "q_split_leakage",
+    "q_neardup_scores",
+    "q_global_rank",
+    "q_train_order",
+    "q_incremental_agg_merge",
+    "q_bloom_semi_join",
+    "q_winsorize",
+    "q_inverted_index",
+    "q_filter_funnel",
+    "q_unpivot_long",
+    # newest green r12 (the full r12 oracle window):
     "q_stream_neardup",
-    # newest green r9 — the staleness boundary:
     "q_eval_auc",
     "q_ks_distance",
     "q_calibration_bins",
@@ -115,105 +165,44 @@ _ROTATION_FIRST = [
     "q_dup_clusters",
     "q_mixture_sample",
     "q_group_sample",
-]
-
-# Rows-only queries recorded this round: q_ann_ivf (newest record r10,
-# at its two-round boundary; stays rows-only because its IVF tier
-# rides unquantized float argmax).  q_ann_recall was recorded in r11
-# and sits out until r14.
-_ROWS_ONLY_IN = [
-    "q_ann_ivf",
-]
-
-# OUT this round — 65 oracle-backed queries: the 16 youngest r10
-# greens (two rounds old at r12; they MUST lead the r13 returns — at
-# r13 their newest green would otherwise be three rounds old) plus the
-# 49 queries recorded green in CORRECTNESS_r11.json (one round old).
-_ROTATION_OUT = [
-    # newest green r10 — first in line for r13:
-    "q_asof_join",
-    "q_stratified_sample",
-    "q_text_ratios",
-    "q_range_join",
-    "q_hypertable_rollup",
-    "q_cdc_apply",
-    "q_quantile_census",
-    "q_hypertable_quantiles",
-    "q_footer_census",
-    "q_window_rank_metrics",
-    "q_exact_dedup",
-    "q_token_count",
-    "q_quality_score",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_stream_cdc_apply",
-    # newest green r11 (the full r11 oracle window):
-    "q_stream_heavy_hitters",
-    "q_group_safe_split",
-    "q_stream_dedupe",
-    "q_stream_sessionize",
-    "q_ann_lsh",
-    "q_minhash_dedup",
-    "q_ngram_jaccard",
-    "q_simhash_dedup",
-    "q_embed_neardup",
-    "q_corpus_curate",
-    "q_lsh_recall",
-    "q_multimodal_pipeline",
-    "q_similarity_topk",
-    "q_winnow_fingerprint",
-    "q_ann_batch",
-    "q_token_histogram",
-    "q_bm25",
-    "q_unigram_logprob",
-    "q_perplexity_buckets",
-    "q_tfidf",
-    "q_source_priority_dedup",
-    "q_train_val_split",
-    "q_length_histogram",
-    "q_decontaminate",
-    "q_multimodal_meta",
-    "q_semi_join",
-    "q_anti_join",
-    "q_ref_integrity",
-    "q_window_running_sum",
-    "q_null_range_checks",
-    "q_profile_stats",
-    "q_volume_by_day",
-    "q_sessionize_batch",
-    "q_scd2",
-    "q_snapshot_diff",
-    "q_trailing_window",
-    "q_funnel",
-    "q_bpe_pairs",
-    "q_source_divergence",
-    "q_split_leakage",
-    "q_neardup_scores",
-    "q_global_rank",
-    "q_train_order",
-    "q_incremental_agg_merge",
-    "q_bloom_semi_join",
-    "q_winsorize",
-    "q_inverted_index",
-    "q_filter_funnel",
-    "q_unpivot_long",
+    "q_scan_project",
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_groupby_count_sum",
+    "q_groupby_rollup",
+    "q_top_duplicates",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_pivot_wide",
+    "q_dedup_keep_first",
+    "q_inner_join",
+    "q_local_supplier_revenue",
+    "q_upsert_merge",
+    "q_window_rownum",
+    "q_string_clean",
+    "q_regex_validate",
+    "q_try_cast_json",
+    "q_split_part",
+    "q_tumbling_window",
+    "q_cube",
+    "q_intersect_except",
+    "q_sliding_window",
+    "q_dup_exposure",
+    "q_eval_topk_precision",
+    "q_heavy_hitters",
 ]
 
 # Oracle-backed queries added AFTER the r12 window was fixed — zero
 # records anywhere yet, so they cannot displace a window slot promised
 # above.  Placed directly after the rotated-out queries; they MUST
-# lead the r13 window (tests/test_doc_consistency.py exempts exactly
+# lead the r14 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
 _ROTATION_NEW: list[str] = [
-    # added mid-r12 (oracle-backed from birth — int8 quantization +
-    # quantized-cosine retrieval, all integer/deterministic-IEEE
-    # arithmetic; kNN majority-label vote over the exact-cosine
-    # neighbor stage); MUST lead the r13 window:
-    "q_embed_quantize",
-    "q_knn_classify",
-    # Unicode NFC census with the split-union selective-Arrow path:
-    "q_unicode_normalize",
+    # (empty at the r13 rotation -- the r12 additions moved into
+    # _ROTATION_FIRST above.  Append queries added mid-r13 here.)
 ]
 
 
