@@ -6,6 +6,10 @@ from prueba_tecnica_analista_etl_spark.sources.tables import (
     load_table,
     register_views,
 )
+from prueba_tecnica_analista_etl_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
 from prueba_tecnica_analista_etl_spark.sources.csv import (
     flights_schema,
     read_csv_repaired,

@@ -34,29 +34,51 @@ its rows equal the plain join's.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _as_keys(keys: str | Sequence[str]) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
 
 
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    keys: str | Sequence[str],
     buckets: int,
+    path: str | None = None,
     sort: bool = True,
 ) -> None:
-    """Persist ``df`` as a catalog table hash-bucketed by ``key`` into
-    ``buckets`` files per partition (one shuffle now, no join shuffle
-    later). ``sort=True`` additionally sorts within buckets so a
-    sort-merge join skips its per-task sort too."""
-    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    """Persist ``df`` as a catalog table hash-bucketed by ``keys``
+    into ``buckets`` files per partition (one shuffle now, no join
+    shuffle later).  The SINGLE bucketed-write API (the r12 verdict's
+    consolidation ask — this replaces a same-named twin that lived in
+    sources/tables.py with a different calling convention):
+
+    * ``keys`` — one column name or a sequence of them; multi-key
+      layouts co-locate multi-column equi-joins.
+    * ``path`` — optional EXTERNAL location. Bucket metadata always
+      lives in the session catalog (Spark only trusts bucket layout
+      it recorded in the metastore); with ``path`` the data files
+      land at the given directory instead of the warehouse.
+    * ``sort=True`` additionally sorts within buckets on the same
+      keys so a sort-merge join skips its per-task sort too.
+    """
+    ks = _as_keys(keys)
+    w = df.write.mode("overwrite").bucketBy(buckets, *ks)
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(*ks)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 
-def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str]:
-    """(bucket count, bucket column) of a catalog table, from DESCRIBE
-    EXTENDED (the stable public surface for bucket metadata)."""
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
+    """(bucket count, bucket columns) of a catalog table, from
+    DESCRIBE EXTENDED (the stable public surface for bucket
+    metadata).  Raises if the table is not bucketed."""
     rows = {
         r["col_name"]: r["data_type"]
         for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
@@ -65,22 +87,33 @@ def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str]:
     cols = rows.get("Bucket Columns", "")
     if n is None:
         raise ValueError(f"table {table} is not bucketed")
-    return int(n), cols.strip("[]` ")
+    keys = [c.strip("`[] ") for c in cols.split(",") if c.strip("`[] ")]
+    return int(n), keys
+
+
+# Backwards-compatible private alias (older tests/call sites).
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str]:
+    n, keys = bucket_spec(spark, table)
+    return n, ",".join(keys)
 
 
 def bucketed_join(
-    spark: SparkSession, left: str, right: str, key: str
+    spark: SparkSession,
+    left: str,
+    right: str,
+    key: str | Sequence[str],
 ) -> DataFrame:
-    """Equi-join two catalog tables on their SHARED bucket key,
+    """Equi-join two catalog tables on their SHARED bucket key(s),
     asserting the layouts actually agree — a silent count/key
     mismatch would shuffle both sides and the 100 TB win would
     evaporate without any visible failure."""
-    ln, lc = _bucket_spec(spark, left)
-    rn, rc = _bucket_spec(spark, right)
-    if ln != rn or lc != key or rc != key:
+    ks = _as_keys(key)
+    ln, lc = bucket_spec(spark, left)
+    rn, rc = bucket_spec(spark, right)
+    if ln != rn or lc != ks or rc != ks:
         raise ValueError(
             f"bucket layouts disagree: {left}=({ln},{lc}) "
-            f"{right}=({rn},{rc}) join key={key} — rewrite one side "
-            f"with write_bucketed(..., buckets={ln}, key={key!r})"
+            f"{right}=({rn},{rc}) join key={ks} — rewrite one side "
+            f"with write_bucketed(..., buckets={ln}, keys={ks!r})"
         )
-    return spark.table(left).join(spark.table(right), key)
+    return spark.table(left).join(spark.table(right), ks)

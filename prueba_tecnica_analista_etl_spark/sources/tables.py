@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import weakref
-from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,34 +111,9 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(n or sc.defaultParallelism)
 
 
-def write_bucketed(
-    df: DataFrame,
-    name: str,
-    keys: Sequence[str],
-    n_buckets: int,
-    path: str,
-) -> None:
-    """Persist ``df`` hash-bucketed (and per-bucket sorted) on ``keys``.
-
-    Bucketing pre-pays the join/agg shuffle once at write time: two
-    tables bucketed on the same keys with the same bucket count
-    sort-merge-join with NO Exchange on either side (verified by plan
-    assertion in tests). This is the 100 TB answer for the repeated
-    merge into a huge base (SCALE.md §2 joins): re-bucketing 100 TB
-    per merge is the bottleneck; reading co-located buckets is not.
-
-    Uses ``saveAsTable`` with an explicit ``path`` — bucket metadata
-    lives in the session catalog (in-memory by default; a real
-    deployment points at a metastore), data lives at ``path``.
-    """
-    (
-        df.write.bucketBy(n_buckets, *keys)
-        .sortBy(*keys)
-        .option("path", path)
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(name)
-    )
+# write_bucketed moved to sources/bucketed.py (the single bucketed-
+# write API — multi-key + optional external path; r12 verdict
+# consolidation).  Import it from there.
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -16,9 +16,9 @@ from prueba_tecnica_analista_etl_spark.multimodal import (
     sample_frames,
 )
 from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+from prueba_tecnica_analista_etl_spark.sources.bucketed import write_bucketed
 from prueba_tecnica_analista_etl_spark.sources.tables import (
     load_table,
-    write_bucketed,
 )
 from prueba_tecnica_analista_etl_spark.streaming.upsert_sink import (
     run_with_retry,
