@@ -98,6 +98,64 @@ def upsert_with_metrics(
     return result, metrics
 
 
+def bucketed_upsert(
+    spark,
+    table: str,
+    new: DataFrame,
+    keys: Sequence[str],
+    dedup_order: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """MERGE into a BUCKETED catalog base table, preserving the layout
+    (SCALE.md §2's repeated-merge story; S17 wired to J4 — the r12
+    verdict ask; reference lineage ``seccion3_sql.sql:269-294``, the
+    repeatedly-run UPSERT procedure).
+
+    The join-rewrite is exactly :func:`upsert`; what changes is WHERE
+    the shuffle lands. The base side is a catalog table bucketed on
+    the merge key, so its anti-join scan already satisfies the join's
+    hash distribution — EnsureRequirements exchanges ONLY the incoming
+    batch (into the base's bucket count). At 100 TB that converts the
+    per-merge cost from "re-shuffle the whole base" to "shuffle the
+    day's delta": the base is read bucket-by-bucket and never crosses
+    the network. Proven on the executed plan by
+    tests/test_operators.py::test_bucketed_upsert_chain (run 2 of a
+    chained merge carries exactly one Exchange — the delta side).
+
+    The result is staged as ``{table}__upsert_staged`` with the SAME
+    bucket spec (one bucketBy write — the same price any upsert pays
+    to materialize its output), then swapped in via DROP + RENAME so
+    the next merge finds the layout it needs. The swap is not atomic
+    (OSS Spark's catalog has no two-table atomic rename): a crash
+    between DROP and RENAME loses the catalog entry while the staged
+    table keeps every row — recover by renaming the staged table. For
+    versioned atomic publishes compose with sources/versioned.py.
+
+    Raises ``ValueError`` if ``table`` is not bucketed exactly on
+    ``keys`` — silently merging into a mis-bucketed base would
+    re-shuffle 100 TB per merge with no visible failure (same loud
+    contract as ``bucketed_join``).
+    """
+    from prueba_tecnica_analista_etl_spark.sources.bucketed import (
+        bucket_spec,
+        write_bucketed,
+    )
+
+    ks = list(keys)
+    n_buckets, bkeys = bucket_spec(spark, table)
+    if bkeys != ks:
+        raise ValueError(
+            f"base {table} is bucketed on {bkeys}, merge keys are "
+            f"{ks} — rewrite the base with write_bucketed(..., "
+            f"keys={ks!r}) or merge on the bucket keys"
+        )
+    result = upsert(spark.table(table), new, ks, dedup_order)
+    staged = f"{table}__upsert_staged"
+    write_bucketed(result, staged, ks, n_buckets)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    return spark.table(table)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

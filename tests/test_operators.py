@@ -1210,3 +1210,59 @@ def test_group_safe_split_never_straddles_duplicate_groups(spark):
     n_docs = sum(r[2] for r in got)
     n_dup = sum(r[3] for r in got)
     assert n_groups == 70 and n_docs == 150 and n_dup == 120
+
+
+def test_bucketed_upsert_chain(spark):
+    """S17 wired to J4 (r12 verdict task 3): chained MERGEs into a
+    bucketed base shuffle ONLY the incoming delta. Run 2's executed
+    plan carries exactly one Exchange (the delta side — the base scan
+    is Bucketed and co-located), rows match the plain upsert chain,
+    and the bucket layout survives every merge."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        bucketed_upsert,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.bucketed import (
+        bucket_spec,
+        write_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, v string"
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"b1_{i}") for i in range(90, 110)], "k int, v string"
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"b2_{i}") for i in range(105, 120)], "k int, v string"
+    )
+    write_bucketed(base, "b_up_base", "k", 4)
+    try:
+        bucketed_upsert(spark, "b_up_base", b1, ["k"])
+        assert bucket_spec(spark, "b_up_base") == (4, ["k"])
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            run2 = upsert(spark.table("b_up_base"), b2, ["k"])
+            plan = run2._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan  # base scan is co-located
+            assert "SortMergeJoin" in plan
+            # exactly ONE Exchange: the delta side. A second one means
+            # the 100 TB base re-shuffled — the regression this pins.
+            assert plan.count("Exchange") == 1, plan
+            bucketed_upsert(spark, "b_up_base", b2, ["k"])
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        got = _rows(spark.table("b_up_base"), "k", "v")
+        want = _rows(upsert(upsert(base, b1, ["k"]), b2, ["k"]), "k", "v")
+        assert got == want
+        assert bucket_spec(spark, "b_up_base") == (4, ["k"])
+
+        # merging on a non-bucket key must fail LOUDLY, not silently
+        # re-shuffle the base every merge
+        with pytest.raises(ValueError, match="bucketed on"):
+            bucketed_upsert(spark, "b_up_base", b2, ["v"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_up_base")
+        spark.sql("DROP TABLE IF EXISTS b_up_base__upsert_staged")
