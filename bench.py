@@ -27,6 +27,7 @@ startup — totals, not cold starts, are the metric (BASELINE.md).
 
 from __future__ import annotations
 
+import hashlib
 import gc
 import json
 import os
@@ -368,6 +369,17 @@ def orchestrate() -> None:
     out["q_ms"] = [
         int(round(queries[n] * 1000)) for n in sorted(queries)
     ]
+    # Alignment guard (r12 ADVICE): a mid-round registry addition
+    # shifts every q_ms position after it with no in-band signal — a
+    # round-over-round comparator aligning by index would silently
+    # attribute timings to the wrong queries. q_ms_n plus a short
+    # hash of the sorted name list lets a consumer detect registry
+    # drift BEFORE comparing positions (names differing => realign
+    # via BENCH_DETAIL_LATEST.json's named map).
+    out["q_ms_n"] = len(queries)
+    out["q_ms_names_md5"] = hashlib.md5(
+        ",".join(sorted(queries)).encode()
+    ).hexdigest()[:8]
     # Full NAMED map for humans and archives: line 1 of stdout (still
     # subject to the tail cut) AND a repo file that survives whole.
     detail = {"detail": "per_query_sequential_sec", "queries": queries}

@@ -259,6 +259,32 @@ def capped_pair_array(
     )
 
 
+def doc_shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-token shingle features over the ``documents`` corpus,
+    staged ONCE per corpus (r12 verdict task 4): ``(doc_id, sh, hs)``
+    with ``sh`` the distinct shingle strings and ``hs`` their sorted
+    md5_60 hashes. The whole near-dup family (minhash, single-band
+    n-gram, simhash, the LSH-recall truth side) consumes this one
+    artifact instead of each re-running scan→tokenize→shingle→md5 —
+    the feature stage is built once per corpus and served
+    localCheckpoint-ed for the session (corpus_artifact), exactly the
+    ``_unigram_scored`` discipline. At 100 TB this is the standard
+    move: materialize the per-doc feature frame as a first-class
+    dataset and fan the near-dup tiers out from it."""
+    from prueba_tecnica_analista_etl_spark.artifacts import corpus_artifact
+
+    def build() -> DataFrame:
+        return spread(_t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")), 3)).alias(
+                "sh"
+            ),
+            shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
+        )
+
+    return corpus_artifact(spark, sf_dir, "doc_shingles_k3", build)
+
+
 def minhash_band_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -266,6 +292,7 @@ def minhash_band_frame(
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
     shingle_n: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc banded minhash signature frame — ``(doc_id, hs, band,
     key)`` with one row per (doc, band), ``hs`` the sorted distinct
@@ -276,10 +303,17 @@ def minhash_band_frame(
     the plain (band, key) columns."""
     n_hashes = bands * rows
     coeffs = _minhash_coeffs(n_hashes)
-    d = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(tokens(F.col(text_col)), shingle_n).alias("hs"),
-    )
+    if hashed is not None:
+        # Pre-staged (doc_id, hs) feature frame — the shared
+        # doc_shingle_frame artifact; skips scan→shingle→md5 here.
+        d = hashed.select("doc_id", "hs")
+    else:
+        d = spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            shingle_hashes(tokens(F.col(text_col)), shingle_n).alias(
+                "hs"
+            ),
+        )
 
     def _seeded_min(j: int):
         a, b, c = coeffs[j]
@@ -327,6 +361,7 @@ def minhash_pair_frame(
     rows: int = MINHASH_ROWS,
     shingle_n: int = 3,
     cap: int | None = BUCKET_CAP,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Generic banded-minhash near-dup pair detection over ANY
     (id, text) DataFrame — the user-facing operator API behind the
@@ -359,6 +394,7 @@ def minhash_pair_frame(
         bands=bands,
         rows=rows,
         shingle_n=shingle_n,
+        hashed=hashed,
     )
     return pairs_from_band_frame(banded, threshold=threshold, cap=cap)
 
@@ -421,7 +457,10 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plus an order/limit for reporting; feeding the limited
     top-100 into a purge would let pairs 101+ silently survive
     curation at scale."""
-    return minhash_pair_frame(_t(spark, sf_dir, "documents"))
+    return minhash_pair_frame(
+        _t(spark, sf_dir, "documents"),
+        hashed=doc_shingle_frame(spark, sf_dir),
+    )
 
 
 def _minhash_scored_pairs_cte(capped: bool = True) -> str:
@@ -536,6 +575,7 @@ def ngram_pair_frame(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Generic single-band min-shingle candidate pairs with exact
     n-gram Jaccard over ANY (id, text) frame (the operator behind
@@ -544,16 +584,26 @@ def ngram_pair_frame(
     (:func:`minhash_pair_frame`); right for the
     catch-obvious-rewrites tier. Output: (doc_a, doc_b,
     jaccard_sim), uncapped."""
-    d = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            shingles(tokens(F.col(text_col)), shingle_n)
-        ).alias("sh"),
-    )
-    d = d.withColumn(
-        "minhash",
-        F.array_min(F.transform("sh", md5_60)),
-    )
+    if hashed is not None:
+        # Shared doc_shingle_frame artifact: hs is the sorted distinct
+        # md5_60 of exactly these shingles, so array_min(hs) ==
+        # array_min(transform(sh, md5_60)) — same bucket keys, and the
+        # exact-Jaccard re-rank still runs on the shingle STRINGS (the
+        # oracle counts strings, not hashes).
+        d = hashed.select(
+            "doc_id", "sh", F.array_min("hs").alias("minhash")
+        )
+    else:
+        d = spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                shingles(tokens(F.col(text_col)), shingle_n)
+            ).alias("sh"),
+        )
+        d = d.withColumn(
+            "minhash",
+            F.array_min(F.transform("sh", md5_60)),
+        )
     # Capped-bucket expansion (same machinery as minhash/simhash):
     # collect each min-shingle bucket; oversized buckets sub-split by
     # secondary hash (capped_pair_array). Join input stays O(n),
@@ -633,7 +683,10 @@ def _ngram_oracle_sql() -> str:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        ngram_pair_frame(_t(spark, sf_dir, "documents"))
+        ngram_pair_frame(
+            _t(spark, sf_dir, "documents"),
+            hashed=doc_shingle_frame(spark, sf_dir),
+        )
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )
@@ -650,25 +703,32 @@ def simhash_pair_frame(
     text_col: str = "text",
     max_hamming: int = 8,
     shingle_n: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Generic banded-SimHash near-dup pairs over ANY (id, text)
     frame (the operator behind ``q_simhash_dedup``): 64-bit majority
     signature over ``shingle_n``-shingle features, 4×16-bit bands,
     candidates kept at hamming distance ≤ ``max_hamming``. Output:
     (doc_a, doc_b, hamming), uncapped."""
-    sigs = (
-        spread(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.array_distinct(
-                shingles(tokens(F.col(text_col)), shingle_n)
-            ).alias("sh"),
+    if hashed is not None:
+        # hs is the distinct md5_60 set of exactly these shingles, and
+        # the bit census is order- and duplicate-set-insensitive, so
+        # simhash64(hs) == simhash64(transform(distinct(sh), md5_60)).
+        sigs = hashed.select("doc_id", simhash64(F.col("hs")).alias("sig"))
+    else:
+        sigs = (
+            spread(docs)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.array_distinct(
+                    shingles(tokens(F.col(text_col)), shingle_n)
+                ).alias("sh"),
+            )
+            .select(
+                "doc_id",
+                simhash64(F.transform("sh", md5_60)).alias("sig"),
+            )
         )
-        .select(
-            "doc_id",
-            simhash64(F.transform("sh", md5_60)).alias("sig"),
-        )
-    )
     # The signature is one long, so it rides along into the buckets —
     # no join-back (and no recomputation of the UDF stage) needed.
     bands = sigs.select(
@@ -771,7 +831,10 @@ def _simhash_oracle_sql() -> str:
 )
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        simhash_pair_frame(_t(spark, sf_dir, "documents"))
+        simhash_pair_frame(
+            _t(spark, sf_dir, "documents"),
+            hashed=doc_shingle_frame(spark, sf_dir),
+        )
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(100)
     )
@@ -2163,10 +2226,7 @@ def lsh_recall_frame(
     )
 
     def _truth() -> DataFrame:
-        d = spread(_t(spark, sf_dir, "documents")).select(
-            "doc_id",
-            shingle_hashes(tokens(F.col("text")), 3).alias("hs"),
-        )
+        d = doc_shingle_frame(spark, sf_dir).select("doc_id", "hs")
         if truth_sample_fraction < 1.0:
             u = F.substring(
                 F.md5(
@@ -2321,7 +2381,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ann_sweep_parts/ann_recall_census_live, and first-per-corpus
     # builds execute it for real.
     tiers = ann_sweep_tiers()
-    name = "ann_recall_census:" + "|".join(
+    # The key embeds LSH_BITS and the quantization-scheme tag besides
+    # the tier labels (r12 ADVICE): a retune changing signature bits
+    # or the int8 scheme while keeping the same radius/nprobe labels
+    # must MISS here and rebuild, not serve a stale census.
+    name = f"ann_recall_census:b{LSH_BITS}:int8sym:" + "|".join(
         f"{m}:{pt}:{int(sh)}" for m, pt, sh in tiers
     )
     census = corpus_artifact(
