@@ -36,8 +36,10 @@ State design (the 100 TB shape):
   gate FOLDS them into one ``gen-{newest batch id}`` directory
   (``compact_index``, r12): probe cost and file listing stay bounded
   over a long-running stream instead of growing one dir pair per
-  batch. At scale ``keys/`` would additionally be bucketed by the
-  band key so a probe reads only its buckets.
+  batch. Each unit's ``keys/`` is PARTITIONED by ``kb =
+  pmod(xxhash64(band, key), KB_BUCKETS)`` (r13): the probe pushes its
+  own kb values as a literal partition filter, so probing a huge
+  at-rest index reads only the buckets the micro-batch can match.
 * Per-batch work: ONE banded-signature pass over the batch (the
   md5_60 minhash family — engine-neutral, identical to the batch
   tier; localCheckpoint'ed and reused by the probe, the intra-batch
@@ -78,6 +80,72 @@ from prueba_tecnica_analista_etl_spark.functions.text import jaccard
 # index). 16 units ≈ the probe reads at most 15 batch dirs + the
 # newest generation between folds.
 COMPACT_MAX_UNITS = 16
+
+# Probe-side index layout (r12 verdict task 6 — the docstring's "at
+# scale keys/ would additionally be bucketed by the band key",
+# promoted to code): every unit's ``keys/`` frame is written
+# partitioned by ``kb = pmod(xxhash64(band, key), KB_BUCKETS)``, and
+# the probe pushes the micro-batch's OWN kb values as a literal
+# partition filter — so a probe over a huge at-rest index reads only
+# the partitions its (band, key) pairs can possibly match instead of
+# every generation's full keys frame. Candidates are preserved
+# exactly: equal (band, key) implies equal kb. Pruning strength
+# scales inversely with batch size (a small probe touches few
+# buckets; a batch covering all buckets degrades to the full scan it
+# would have done anyway). Old plain-layout units remain readable —
+# the reader unions both forms and folds rewrite them partitioned.
+KB_BUCKETS = 16
+
+
+def _kb_col() -> "F.Column":
+    return F.pmod(
+        F.xxhash64(F.col("band"), F.col("key")), F.lit(KB_BUCKETS)
+    ).cast("int")
+
+
+def _keys_layout(unit: str) -> str:
+    """'kb' (partitioned), 'plain' (flat parquet files), or 'empty'
+    (a zero-row partitioned write leaves no data files at all — skip
+    it; schema inference over nothing would throw)."""
+    kd = os.path.join(unit, "keys")
+    if not os.path.isdir(kd):
+        return "empty"
+    names = os.listdir(kd)
+    if any(n.startswith("kb=") for n in names):
+        return "kb"
+    if any(n.endswith(".parquet") for n in names):
+        return "plain"
+    return "empty"
+
+
+def read_index_keys(
+    spark, units: "list[str]", probe_kbs: "list[int] | None" = None
+) -> "DataFrame | None":
+    """Union the committed units' ``keys/`` frames as (doc_id, band,
+    key), pruning kb-partitioned units to ``probe_kbs`` when given.
+    Handles mixed layouts (pre-kb plain units alongside partitioned
+    ones). Returns None when no unit holds any keys data."""
+    parted = [u for u in units if _keys_layout(u) == "kb"]
+    plain = [u for u in units if _keys_layout(u) == "plain"]
+    frames = []
+    # One read PER partitioned unit: multiple partition-discovery
+    # roots in a single read conflict (KD009) — and the unit count is
+    # bounded by the compaction caps, so the union stays small.
+    for u in parted:
+        df = spark.read.parquet(os.path.join(u, "keys"))
+        if probe_kbs is not None:
+            df = df.filter(F.col("kb").isin(list(probe_kbs)))
+        frames.append(df.drop("kb"))
+    if plain:
+        frames.append(
+            spark.read.parquet(*[os.path.join(u, "keys") for u in plain])
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _committed(index_dir: str) -> list[str]:
@@ -124,23 +192,47 @@ def _fold_units(spark, index_dir: str, units: "list[str]") -> bool:
     crash window additive (duplicate rows across units, which every
     reader distincts away and the next fold's ``dropDuplicates``
     heals), never subtractive."""
-    ids, max_seq = [], 0
+    ids = []
     for u in units:
         parts = os.path.basename(u).split("-")
         ids.append(int(parts[1]))
-        if parts[0] == "gen" and len(parts) > 2:
+    gen_id = max(ids)
+    # seq is one past ANY existing generation's sequence for the
+    # target id — across the whole index dir, not just the folded
+    # units (r12 ADVICE): after a crash between the gen rename and
+    # the folded dirs' removal, a retried fold of the same batches
+    # would otherwise re-target the already-existing gen-{id}-{seq},
+    # pay the full rewrite, fail the rename, and repeat that waste on
+    # every compact_index call until a newer batch id arrived. With
+    # the global max the retry lands at the next free sequence and
+    # removes the stale duplicates immediately.
+    max_seq = 0
+    for n in os.listdir(index_dir):
+        parts = n.split("-")
+        if (
+            parts[0] == "gen"
+            and ".tmp-" not in n
+            and len(parts) > 2
+            and int(parts[1]) == gen_id
+        ):
             max_seq = max(max_seq, int(parts[2]))
-    target = os.path.join(
-        index_dir, f"gen-{max(ids):09d}-{max_seq + 1}"
-    )
-    keys = spark.read.parquet(
-        *[os.path.join(u, "keys") for u in units]
-    ).dropDuplicates(["doc_id", "band", "key"])
+    target = os.path.join(index_dir, f"gen-{gen_id:09d}-{max_seq + 1}")
+    keys = read_index_keys(spark, units)
+    if keys is not None:
+        keys = keys.dropDuplicates(["doc_id", "band", "key"])
     docs = spark.read.parquet(
         *[os.path.join(u, "docs") for u in units]
     ).dropDuplicates(["doc_id"])
     tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
-    keys.write.mode("overwrite").parquet(os.path.join(tmp, "keys"))
+    if keys is None:
+        # every folded unit was keys-empty: keep the invariant that a
+        # unit HAS a keys dir (layout 'empty' — readers skip it)
+        os.makedirs(os.path.join(tmp, "keys"), exist_ok=True)
+    else:
+        # folds heal pre-kb plain units into the partitioned layout
+        keys.withColumn("kb", _kb_col()).write.mode(
+            "overwrite"
+        ).partitionBy("kb").parquet(os.path.join(tmp, "keys"))
     docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
     try:
         os.rename(tmp, target)
@@ -189,8 +281,9 @@ def compact_index(
     ``_fold_units``). Call ONLY under the drain lock (the same
     serialization the batch commits run under).
 
-    The remaining 100 TB refinement is bucketing each generation's
-    ``keys/`` by band key so a probe reads only its buckets.
+    Folds also REWRITE pre-kb plain units into the kb-partitioned
+    keys layout, so a long-lived index converges to fully
+    probe-prunable regardless of the layout it started with.
     """
     units = _committed(index_dir)
     did = False
@@ -273,10 +366,19 @@ def foreach_batch_neardup_gate(
     def _gate_one_batch(s, banded: DataFrame, accept_dir: str) -> None:
         doc_hs = banded.select("doc_id", "hs").dropDuplicates(["doc_id"])
         committed = _committed(index_dir)
+        idx_keys = None
         if committed:
-            idx_keys = s.read.parquet(
-                *[os.path.join(p, "keys") for p in committed]
-            )
+            # The probe's OWN kb values become a literal partition
+            # filter on the index read — at most KB_BUCKETS ints, so
+            # the collect is driver-bounded by a constant.
+            probe_kbs = [
+                r[0]
+                for r in banded.select(_kb_col().alias("kb"))
+                .distinct()
+                .collect()
+            ]
+            idx_keys = read_index_keys(s, committed, probe_kbs)
+        if idx_keys is not None:
             idx_docs = s.read.parquet(
                 *[os.path.join(p, "docs") for p in committed]
             )
@@ -335,9 +437,11 @@ def foreach_batch_neardup_gate(
             survivors.select("doc_id"), "doc_id", "left_semi"
         )
         tmp = f"{accept_dir}.tmp-{uuid.uuid4().hex[:8]}"
-        accepted.select("doc_id", "band", "key").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp, "keys"))
+        accepted.select("doc_id", "band", "key").withColumn(
+            "kb", _kb_col()
+        ).write.mode("overwrite").partitionBy("kb").parquet(
+            os.path.join(tmp, "keys")
+        )
         accepted.select("doc_id", "hs").dropDuplicates(
             ["doc_id"]
         ).write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
@@ -351,22 +455,30 @@ def foreach_batch_neardup_gate(
     return apply
 
 
-def accepted_ids(spark, index_dir: str) -> DataFrame:
-    """The gate's accepted set as a (doc_id) frame — the lazy batch
-    read consumers join against (never a driver collect).
+def accepted_ids(
+    spark, index_dir: str, snapshot: bool = True
+) -> DataFrame:
+    """The gate's accepted set as a (doc_id) frame — the batch read
+    consumers join against (never a driver collect).
 
-    Consume (or ``localCheckpoint``) the frame before the NEXT drain
-    of the same index: a later drain's compaction may fold and remove
-    the unit directories this lazy scan references (r12 — before
-    tiered folding the units were immortal and the frame could idle
-    forever). q_stream_neardup consumes it inside the same call."""
+    ``snapshot=True`` (default) ``localCheckpoint``s the frame before
+    returning, so it stays valid even if a LATER drain's tiered
+    compaction folds and removes the unit directories the scan
+    referenced (r12 ADVICE: the lazy form handed callers a
+    use-after-free-style contract — a held frame turned into
+    FileNotFound at action time once a fold ran). The accepted set is
+    one id column, so the eager materialization is cheap at any
+    corpus size the driver sees; pass ``snapshot=False`` to get the
+    raw lazy union scan ONLY when consuming it before the next drain
+    of the same index (q_stream_neardup's single-call pattern)."""
     committed = _committed(index_dir)
     if not committed:
         raise FileNotFoundError(
             f"near-dup gate index has no committed batches: {index_dir}"
         )
-    return (
+    ids = (
         spark.read.parquet(*[os.path.join(p, "docs") for p in committed])
         .select("doc_id")
         .distinct()
     )
+    return ids.localCheckpoint() if snapshot else ids

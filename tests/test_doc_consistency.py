@@ -45,6 +45,19 @@ def test_readme_counts():
     assert f"{total} declared queries, {n_oracle} proven value-exact" in text
 
 
+def test_baseline_banner_counts():
+    """BASELINE.md is an append-only measurement log whose per-round
+    sections quote HISTORICAL registry sizes; its current-state banner
+    (r12 verdict task 7) must track the live registry so a reader
+    never mistakes an old round's counts for today's."""
+    total, n_oracle, _ = _counts()
+    text = open(os.path.join(ROOT, "BASELINE.md")).read()
+    assert (
+        f"live registry: {total} queries ({n_oracle} oracle-backed)"
+        in text
+    )
+
+
 def test_survey_counts():
     total, n_oracle, _ = _counts()
     text = open(os.path.join(ROOT, "SURVEY.md")).read()

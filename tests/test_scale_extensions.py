@@ -1854,3 +1854,131 @@ def test_unicode_normalize_parity_on_mixed_corpus(spark, tmp_path):
     assert "ArrowEvalPython" in plan
     arrow_subtree = plan.split("ArrowEvalPython", 1)[1]
     assert "RLIKE" in arrow_subtree or "rlike" in arrow_subtree, plan
+
+
+def test_fold_units_retry_after_crash_lands_next_seq(spark, tmp_path):
+    """r12 ADVICE: a fold that crashed BETWEEN the generation rename
+    and the folded batch dirs' removal must, on retry, land at the
+    NEXT free sequence for that generation id (not re-target the
+    existing dir, fail the rename, and repeat the full rewrite on
+    every compact call). Also pins accepted_ids' snapshot contract:
+    a frame handed out BEFORE a fold stays collectible after the
+    fold removed the unit dirs it scanned."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.streaming.neardup import (
+        _committed,
+        _fold_units,
+        accepted_ids,
+        compact_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+
+    def write_unit(name: str, ids: list[int]) -> None:
+        base = os.path.join(index_dir, name)
+        spark.createDataFrame(
+            [(i, 0, i) for i in ids], "doc_id long, band int, key long"
+        ).write.parquet(os.path.join(base, "keys"))
+        spark.createDataFrame(
+            [(i, [i]) for i in ids], "doc_id long, hs array<long>"
+        ).write.parquet(os.path.join(base, "docs"))
+
+    write_unit("batch-000000000", [0, 1])
+    write_unit("batch-000000001", [2, 3])
+    # the crashed fold: its generation landed, batch dirs survived
+    write_unit("gen-000000001-1", [0, 1, 2, 3])
+
+    units = [
+        os.path.join(index_dir, "batch-000000000"),
+        os.path.join(index_dir, "batch-000000001"),
+    ]
+    held = accepted_ids(spark, index_dir)  # snapshot taken pre-fold
+    assert _fold_units(spark, index_dir, units)  # retry succeeds NOW
+    names = sorted(os.path.basename(u) for u in _committed(index_dir))
+    assert names == ["gen-000000001-1", "gen-000000001-2"]
+
+    got = {r["doc_id"] for r in accepted_ids(spark, index_dir).collect()}
+    assert got == {0, 1, 2, 3}
+    # tier-2 merge removes both generation dirs; the held snapshot
+    # must still collect (the lazy form threw FileNotFound here)
+    assert compact_index(spark, index_dir, max_units=1, max_gens=1)
+    assert len(_committed(index_dir)) == 1
+    assert {r["doc_id"] for r in held.collect()} == {0, 1, 2, 3}
+
+
+def test_gate_index_probe_partition_pruning(spark, tmp_path):
+    """r12 verdict task 6: the gate's index ``keys/`` is written
+    partitioned by kb = pmod(xxhash64(band, key), KB_BUCKETS) and the
+    probe pushes its own kb values as a literal partition filter —
+    the scan plan must show PartitionFilters pruning, the pruned read
+    must equal the full read restricted to those buckets (equal
+    (band, key) implies equal kb, so no candidate is lost), and
+    pre-kb plain units must stay readable alongside."""
+    import os
+
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        minhash_band_frame,
+        pairs_from_band_frame,
+    )
+    from prueba_tecnica_analista_etl_spark.streaming.neardup import (
+        _committed,
+        _kb_col,
+        foreach_batch_neardup_gate,
+        read_index_keys,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    gate = foreach_batch_neardup_gate(
+        index_dir,
+        band_frame=minhash_band_frame,
+        pairs_from_bands=lambda b, t: pairs_from_band_frame(
+            b, threshold=t, cap=None
+        ),
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, f"wholly unique document number {i} alpha beta gamma")
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    gate(docs, 0)
+    units = _committed(index_dir)
+    assert units
+    # the committed unit's keys are kb-partitioned on disk
+    keys_dir = os.path.join(units[0], "keys")
+    assert any(n.startswith("kb=") for n in os.listdir(keys_dir))
+
+    full = read_index_keys(spark, units)
+    probe_kbs = [3, 7, 11]
+    pruned = read_index_keys(spark, units, probe_kbs=probe_kbs)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [kb" in plan and " IN (3,7,11)" in plan, plan
+
+    def rows(df):
+        return {
+            (r["doc_id"], r["band"], r["key"]) for r in df.collect()
+        }
+
+    want = rows(
+        full.withColumn("kb", _kb_col()).filter(
+            F.col("kb").isin(probe_kbs)
+        )
+    )
+    assert rows(pruned) == want
+
+    # mixed layout: a pre-kb plain unit unions in transparently
+    plain = os.path.join(index_dir, "batch-000000007")
+    spark.createDataFrame(
+        [(999, 0, (1, 2, 3))],
+        "doc_id long, band int, "
+        "key struct<k0:bigint,k1:bigint,k2:bigint>",
+    ).write.parquet(os.path.join(plain, "keys"))
+    spark.createDataFrame(
+        [(999, [1])], "doc_id long, hs array<long>"
+    ).write.parquet(os.path.join(plain, "docs"))
+    mixed = read_index_keys(spark, _committed(index_dir))
+    assert any(r[0] == 999 for r in rows(mixed))
+    assert rows(mixed) >= rows(full)
