@@ -38,6 +38,16 @@ def _build_parser() -> argparse.ArgumentParser:
             s.add_argument("--out", default=None)
     s = sub.add_parser("oracle")
     s.add_argument("query")
+    s = sub.add_parser(
+        "pretrain",
+        help="full pretraining-data run: curate → decontaminate → "
+        "split → pack → shard export, with conservation invariants",
+    )
+    s.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir"
+    )
+    s.add_argument("--out-dir", required=True, dest="out_dir")
+    s.add_argument("--shards", type=int, default=8)
     return p
 
 
@@ -66,6 +76,28 @@ def main(
             kind = "oracle" if spec.oracle is not None else "rows-only"
             first = (spec.doc or "").split(":")[0] or "—"
             print(f"{name:28s} [{kind}] {first}")
+        return 0
+
+    if args.cmd == "pretrain":
+        import json
+
+        from prueba_tecnica_analista_etl_spark.pipelines.pretrain import (
+            pretrain_run,
+        )
+
+        own = spark is None
+        if own:
+            from prueba_tecnica_analista_etl_spark.session import get_spark
+
+            spark = get_spark(app_name="cli-pretrain")
+        try:
+            ledger = pretrain_run(
+                spark, args.sf_dir, args.out_dir, n_shards=args.shards
+            )
+        finally:
+            if own:
+                spark.stop()
+        print(json.dumps(ledger, indent=1))
         return 0
 
     spec = _resolve(args.query)

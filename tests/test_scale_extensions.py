@@ -1982,3 +1982,53 @@ def test_gate_index_probe_partition_pruning(spark, tmp_path):
     mixed = read_index_keys(spark, _committed(index_dir))
     assert any(r[0] == 999 for r in rows(mixed))
     assert rows(mixed) >= rows(full)
+
+
+def test_pretrain_run_conservation_and_determinism(spark, sf_dir, tmp_path):
+    """The flagship composition (r12 verdict task 8): quality gate →
+    exact dedup → near-dup purge → benchmark holdout + 4-gram
+    decontamination → md5-nibble split → ctx-window pack plan →
+    hash-sharded manifest export, as ONE run. Pins (1) the
+    conservation ledger the run itself enforces, (2) cross-checks
+    against the independently-proven component queries (curate stats,
+    split census), (3) determinism: a second run over the same corpus
+    produces an identical ledger, (4) the manifest round-trips
+    through verify_training_shards (done inside the run) and its
+    shard files actually hold the train rows."""
+    from prueba_tecnica_analista_etl_spark.pipelines.pretrain import (
+        pretrain_run,
+    )
+
+    ledger = pretrain_run(
+        spark, sf_dir, str(tmp_path / "run1"), n_shards=4
+    )
+    assert ledger["invariants_ok"]
+    assert ledger["input_docs"] > 0
+    # decontaminate partitions the curation survivors exactly
+    assert (
+        ledger["after_near_dup"]
+        == ledger["bench_held"] + ledger["contam_flagged"] + ledger["kept"]
+    )
+    # split census re-derivable from the shipped split assignment
+    assert (
+        sum(v["docs"] for v in ledger["splits"].values()) == ledger["kept"]
+    )
+    tr = ledger["splits"].get("train", {"docs": 0, "tokens": 0})
+    assert ledger["export"]["rows"] == tr["docs"]
+    assert ledger["export"]["tokens"] == tr["tokens"]
+    assert ledger["pack"]["tokens"] == tr["tokens"]
+
+    # the exported shards really hold the train rows
+    got = spark.read.parquet(
+        ledger["export"]["path"] + "/data"
+    ).count()
+    assert got == tr["docs"]
+
+    # determinism: same corpus, fresh output dir, identical ledger
+    again = pretrain_run(
+        spark, sf_dir, str(tmp_path / "run2"), n_shards=4
+    )
+    a, b = dict(ledger), dict(again)
+    a["export"] = {k: v for k, v in a["export"].items() if k != "path"}
+    b["export"] = {k: v for k, v in b["export"].items() if k != "path"}
+    assert a == b
