@@ -1,10 +1,10 @@
 """Declared query plans (SURVEY.md §2.11) — the engine's contract.
 
-Registry-order note (transparent rotation, round 12):
+Registry-order note (transparent rotation, round 13):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 119 queries (117 oracle-backed + 2
-rows-only), so 69 must sit outside the recorded window in any given
+each round; the registry holds 121 queries (119 oracle-backed + 2
+rows-only), so 71 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -53,10 +53,10 @@ independently-recorded driver result:
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  114
+window (or in _ROTATION_NEW, which must lead the NEXT window).  119
 oracle queries across 49 oracle slots/round (and 2 rows-only across
 1) satisfy the bound: each needs a record only once per three windows
-(117 <= 3*49, 2 <= 3*1).
+(119 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -201,8 +201,11 @@ _ROTATION_OUT = [
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
 _ROTATION_NEW: list[str] = [
-    # (empty at the r13 rotation -- the r12 additions moved into
-    # _ROTATION_FIRST above.  Append queries added mid-r13 here.)
+    # added mid-r13 (oracle-backed from birth): the per-source
+    # fixed-point unigram-entropy census and the cross-source
+    # near-dup matrix; MUST lead the r14 window:
+    "q_unigram_entropy",
+    "q_dup_matrix",
 ]
 
 

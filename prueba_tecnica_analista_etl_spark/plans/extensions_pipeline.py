@@ -2152,3 +2152,88 @@ def q_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _entropy_oracle_sql() -> str:
+    """DuckDB oracle for the per-source unigram entropy census: the
+    SAME exact-integer fixed-point logarithm the engine computes
+    (``_nlp6_duckdb_ctes`` unrolled over the per-source vocab), so
+    every value is 64-bit integer arithmetic end-to-end — bit-equal
+    in both engines regardless of accumulation order."""
+    ctes, final = _nlp6_duckdb_ctes(
+        prefix="ent", src="ent_base", keys=("source", "term")
+    )
+    return f"""
+    WITH toks AS (SELECT source,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         t AS (SELECT source, term FROM toks WHERE term <> ''),
+         stf AS (SELECT source, term, count(*) AS cnt
+                 FROM t GROUP BY source, term),
+         stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+                  FROM stf GROUP BY source),
+         ent_base AS (SELECT source, term, cnt, total
+                      FROM stf JOIN stot USING (source)),
+         {ctes}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           CAST(sum(cnt * nlp6) // max(total) AS BIGINT) AS entropy_e6
+    FROM {final}
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q_unigram_entropy",
+    _entropy_oracle_sql(),
+    doc="extension (corpus-diversity census, r13): per-source unigram "
+    "Shannon entropy in fixed-point nats*1e6 — the drift/templating "
+    "signal a curation pipeline watches per ingest source (a source "
+    "whose entropy collapses went boilerplate; one whose entropy "
+    "jumps changed language mix). entropy_e6 = sum(cnt*nlp6(total,"
+    "cnt)) div total over the per-source term census — the SAME "
+    "exact-integer fixed-point logarithm as the perplexity family "
+    "(zero runtime transcendentals, bit-identical across engines "
+    "and accumulation orders). Scale: one explode+groupBy collapses "
+    "the token stream to per-source term counts (the q_unigram_"
+    "logprob shuffle family), nlp6 runs once per DISTINCT "
+    "(source, term) — O(|vocab|) integer folds — and the final "
+    "census is sources-sized.",
+)
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    stf = (
+        spread(d)
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stot = stf.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total")
+    )
+    scored = stf.join(stot, "source").withColumn(
+        "nlp6", F.expr(_nlp6_spark_expr())
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("total").alias("total_tokens"),
+            F.sum(F.col("cnt") * F.col("nlp6")).alias("_num"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            "total_tokens",
+            F.expr("_num div total_tokens").alias("entropy_e6"),
+        )
+        .orderBy("source")
+    )

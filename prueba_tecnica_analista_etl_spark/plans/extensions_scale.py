@@ -2700,3 +2700,84 @@ def ann_sweep_parts(
         .filter(F.col("rn") <= 10)
     )
     return tiers, top
+
+
+def _dup_matrix_oracle_sql() -> str:
+    """DuckDB oracle: the SAME capped banded-minhash scored-pairs
+    chain as q_minhash_dedup, joined to each endpoint's source and
+    folded into the (least, greatest) source-pair census. The
+    similarity mass rides as an INTEGER (round(_j,4)*10000 — the 4dp
+    value both engines already prove hash-equal, rescaled), so
+    sums are exact 64-bit arithmetic in any accumulation order."""
+    return f"""
+    WITH {_minhash_scored_pairs_cte()},
+    p2 AS (SELECT doc_a, doc_b, round(_j, 4) AS js
+           FROM j WHERE _j >= 0.5),
+    m AS (SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b,
+                 CAST(round(js * 10000) AS BIGINT) AS j4
+          FROM p2
+          JOIN documents da ON da.doc_id = p2.doc_a
+          JOIN documents db ON db.doc_id = p2.doc_b)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(j4) AS BIGINT) AS sum_j_e4
+    FROM m GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+@query(
+    "q_dup_matrix",
+    _dup_matrix_oracle_sql(),
+    doc="extension (cross-source duplication matrix, r13): which "
+    "ingest sources copy which — per unordered source pair, the "
+    "near-dup pair count and the integer-rescaled similarity mass "
+    "(sum of round(jaccard,4)*10000, exact 64-bit sums) over the "
+    "banded-minhash pair frame. THE census a curation owner reads "
+    "before deciding source priorities (q_source_priority_dedup's "
+    "upstream evidence): a hot off-diagonal cell means two feeds "
+    "mirror each other and one should be demoted. Scale: reuses the "
+    "memoized pair frame (cached_minhash_pairs — built once per "
+    "corpus from the shared doc_shingle_frame artifact), joins the "
+    "census-sized pair set to a two-column (doc_id, source) "
+    "projection, and the output is |sources|^2-bounded.",
+)
+def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        cached_minhash_pairs,
+    )
+
+    pairs = cached_minhash_pairs(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard_sim") * 10000)
+            .cast("long")
+            .alias("j4"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j4").alias("sum_j_e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
