@@ -2203,25 +2203,34 @@ def _entropy_oracle_sql() -> str:
     "census is sources-sized.",
 )
 def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    stf = (
-        spread(d)
-        .select(
-            "source",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
-                "term"
-            ),
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        # The token-stream explode is the whole cost of this census;
+        # the folded (source, term, cnt, total) frame is vocab-sized.
+        # Stage it once per corpus (the _unigram_scored discipline).
+        d = _t(spark, sf_dir, "documents")
+        stf = (
+            spread(d)
+            .select(
+                "source",
+                F.explode(
+                    F.split(F.lower(F.col("text")), " ")
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .filter(F.col("term") != "")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    stot = stf.groupBy("source").agg(
-        F.sum("cnt").cast("long").alias("total")
-    )
-    scored = stf.join(stot, "source").withColumn(
-        "nlp6", F.expr(_nlp6_spark_expr())
-    )
+        stot = stf.groupBy("source").agg(
+            F.sum("cnt").cast("long").alias("total")
+        )
+        return stf.join(stot, "source")
+
+    census = corpus_artifact(spark, sf_dir, "source_term_census", build)
+    scored = census.withColumn("nlp6", F.expr(_nlp6_spark_expr()))
     return (
         scored.groupBy("source")
         .agg(
