@@ -1264,11 +1264,42 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_MIN_SHARED = 3
 
 
+def fp8_ids_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each distinct 8-token-shingle md5 fingerprint's sorted member
+    doc_id array over the ``documents`` corpus — staged ONCE per
+    corpus (r13, the doc_shingle_frame discipline applied to the
+    8-gram family): q_neardup_scores' candidate edges, q_dup_clusters'
+    edge builder and q_dup_exposure's exposure census all fold this
+    one frame instead of each re-running the corpus-scale
+    explode+md5+groupBy subtree. O(distinct shingles) rows — the
+    cached_minhash_pairs size class."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        toks = F.split(F.lower(F.col("text")), " ")
+        fp = (
+            spread(d)
+            .select(
+                "doc_id", F.explode(shingles(toks, 8)).alias("gram")
+            )
+            .select("doc_id", F.md5("gram").alias("fp"))
+        )
+        return fp.groupBy("fp").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ids")
+        )
+
+    return corpus_artifact(spark, sf_dir, "fp8_ids", build)
+
+
 def shingle_edges(
     docs: DataFrame,
     k: int = 8,
     min_shared: int = CLUSTER_MIN_SHARED,
     max_df: int | None = None,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """Doc-pair edges ``(doc_a < doc_b, shared)`` where the pair shares
     ≥ ``min_shared`` distinct k-token shingle fingerprints.
@@ -1282,21 +1313,27 @@ def shingle_edges(
     O(df²) pair rows and no near-dup signal (any genuine duplicate
     family also shares its rarer shingles) — so production callers cap
     it; the oracle-checked query leaves it None for exactness against
-    the uncapped SQL."""
-    toks = F.split(F.lower(F.col("text")), " ")
-    fp = (
-        spread(docs)
-        .select("doc_id", F.explode(shingles(toks, k)).alias("gram"))
-        .select("doc_id", F.md5("gram").alias("fp"))
-    )
-    # No .distinct() before the groupBy: collect_set dedups doc_ids
-    # per fingerprint map-side, so a separate distinct would be a
-    # second full shuffle of the gram frame for nothing (unlike
-    # q_source_overlap, whose per-source SIZE census genuinely needs
-    # the deduped (fp, source) frame).
-    g = fp.groupBy("fp").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
-    )
+    the uncapped SQL.  ``grouped`` bypasses the corpus scan with a
+    pre-staged (fp, ids) frame (the ``fp8_ids_frame`` artifact)."""
+    if grouped is not None:
+        g = grouped
+    else:
+        toks = F.split(F.lower(F.col("text")), " ")
+        fp = (
+            spread(docs)
+            .select(
+                "doc_id", F.explode(shingles(toks, k)).alias("gram")
+            )
+            .select("doc_id", F.md5("gram").alias("fp"))
+        )
+        # No .distinct() before the groupBy: collect_set dedups
+        # doc_ids per fingerprint map-side, so a separate distinct
+        # would be a second full shuffle of the gram frame for
+        # nothing (unlike q_source_overlap, whose per-source SIZE
+        # census genuinely needs the deduped (fp, source) frame).
+        g = fp.groupBy("fp").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ids")
+        )
     if max_df is not None:
         g = g.filter(F.size("ids") <= max_df)
     combos = pair_combos(F.col("ids"), "doc_a", "doc_b")
@@ -1391,7 +1428,10 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "dup_cluster_labels",
         lambda: connected_components(
-            shingle_edges(_t(spark, sf_dir, "documents"))
+            shingle_edges(
+                _t(spark, sf_dir, "documents"),
+                grouped=fp8_ids_frame(spark, sf_dir),
+            )
         ),
     )
 
@@ -1885,19 +1925,10 @@ def q_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the duplicate-detection design of nb:150-160
     (exact drop_duplicates) extended to graded near-duplicates.
     """
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    fp = (
-        spread(d)
-        .select("doc_id", F.explode(shingles(toks, 8)).alias("gram"))
-        .select("doc_id", F.md5("gram").alias("fp"))
-    )
-    # Same g as shingle_edges builds internally (collect_set dedups
-    # (fp, doc) pairs map-side); inlined here so the size census can
-    # share it instead of re-exploding the corpus.
-    g = fp.groupBy("fp").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
-    )
+    # The staged per-fp member frame (r13): edges AND the size census
+    # both fold the fp8_ids artifact — the corpus-scale explode+md5
+    # subtree is paid once per corpus, not once per query.
+    g = fp8_ids_frame(spark, sf_dir)
     edges = (
         g.filter(F.size("ids") >= 2)
         .select(
@@ -2025,28 +2056,20 @@ def q_dup_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first dedup; Seccion_1_Excel top-20 duplicates) lifted from
     row identity to CONTENT overlap, per document.
     """
-    toks = F.split(F.lower(F.col("text")), " ")
-    fp = (
-        spread(_t(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            F.explode(shingles(toks, 8)).alias("gram"),
-        )
-        .select("doc_id", F.md5("gram").alias("fp"))
-        .distinct()
-    )
+    # Both censuses fold the staged fp8_ids artifact (r13): a doc's
+    # distinct-fp count is its membership count across fp rows, and
+    # its globally-unique fps are the size-1 rows it owns — no corpus
+    # scan, no (doc_id, fp) distinct exchange.
+    g = fp8_ids_frame(spark, sf_dir)
     n_unique = (
-        fp.groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("kdocs"),
-            F.min("doc_id").alias("doc_id"),
-        )
-        .filter(F.col("kdocs") == 1)
+        g.filter(F.size("ids") == 1)
+        .select(F.element_at("ids", 1).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
     return (
-        fp.groupBy("doc_id")
+        g.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"))
         .join(n_unique, "doc_id", "left")
         .select(
