@@ -616,25 +616,23 @@ def test_topk_precision_never_ranks_fact_table(spark, sf_dir):
 
 def test_dup_exposure_single_scan_no_pair_expansion(spark, sf_dir):
     """q_dup_exposure must stay LINEAR in corpus shingles AND skew-free
-    (r9 verdict task 5): one scan of documents (the distinct fp frame
-    feeds both branches — the second read must be a ReusedExchange),
-    NO window anywhere (the earlier per-fp count window materialized
-    one unbounded partition per boilerplate fingerprint; the de-skewed
-    form partially aggregates every fp-keyed step), and the only join
-    is the per-doc census merge on doc_id (at most one row per key on
-    both sides) — a pair-expansion would show up as an fp-keyed
-    join."""
+    (r9 verdict task 5, r13 artifact form): both census branches fold
+    the staged fp8_ids artifact — the corpus-scale explode+md5+groupBy
+    subtree runs once per CORPUS, so the query plan contains NO
+    parquet scan of documents at all (the artifact serves as a
+    checkpointed ExistingRDD) — NO window anywhere (the earlier
+    per-fp count window materialized one unbounded partition per
+    boilerplate fingerprint; the de-skewed form partially aggregates
+    every fp-keyed step), and the only join is the per-doc census
+    merge on doc_id (at most one row per key on both sides) — a
+    pair-expansion would show up as an fp-keyed join."""
     df = REGISTRY["q_dup_exposure"].fn(spark, sf_dir)
-    df.collect()  # AQE exchange reuse is a RUNTIME stage decision
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    # ReusedExchange = the second branch reads the distinct frame's
-    # shuffle output instead of re-scanning; the AQE plan text prints
-    # the reused stage's original subtree (scan included) under the
-    # ReusedExchange's source exchange, so the scan appears twice
-    # textually while executing once.
-    assert "ReusedExchange" in final
-    assert final.count("Scan parquet") <= 2
+    # the staged artifact is the only source: zero corpus scans here
+    assert "Scan parquet" not in final
+    assert "Scan ExistingRDD" in final
     assert "windowspecdefinition" not in final
     join_lines = [
         l for l in final.splitlines() if "Join" in l and "doc_id" in l
