@@ -135,6 +135,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_grams4_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-token shingle stream over ``documents`` — (doc_id,
+    source, grams array, n_grams), staged ONCE per corpus (r13): the
+    contamination screen and the decontamination filter both explode
+    this artifact instead of each re-running tokenize+shingle over
+    the corpus. Arrays keep duplicates (the consumers' distinct
+    semantics differ and are applied downstream). Storage trade at
+    100 TB: grams materialize ~4x the text bytes, paid once and
+    column-pruned on read; both consumers' remaining cost is their
+    own gram-keyed aggregation, which the artifact cannot remove."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        return spread(d).select(
+            "doc_id",
+            "source",
+            shingles(toks, 4).alias("grams"),
+            F.greatest(F.size(toks) - 3, F.lit(1))
+            .cast("long")
+            .alias("n_grams"),
+        )
+
+    return corpus_artifact(spark, sf_dir, "doc_grams4", build)
+
+
 @query(
     "q_contamination",
     f"""
@@ -181,12 +210,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overlap volume, not just the contaminated-doc flag.",
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = spread(d).select(
-        "doc_id",
-        F.explode(shingles(toks, 4)).alias("gram"),
-    )
+    g4 = doc_grams4_frame(spark, sf_dir)
+    grams = g4.select("doc_id", F.explode("grams").alias("gram"))
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     )
@@ -196,15 +221,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_hits"))
     )
-    # Per-doc gram-count denominator is map-side arithmetic (array
-    # length), NOT a distinct over the gram stream — the overlap
-    # fraction costs nothing extra at 100 TB.
-    corpus = d.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id",
-        "source",
-        F.greatest(
-            F.size(toks) - 3, F.lit(1)
-        ).cast("long").alias("n_grams"),
+    # Per-doc gram-count denominator rides the artifact (array
+    # length at build time), NOT a distinct over the gram stream —
+    # the overlap fraction costs nothing extra at 100 TB.
+    corpus = g4.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", "n_grams"
     )
     return (
         corpus.join(hits, "doc_id", "left")
@@ -1757,10 +1778,8 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    grams = spread(d).select(
-        "doc_id",
-        F.explode(shingles(toks, 4)).alias("gram"),
-    )
+    g4 = doc_grams4_frame(spark, sf_dir)
+    grams = g4.select("doc_id", F.explode("grams").alias("gram"))
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     )
