@@ -483,17 +483,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards against. Top-20 via TakeOrderedAndProject; (df DESC, term)
     is a total order because term is unique per row.
     """
-    docs = _t(spark, sf_dir, "documents")
-    pairs = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        # pure set-dedup (no survivor choice to declare): one shuffle
-        # on (term, doc_id), mirroring the oracle's SELECT DISTINCT
-        .distinct()
+    from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
+        doc_term_tf_frame,
     )
+
+    # the artifact's rows ARE the distinct (doc_id, term) pairs (one
+    # row per doc-term, tf >= 1), mirroring the oracle's DISTINCT
+    pairs = doc_term_tf_frame(spark, sf_dir).select("doc_id", "term")
     df_counts = pairs.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("term").orderBy("doc_id")
     postings = (

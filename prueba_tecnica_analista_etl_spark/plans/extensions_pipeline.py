@@ -684,20 +684,11 @@ def _unigram_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
       DISTINCT TERM on the vocab frame (O(|vocab|) folds), not per
       doc-term row.
     """
-    d = _t(spark, sf_dir, "documents")
-    tf = (
-        spread(d)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias(
-                "term"
-            ),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "source", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
+        doc_term_tf_frame,
     )
+
+    tf = doc_term_tf_frame(spark, sf_dir)
     vocab = tf.groupBy("term").agg(
         F.sum("tf").cast("long").alias("cnt")
     )
@@ -1245,16 +1236,13 @@ def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "libm-vs-JVM ln last-ulp drift.",
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
+        doc_term_tf_frame,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = spread(d).select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
-    )
-    tf = (
-        toks.filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # tf folded from the staged doc_term_tf artifact (r13)
+    tf = doc_term_tf_frame(spark, sf_dir).select("doc_id", "term", "tf")
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -2250,21 +2238,17 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        # The token-stream explode is the whole cost of this census;
-        # the folded (source, term, cnt, total) frame is vocab-sized.
-        # Stage it once per corpus (the _unigram_scored discipline).
-        d = _t(spark, sf_dir, "documents")
+        # Folded from the shared doc_term_tf artifact (r13): the
+        # token-stream explode is paid once for the whole term
+        # family; this census is its per-source regrouping.
+        from prueba_tecnica_analista_etl_spark.plans.extensions_text import (  # noqa: E501
+            doc_term_tf_frame,
+        )
+
         stf = (
-            spread(d)
-            .select(
-                "source",
-                F.explode(
-                    F.split(F.lower(F.col("text")), " ")
-                ).alias("term"),
-            )
-            .filter(F.col("term") != "")
+            doc_term_tf_frame(spark, sf_dir)
             .groupBy("source", "term")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("tf").alias("cnt"))
         )
         stot = stf.groupBy("source").agg(
             F.sum("cnt").cast("long").alias("total")

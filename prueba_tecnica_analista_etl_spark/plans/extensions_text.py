@@ -26,6 +26,38 @@ from prueba_tecnica_analista_etl_spark.plans.queries import _t, query
 from prueba_tecnica_analista_etl_spark.sources.tables import spread
 
 
+def doc_term_tf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, term, tf) over ``documents`` — lower+space
+    tokens, empties dropped — staged ONCE per corpus (r13): the term
+    family's shared feature frame. q_tfidf (tf side), q_token_histogram
+    (term census), q_inverted_index (distinct doc-term pairs ARE these
+    rows), the unigram-LM scored frame and the per-source entropy
+    census all fold this artifact instead of each re-running the
+    corpus explode+groupBy. O(doc-term pairs) rows — the collapsed
+    frame every one of those queries built privately before."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        return (
+            spread(d)
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.split(F.lower(F.col("text")), " ")
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "source", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    return corpus_artifact(spark, sf_dir, "doc_term_tf", build)
+
+
 @query(
     "q_exact_dedup",
     """
@@ -605,16 +637,12 @@ TOKEN_HIST_TOP = 15
     "touches data-scale rows; everything after is O(k).",
 )
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    t = (
-        spread(d)
-        .select(
-            F.explode(F.split(F.lower("text"), " ")).alias("term")
-        )
-        .filter(F.col("term") != "")
-    )
-    tf = t.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # Term census folded from the staged doc_term_tf artifact (r13):
+    # sum of per-doc tfs == the raw token-stream count.
+    tf = (
+        doc_term_tf_frame(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
     )
     total = tf.agg(F.sum("tf").cast("long").alias("total_tf"))
     top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(
