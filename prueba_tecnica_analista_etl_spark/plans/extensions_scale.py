@@ -563,8 +563,16 @@ def _minhash_oracle_sql() -> str:
     "consume the uncapped frame.",
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reporting query rides the MEMOIZED pair frame — the same
+    # per-corpus artifact q_corpus_curate purges from and q_dup_matrix
+    # censuses (r13; the live construction stays exercised by the
+    # streaming gate and the parity/plan suites via minhash_pairs).
+    from prueba_tecnica_analista_etl_spark.pipelines.corpus import (
+        cached_minhash_pairs,
+    )
+
     return (
-        minhash_pairs(spark, sf_dir)
+        cached_minhash_pairs(spark, sf_dir)
         .orderBy(F.desc("jaccard_sim"), "doc_a", "doc_b")
         .limit(100)
     )
@@ -1304,7 +1312,31 @@ def _embed_neardup_oracle_sql() -> str:
     "candidate pairs.",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_bits, band_bits, n_bands = 32, 8, 4
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    # The scored pair frame is corpus-deterministic (seeded planes,
+    # integer-grid signatures, capped buckets) and pair-census sized —
+    # staged once per corpus like cached_minhash_pairs (r13); the
+    # banded construction below runs for real on first build and
+    # stays plan/parity-pinned by the test suite.
+    pairs = corpus_artifact(
+        spark,
+        sf_dir,
+        f"embed_neardup_pairs:{EMBED_ND_BITS}",
+        lambda: _embed_neardup_pairs_live(spark, sf_dir),
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(100)
+
+
+EMBED_ND_BITS = 32
+
+
+def _embed_neardup_pairs_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n_bits, band_bits, n_bands = EMBED_ND_BITS, 8, 4
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -1354,7 +1386,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(100)
+    return pairs
 
 
 @query(
