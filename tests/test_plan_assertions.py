@@ -222,16 +222,16 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     ARROW_ALLOWED = {
         "q_winnow_fingerprint",
         "q_multimodal_meta",
-        "q_multimodal_pipeline",
-        "q_simhash_dedup",
         "q_ann_lsh",
         "q_ann_ivf",
-        # q_ann_recall left this set in r11: its Arrow stages (the
-        # signature scan, the exact-truth brute force) moved into
-        # artifact BUILDERS, so the declared plan is artifact reads +
-        # native ops — the disk-backed store erases Python from the
-        # audit's steady-state plan entirely.
-        "q_embed_neardup",
+        # q_ann_recall left this set in r11, and q_simhash_dedup /
+        # q_embed_neardup / q_multimodal_pipeline in r13: their Arrow
+        # stages (signature bit census, sign projection, feature
+        # extraction) moved into artifact BUILDERS, so the declared
+        # plan is artifact reads + native ops — the disk-backed store
+        # erases Python from the steady-state plan entirely. The
+        # builders' Arrow nodes are pinned by
+        # test_staged_builders_keep_their_arrow_stages.
         "q_heavy_hitters",  # Misra-Gries summaries are mapInPandas
         # NFC normalizer: Spark has no native expression; the Arrow
         # stage's input is the non-ASCII SLIVER (split-union), never
@@ -659,3 +659,47 @@ def test_tfidf_join_stays_broadcast_under_aqe(spark, sf_dir):
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
     assert "CartesianProduct" not in final, final
+
+
+def test_staged_builders_keep_their_arrow_stages(spark, sf_dir):
+    """r13: q_simhash_dedup / q_embed_neardup / q_multimodal_pipeline
+    serve per-corpus staged pair/feature frames, so their DECLARED
+    plans carry no Python (asserted by the registry-wide lint). The
+    Arrow stages those artifacts are built FROM must still exist in
+    the live builder plans — this pins them so a refactor cannot
+    silently drop the vectorized path the first-per-corpus build
+    runs."""
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_features,
+        fake_assets,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        _embed_neardup_pairs_live,
+        doc_shingle_frame,
+        simhash_pair_frame,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.queries import _t
+
+    def has_arrow(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return any(
+            t in plan
+            for t in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+            )
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    assert has_arrow(
+        simhash_pair_frame(
+            docs, hashed=doc_shingle_frame(spark, sf_dir)
+        )
+    ), "simhash builder lost its bit-census Arrow stage"
+    assert has_arrow(
+        _embed_neardup_pairs_live(spark, sf_dir)
+    ), "embed near-dup builder lost its sign-projection Arrow stage"
+    assert has_arrow(
+        extract_features(fake_assets(docs), dim=16)
+    ), "multimodal feature builder lost its mapInPandas stage"
