@@ -218,6 +218,46 @@ def single() -> None:
     spark.stop()
 
 
+# Degraded-VM detection for the per-query detail (r13 verdict task 2):
+# a steal-heavy window inflates UNTOUCHED queries ×2.5-3.3 with a
+# global ~×1.3 median vs the previous round's detail. When trial 1's
+# sequential detail shows that signature, its q_ms array is weather,
+# not engineering — the r13 record shipped phantom 2-3× "regressions"
+# the judge had to re-measure by hand.
+DETAIL_DEGRADED_RATIO = 1.3
+
+
+def _prev_detail(path: str, sf: float | None) -> dict[str, float]:
+    """Previous round's named per-query detail (BENCH_DETAIL_LATEST
+    .json), or {} when absent/unreadable/measured at a different sf
+    (cross-sf ratios would be meaningless)."""
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if sf is not None and d.get("sf") not in (None, sf):
+        return {}
+    q = d.get("queries")
+    return q if isinstance(q, dict) else {}
+
+
+def _detail_ratio(
+    cur: dict[str, float], prev: dict[str, float]
+) -> float | None:
+    """Median per-query current/previous ratio over shared names, or
+    None when too few comparable points (first round, registry churn,
+    sub-50ms queries whose ratios are scheduling noise)."""
+    shared = [
+        n
+        for n, v in cur.items()
+        if v > 0 and prev.get(n, 0.0) > 0.05
+    ]
+    if len(shared) < 20:
+        return None
+    return statistics.median(cur[n] / prev[n] for n in shared)
+
+
 def orchestrate() -> None:
     """Run N full process invocations of ``--single`` (fresh JVM each)
     and report the median wall: one invocation's JIT/GC draw is ±1-2 s
@@ -226,7 +266,16 @@ def orchestrate() -> None:
     summary LAST (the driver contract: a bounded stdout-tail capture
     must always contain one complete parseable line; do NOT merge them
     back into one line, that is the r6 "parsed": null regression).
-    Trial progress goes to stderr."""
+    Trial progress goes to stderr.
+
+    Per-query detail provenance (r13 verdict task 2): normally only
+    trial 1 measures the sequential detail. If that detail carries the
+    documented degraded-VM signature (median per-query ratio vs the
+    previous round's BENCH_DETAIL_LATEST.json > ×1.3), trial 2 re-runs
+    the sequential pass (once — bounded cost), and the summary's q_ms
+    comes from the best-wall trial that actually measured detail,
+    flagged via ``detail_trial`` + ``detail_trial_wall`` so a consumer
+    can see exactly which invocation produced the array."""
     trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     # Wall budget for the WHOLE bench (driver timeouts are not ours to
     # set): if the elapsed time plus a conservatively-estimated next
@@ -234,8 +283,23 @@ def orchestrate() -> None:
     # a 2-trial median beats an rc=137 kill mid-trial-3.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
     bench_t0 = time.perf_counter()
+    detail_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL_FILE",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL_LATEST.json",
+        ),
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(
+        os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0
+    )
+    prev_detail = _prev_detail(detail_file, sf)
     trials: list[dict] = []
     durations: list[float] = []
+    detail_trials: list[int] = []  # indices that MEASURED detail
+    detail_retried = False
+    force_detail_next = False
     lpt_path: str | None = None
     for i in range(trials_n):
         # Project the NEXT trial's cost from the most recent trial.
@@ -251,8 +315,9 @@ def orchestrate() -> None:
         # concurrent work trial 2 demonstrably repeats (two full +
         # two oracle-subset passes) so the projection can never drop
         # below a physical lower bound.
+        measure_detail = lpt_path is None or force_detail_next
         projected = durations[-1] if durations else 0.0
-        if len(trials) == 1:
+        if len(trials) == 1 and not measure_detail:
             seq = trials[0].get("sequential_total") or 0.0
             stand_in = float(trials[0].get("value") or 0.0)
             floor = 2.0 * stand_in + 2.0 * float(
@@ -270,7 +335,7 @@ def orchestrate() -> None:
             break
         t0 = time.perf_counter()
         argv = [sys.executable, os.path.abspath(__file__), "--single"]
-        if lpt_path is not None:
+        if not measure_detail:
             argv.append(f"--lpt-from={lpt_path}")
         proc = subprocess.run(
             argv,
@@ -301,6 +366,30 @@ def orchestrate() -> None:
             sys.exit(1)
         trials.append(json.loads(line))
         durations.append(time.perf_counter() - t0)
+        force_detail_next = False
+        if measure_detail:
+            detail_trials.append(i)
+            ratio = _detail_ratio(
+                trials[-1].get("queries", {}), prev_detail
+            )
+            if (
+                ratio is not None
+                and ratio > DETAIL_DEGRADED_RATIO
+                and not detail_retried
+                and i + 1 < trials_n
+            ):
+                # Trial hit the degraded-VM signature: its walls still
+                # count toward the median (weather is part of the
+                # distribution), but its per-query array must not ship
+                # as THE detail — re-measure once in the next trial.
+                detail_retried = True
+                force_detail_next = True
+                print(
+                    f"bench trial {i + 1}: detail degraded "
+                    f"(×{ratio:.2f} median vs previous round) — "
+                    "re-measuring sequential detail next trial",
+                    file=sys.stderr,
+                )
         if lpt_path is None:
             # Hand trial 1's per-query timings to later trials: they
             # reuse the LPT order and skip the sequential pass.
@@ -340,7 +429,7 @@ def orchestrate() -> None:
             ],
             "mode": f"median-of-{len(trials)}-process-invocations "
             "(concurrent-16-threads-best-of-2 within each; "
-            "per-query sequential detail measured in trial 1)",
+            "per-query sequential detail from detail_trial)",
         }
     )
     # Two-line output (r6 driver record had "parsed": null — the
@@ -354,8 +443,26 @@ def orchestrate() -> None:
             os.unlink(lpt_path)
         except OSError:
             pass
-    queries = out.pop("queries", {})
+    out.pop("queries", None)
+    out.pop("queries_from_trial", None)
+    # The shipped per-query detail comes from the BEST-WALL trial that
+    # actually MEASURED a sequential pass (r13 verdict task 2) — when
+    # trial 1 was degraded and trial 2 re-measured, that is trial 2.
+    # detail_trial/detail_trial_wall make the provenance explicit;
+    # detail_degraded stays true only if every measured detail carried
+    # the signature (budget exhausted before a clean window appeared).
+    best_di = min(
+        detail_trials, key=lambda di: trials[di]["value"]
+    )
+    queries = trials[best_di].get("queries", {})
     out["queries_n"] = len(queries)
+    out["detail_trial"] = best_di + 1
+    out["detail_trial_wall"] = trials[best_di]["value"]
+    ratio = _detail_ratio(queries, prev_detail)
+    if ratio is not None:
+        out["detail_vs_prev_ratio"] = round(ratio, 2)
+        if ratio > DETAIL_DEGRADED_RATIO:
+            out["detail_degraded"] = True
     # The external record keeps only a BOUNDED stdout tail (measured:
     # 2000 bytes), which truncated the front of the named per-query
     # dict every round (r11 verdict task 8: regressions in the
@@ -382,20 +489,20 @@ def orchestrate() -> None:
     ).hexdigest()[:8]
     # Full NAMED map for humans and archives: line 1 of stdout (still
     # subject to the tail cut) AND a repo file that survives whole.
+    # A detail that STILL carries the degraded signature must not
+    # overwrite the clean reference — next round's degraded check
+    # would compare weather against weather and see nothing.
     detail = {"detail": "per_query_sequential_sec", "queries": queries}
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_DETAIL_LATEST.json",
-            ),
-            "w",
-        ) as fh:
-            json.dump(
-                {"sf": out.get("sf"), "queries": queries}, fh, indent=1
-            )
-    except OSError:
-        pass  # read-only checkout: stdout still carries the detail
+    if not out.get("detail_degraded"):
+        try:
+            with open(detail_file, "w") as fh:
+                json.dump(
+                    {"sf": out.get("sf"), "queries": queries},
+                    fh,
+                    indent=1,
+                )
+        except OSError:
+            pass  # read-only checkout: stdout still carries the detail
     print(json.dumps(detail))
     line = json.dumps(out)
     if len(line) > 1900:

@@ -123,17 +123,34 @@ def bucketed_upsert(
 
     The result is staged as ``{table}__upsert_staged`` with the SAME
     bucket spec (one bucketBy write — the same price any upsert pays
-    to materialize its output), then swapped in via DROP + RENAME so
-    the next merge finds the layout it needs. The swap is not atomic
-    (OSS Spark's catalog has no two-table atomic rename): a crash
-    between DROP and RENAME loses the catalog entry while the staged
-    table keeps every row — recover by renaming the staged table. For
-    versioned atomic publishes compose with sources/versioned.py.
+    to materialize its output), then swapped in rename-aside (r13
+    verdict task 3, the crash-safe ordering)::
+
+        ALTER TABLE {table}  RENAME TO {table}__upsert_old
+        ALTER TABLE {staged} RENAME TO {table}
+        DROP  TABLE {table}__upsert_old
+
+    OSS Spark's catalog has no two-table atomic rename, but with this
+    ordering EVERY crash point leaves both the old and the new data
+    alive in the catalog (the old DROP-then-RENAME ordering had a
+    window where NO base table existed and the old rows were already
+    gone). :func:`recover_upsert_swap` inspects the three-table state
+    and completes or rolls back the swap; ``bucketed_upsert`` itself
+    calls it on entry, so simply re-running the merge after a crash
+    is the recovery procedure — the reference procedure's
+    re-runnable idempotency (``sql:126-131, 203-206``). For
+    multi-reader atomic publishes compose with sources/versioned.py's
+    pointer-rename protocol instead of a catalog swap.
 
     Raises ``ValueError`` if ``table`` is not bucketed exactly on
     ``keys`` — silently merging into a mis-bucketed base would
     re-shuffle 100 TB per merge with no visible failure (same loud
-    contract as ``bucketed_join``).
+    contract as ``bucketed_join``) — or if ``table`` is EXTERNAL:
+    the staged table is written MANAGED (warehouse location), so the
+    swap would silently migrate an external table into the warehouse
+    and strand the old files at its explicit path. Rewrite external
+    bases with ``write_bucketed(..., path=...)`` + a versioned
+    publish instead.
     """
     from prueba_tecnica_analista_etl_spark.sources.bucketed import (
         bucket_spec,
@@ -141,6 +158,7 @@ def bucketed_upsert(
     )
 
     ks = list(keys)
+    recover_upsert_swap(spark, table)
     n_buckets, bkeys = bucket_spec(spark, table)
     if bkeys != ks:
         raise ValueError(
@@ -148,12 +166,88 @@ def bucketed_upsert(
             f"{ks} — rewrite the base with write_bucketed(..., "
             f"keys={ks!r}) or merge on the bucket keys"
         )
+    if _table_is_external(spark, table):
+        raise ValueError(
+            f"base {table} is EXTERNAL — a catalog swap would "
+            "re-home it as MANAGED at the warehouse location and "
+            "strand the files at its current path; use "
+            "write_bucketed(..., path=...) with a versioned publish "
+            "(sources/versioned.py) for external layouts"
+        )
     result = upsert(spark.table(table), new, ks, dedup_order)
     staged = f"{table}__upsert_staged"
+    old = f"{table}__upsert_old"
     write_bucketed(result, staged, ks, n_buckets)
-    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
     return spark.table(table)
+
+
+def _table_is_external(spark, table: str) -> bool:
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    return rows.get("Type", "").strip().upper() == "EXTERNAL"
+
+
+def recover_upsert_swap(spark, table: str) -> str:
+    """Repair an interrupted :func:`bucketed_upsert` swap.
+
+    Inspects which of ``{table}``, ``{table}__upsert_staged`` and
+    ``{table}__upsert_old`` exist and drives the catalog back to a
+    single consistent base table. Returns what happened:
+
+    * ``"clean"`` — no leftovers, nothing to do.
+    * ``"completed"`` — the staged result was already (or is now)
+      live; leftover tables dropped. Chosen whenever the base is
+      missing and the staged table exists (the crash hit between the
+      two renames — the merge result is complete by construction, so
+      rolling FORWARD loses nothing).
+    * ``"rolled_back"`` — the original base is (or is now) live
+      again. Chosen when the base still exists (the staged copy is a
+      pre-swap duplicate; the merge is re-runnable, so dropping it
+      loses no durable state) or when only the old-aside copy
+      survives.
+
+    Every branch ends with ``table`` present and its bucket layout
+    intact — the crash-injection tests assert both plus row-level
+    equality at each of the three interruption points.
+    """
+    cat = spark.catalog
+    staged, old = f"{table}__upsert_staged", f"{table}__upsert_old"
+    have_base = cat.tableExists(table)
+    have_staged = cat.tableExists(staged)
+    have_old = cat.tableExists(old)
+    if have_base:
+        # Crash before the first rename (staged is an unpublished
+        # duplicate) or after the second (old is a published-over
+        # copy) — in both cases the live base is authoritative.
+        outcome = "clean"
+        if have_staged:
+            spark.sql(f"DROP TABLE {staged}")
+            outcome = "rolled_back"
+        if have_old:
+            spark.sql(f"DROP TABLE {old}")
+            outcome = "completed"
+        return outcome
+    if have_staged:
+        # Between the renames: base is aside, staged is the complete
+        # merge result — roll forward.
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        if have_old:
+            spark.sql(f"DROP TABLE {old}")
+        return "completed"
+    if have_old:
+        # Staged vanished (e.g. its write never committed): restore
+        # the original base.
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        return "rolled_back"
+    raise ValueError(
+        f"no base, staged or old table found for {table} — nothing "
+        "to recover"
+    )
 
 
 def snapshot_diff(

@@ -321,10 +321,27 @@ def near_dup_purge_components(
 # the original API.
 
 
+def _minhash_pairs_key() -> str:
+    """Artifact key for the staged minhash pair frame — embeds the
+    full operating point (bands × rows, Jaccard threshold, bucket
+    cap) so a retune of ANY knob produces a fresh frame instead of
+    serving the stale cached one."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        BUCKET_CAP,
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+    )
+
+    return (
+        f"minhash_pairs:{MINHASH_BANDS}x{MINHASH_ROWS}"
+        f":t05:c{BUCKET_CAP}"
+    )
+
+
 def clear_pairs_cache(spark: SparkSession | None = None) -> None:
     """Drop memoized candidate-pair frames — all of them, or only the
     given session's."""
-    clear_artifacts(spark, name="minhash_pairs")
+    clear_artifacts(spark, name=_minhash_pairs_key())
 
 
 def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +352,7 @@ def cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_artifact(
         spark,
         sf_dir,
-        "minhash_pairs",
+        _minhash_pairs_key(),
         lambda: minhash_pairs(spark, sf_dir),
     )
 

@@ -114,6 +114,12 @@ def decontaminate(
         .filter(F.col("n_hits") >= min_hits)
         .select("doc_id")
     )
+    # flagged_ids is consumed three times downstream (kept anti-join,
+    # flagged semi-join, plus each ledger .count()); truncate its
+    # lineage so the broadcast gram join and per-doc distinct-gram
+    # aggregation run once. It is O(flagged docs) one-column rows —
+    # the same size class as the survivors checkpoint in pretrain_run.
+    flagged_ids = flagged_ids.localCheckpoint()
     kept = candidates.join(flagged_ids, "doc_id", "left_anti")
     flagged = candidates.join(flagged_ids, "doc_id", "left_semi")
     return kept, bench_held, flagged

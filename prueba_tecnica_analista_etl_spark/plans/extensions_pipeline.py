@@ -2262,12 +2262,22 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.max("total").alias("total_tokens"),
-            F.sum(F.col("cnt") * F.col("nlp6")).alias("_num"),
+            # Widen the per-term product to DECIMAL(38,0) BEFORE the
+            # sum: the DuckDB oracle accumulates sum(cnt*nlp6) in
+            # HUGEINT, while a long sum in Spark silently wraps once a
+            # source's total approaches ~1e12 tokens (cnt*nlp6 terms
+            # sum past 2^63 at pretraining scale).  Same decimal
+            # widening _nlp6_spark_expr uses internally.
+            F.sum(
+                (F.col("cnt") * F.col("nlp6")).cast("decimal(38,0)")
+            ).alias("_num"),
         )
         .select(
             "source",
             "n_terms",
             "total_tokens",
+            # IntegralDivide on (decimal, long) yields LONG — same
+            # type the oracle casts to after its HUGEINT division.
             F.expr("_num div total_tokens").alias("entropy_e6"),
         )
         .orderBy("source")

@@ -701,7 +701,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = corpus_artifact(
         spark,
         sf_dir,
-        "ngram_jaccard_pairs",
+        # k3 = the shared doc_shingles_k3 feature artifact this frame
+        # consumes; embedded so a shingle-size retune (a new feature
+        # artifact) cannot be served a stale pair frame.
+        "ngram_jaccard_pairs:k3",
         lambda: ngram_pair_frame(
             _t(spark, sf_dir, "documents"),
             hashed=doc_shingle_frame(spark, sf_dir),
@@ -715,13 +718,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SIMHASH_BITS = 64
 N_BANDS = 4
 BAND_BITS = N_SIMHASH_BITS // N_BANDS
+# Candidate gate: banded collisions are kept only at hamming distance
+# ≤ this. Part of the staged pair frame's operating point, so it is
+# embedded in the simhash_pairs artifact key (a retune must produce a
+# fresh frame, not serve the stale cached one).
+SIMHASH_MAX_HAMMING = 8
 
 
 def simhash_pair_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
     shingle_n: int = 3,
     hashed: DataFrame | None = None,
 ) -> DataFrame:
@@ -860,7 +868,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = corpus_artifact(
         spark,
         sf_dir,
-        f"simhash_pairs:{N_SIMHASH_BITS}x{N_BANDS}",
+        f"simhash_pairs:{N_SIMHASH_BITS}x{N_BANDS}"
+        f":h{SIMHASH_MAX_HAMMING}",
         lambda: simhash_pair_frame(
             _t(spark, sf_dir, "documents"),
             hashed=doc_shingle_frame(spark, sf_dir),

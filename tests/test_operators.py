@@ -1266,3 +1266,120 @@ def test_bucketed_upsert_chain(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_up_base")
         spark.sql("DROP TABLE IF EXISTS b_up_base__upsert_staged")
+        spark.sql("DROP TABLE IF EXISTS b_up_base__upsert_old")
+
+
+def test_bucketed_upsert_crash_recovery(spark):
+    """r13 verdict task 3: the rename-aside swap is crash-safe at
+    EVERY interruption point. For each of the three windows (after
+    the staged write, between the two renames, before the final
+    DROP) this replays exactly the statements bucketed_upsert issues
+    up to that point, then recovers — via recover_upsert_swap AND via
+    simply re-running the merge — and asserts a readable,
+    layout-correct base with the expected rows at every step."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        bucketed_upsert,
+        recover_upsert_swap,
+        upsert,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.bucketed import (
+        bucket_spec,
+        write_bucketed,
+    )
+
+    t, staged, old = "b_cr_base", "b_cr_base__upsert_staged", (
+        "b_cr_base__upsert_old"
+    )
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, v string"
+    )
+    delta = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40, 60)], "k int, v string"
+    )
+    base_rows = _rows(base, "k", "v")
+    merged_rows = _rows(upsert(base, delta, ["k"]), "k", "v")
+
+    def crash_at(point: int) -> None:
+        """Replay the swap's statement sequence, dying after
+        ``point`` steps (0 = staged written, 1 = base renamed aside,
+        2 = staged promoted — final DROP never runs)."""
+        for q in (f"DROP TABLE IF EXISTS {t}",
+                  f"DROP TABLE IF EXISTS {staged}",
+                  f"DROP TABLE IF EXISTS {old}"):
+            spark.sql(q)
+        write_bucketed(base, t, "k", 4)
+        result = upsert(spark.table(t), delta, ["k"])
+        write_bucketed(result, staged, "k", 4)
+        if point >= 1:
+            spark.sql(f"ALTER TABLE {t} RENAME TO {old}")
+        if point >= 2:
+            spark.sql(f"ALTER TABLE {staged} RENAME TO {t}")
+
+    try:
+        # Window 0: staged duplicate exists, base untouched → roll
+        # back (the merge is re-runnable; the base is authoritative).
+        crash_at(0)
+        assert recover_upsert_swap(spark, t) == "rolled_back"
+        assert bucket_spec(spark, t) == (4, ["k"])
+        assert _rows(spark.table(t), "k", "v") == base_rows
+
+        # Window 1: base aside + complete staged result → roll
+        # FORWARD. The old DROP+RENAME ordering lost the catalog
+        # entry here; rename-aside keeps both copies alive.
+        crash_at(1)
+        assert recover_upsert_swap(spark, t) == "completed"
+        assert bucket_spec(spark, t) == (4, ["k"])
+        assert _rows(spark.table(t), "k", "v") == merged_rows
+
+        # Window 2: swap done, old-aside copy lingers → drop it.
+        crash_at(2)
+        assert recover_upsert_swap(spark, t) == "completed"
+        assert bucket_spec(spark, t) == (4, ["k"])
+        assert _rows(spark.table(t), "k", "v") == merged_rows
+
+        # Re-running the merge IS the recovery procedure (sql:126-131
+        # idempotency): bucketed_upsert self-recovers on entry at the
+        # worst window and converges to the merged state.
+        crash_at(1)
+        bucketed_upsert(spark, t, delta, ["k"])
+        assert bucket_spec(spark, t) == (4, ["k"])
+        assert _rows(spark.table(t), "k", "v") == merged_rows
+        for side in (staged, old):
+            assert not spark.catalog.tableExists(side)
+
+        # Nothing to recover → loud, not a silent no-op.
+        spark.sql(f"DROP TABLE {t}")
+        with pytest.raises(ValueError, match="nothing"):
+            recover_upsert_swap(spark, t)
+    finally:
+        for q in (t, staged, old):
+            spark.sql(f"DROP TABLE IF EXISTS {q}")
+
+
+def test_bucketed_upsert_external_base_rejected(spark, tmp_path):
+    """An EXTERNAL bucketed base must be rejected loudly: the staged
+    swap writes MANAGED, so proceeding would silently re-home the
+    table into the warehouse and strand the files at its explicit
+    path (r13 advice)."""
+    from prueba_tecnica_analista_etl_spark.operators.upsert import (
+        bucketed_upsert,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, v string"
+    )
+    delta = spark.createDataFrame([(1, "d1")], "k int, v string")
+    try:
+        write_bucketed(
+            base, "b_ext_base", "k", 4,
+            path=str(tmp_path / "ext_base"),
+        )
+        with pytest.raises(ValueError, match="EXTERNAL"):
+            bucketed_upsert(spark, "b_ext_base", delta, ["k"])
+        # the reject left the base untouched and readable
+        assert spark.table("b_ext_base").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_ext_base")
