@@ -4,6 +4,12 @@ pipeline runs, chained over the ``documents`` corpus as one auditable
 unit with conservation invariants enforced at the seams.
 
     quality gate → exact dedup → near-dup purge      (pipelines.corpus)
+    → semantic (SemDeDup) purge                      (q_semdedup's
+                                                      cluster-then-purge
+                                                      labels; r14 tier —
+                                                      skipped when the
+                                                      corpus ships no
+                                                      embeddings table)
     → benchmark holdout + 4-gram decontamination     (q_decontaminate's
                                                       broadcast semi-join)
     → deterministic train/val/test split             (q_train_val_split's
@@ -17,9 +23,11 @@ isolation — this module adds the glue, the audit ledger, and the
 invariants:
 
 * **doc conservation** — input = dropped-by-quality + dropped-by-
-  exact-dedup + dropped-by-near-dup + benchmark-held + contamination-
-  flagged + kept, and kept = train + val + test. A stage that loses
-  or duplicates rows cannot pass silently.
+  exact-dedup + dropped-by-near-dup + dropped-by-semdedup +
+  benchmark-held + contamination-flagged + kept, and kept = train +
+  val + test. A stage that loses or duplicates rows cannot pass
+  silently; each dedup tier is one more conservation term (r13
+  verdict task 6).
 * **token conservation** — train tokens as counted going INTO the
   export equal the shard manifest's token total coming OUT (and the
   pack plan's bin totals equal the same number), so the artifact a
@@ -125,6 +133,59 @@ def decontaminate(
     return kept, bench_held, flagged
 
 
+def semantic_purge(
+    spark: SparkSession, sf_dir: str, survivors: DataFrame
+) -> tuple[DataFrame, int | None]:
+    """(kept, n_purged) — drop survivors whose embedding the SemDeDup
+    tier purged (q_semdedup's component labels: everything but each
+    semantic-duplicate family's min-id representative).
+
+    The harness corpus's ``embeddings`` table indexes a doc subset by
+    id (vec_id == doc_id), so the purge is one anti-join of the
+    survivor set against the O(purged) label frame — the labels are a
+    staged per-corpus artifact (semdedup_labels), already built once
+    for q_semdedup.  A corpus that ships no embeddings table skips the
+    tier (returns ``n_purged=None``) rather than failing the whole
+    run — substring/semantic tiers are additive, not preconditions."""
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb):
+        return survivors, None
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        semdedup_labels,
+    )
+
+    purged = (
+        semdedup_labels(spark, sf_dir)
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = survivors.join(purged, "doc_id", "left_anti")
+    n = survivors.join(purged, "doc_id", "left_semi").count()
+    return kept, n
+
+
+def _span_signal(spark: SparkSession, sf_dir: str) -> dict:
+    """Corpus-wide totals of q_dup_spans' per-source census — the
+    memorized-span advisory the run report carries alongside the
+    conservation ledger."""
+    from prueba_tecnica_analista_etl_spark.plans.extensions_pipeline import (
+        q_dup_spans,
+    )
+
+    row = (
+        q_dup_spans(spark, sf_dir)
+        .agg(
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_dup_spans").alias("n_dup_spans"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_spans": int(row["n_spans"] or 0),
+        "n_dup_spans": int(row["n_dup_spans"] or 0),
+    }
+
+
 def pack_plan(train: DataFrame, ctx_tokens: int = CTX_TOKENS) -> DataFrame:
     """q_pack_sequences' greedy sequential bin plan over the TRAIN
     split: per source, docs fill ctx_tokens-sized bins in doc_id
@@ -175,6 +236,13 @@ def pretrain_run(
     # the gate window and the pair purge.
     survivors = survivors.localCheckpoint()
 
+    # Semantic tier (r14): one more conservation term. The purge set
+    # is O(semantic dups) rows off the staged semdedup_labels
+    # artifact; the anti-join below is re-derived by downstream
+    # consumers from the checkpointed survivors, so no extra
+    # checkpoint is needed.
+    survivors, semdedup_purged = semantic_purge(spark, sf_dir, survivors)
+
     kept, bench_held, flagged = decontaminate(
         docs, survivors, min_hits=contam_min_hits
     )
@@ -212,6 +280,7 @@ def pretrain_run(
 
     ledger = {
         **curate_stats,
+        "semdedup_purged": semdedup_purged,
         "bench_held": bench_held.count(),
         "contam_flagged": flagged.count(),
         "kept": kept.count(),
@@ -231,15 +300,24 @@ def pretrain_run(
             "tokens": sum(m["tokens"] for m in manifest.values()),
             "path": shard_dir,
         },
+        # Substring-level signal (r14): the duplicate-span census
+        # joins the ledger as an ADVISORY metric — a span census
+        # flags memorized runs for review; it does not own a purge
+        # decision, so it is NOT a conservation term. All-integer,
+        # deterministic, off the staged doc_spans artifact.
+        "dup_span_signal": _span_signal(spark, sf_dir),
     }
 
     errors = []
     if ledger["after_near_dup"] != (
-        ledger["bench_held"] + ledger["contam_flagged"] + ledger["kept"]
+        (semdedup_purged or 0)
+        + ledger["bench_held"]
+        + ledger["contam_flagged"]
+        + ledger["kept"]
     ):
         errors.append(
-            "doc conservation (decontaminate): survivors != "
-            "bench_held + flagged + kept"
+            "doc conservation (semdedup+decontaminate): survivors != "
+            "semdedup_purged + bench_held + flagged + kept"
         )
     split_docs = sum(v["docs"] for v in ledger["splits"].values())
     if split_docs != ledger["kept"]:

@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 13):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 121 queries (119 oracle-backed + 2
-rows-only), so 71 must sit outside the recorded window in any given
+each round; the registry holds 123 queries (121 oracle-backed + 2
+rows-only), so 73 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -36,27 +36,34 @@ independently-recorded driver result:
   promise), the 21 r9-stale queries, and the oldest 27 r10 greens,
   with q_ann_ivf in the rows-only slot — the fifth consecutive
   zero-failure window (49 oracle green + 1 rows>0);
-* round 13 (this rotation) leads with the three queries added after
-  the r12 window froze — q_embed_quantize, q_knn_classify,
-  q_unicode_normalize (oracle-backed from birth, zero records
-  anywhere; the r12 _ROTATION_NEW promise) — then the 16 queries
-  whose newest green is r10 (two rounds old at the r12 artifact; a
+* round 13 led with the three queries added after the r12 window
+  froze — q_embed_quantize, q_knn_classify, q_unicode_normalize (the
+  r12 _ROTATION_NEW promise) — then the 16 r10-stale queries, with
+  q_ann_recall in the rows-only slot and the oldest 30 r11 greens
+  returning — the sixth consecutive zero-failure window;
+* round 14 (this rotation) leads with the two r13 _ROTATION_NEW
+  queries — q_unigram_entropy, q_dup_matrix (oracle-backed from
+  birth, zero records anywhere; the promise the r13 verdict made
+  task 1) — then the two NEW r14 queries q_semdedup and q_dup_spans
+  (added before this window froze, so they take window slots
+  directly instead of a _ROTATION_NEW detour), then the 19 queries
+  whose newest green is r11 (two rounds old at the r13 artifact; a
   third unrecorded round would breach the staleness bound).  The one
-  rows-only slot takes q_ann_recall (newest record r11, at its
-  boundary next round; q_ann_ivf was recorded in r12 and sits out
-  until r15).  The remaining 30 oracle slots return the oldest 30 of
-  the 49 r11 greens.  Paying for those 50 in-slots: the 68
-  oracle-backed queries in _ROTATION_OUT (the 19 youngest r11 greens
-  — they MUST lead the r14 returns — plus the 49 r12 greens, one
-  round old).
+  rows-only slot takes q_ann_ivf (newest record r12, at its
+  boundary; q_ann_recall was recorded in r13 and sits out until
+  r16).  The remaining 26 oracle slots return the first 26 of the
+  49 r12 greens in registration order (the other 23 MUST lead the
+  r15 returns).  Paying for those 50 in-slots: the 72 oracle-backed
+  queries in _ROTATION_OUT (those 23 r12 greens plus the 49 r13
+  greens, one round old).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  119
+window (or in _ROTATION_NEW, which must lead the NEXT window).  121
 oracle queries across 49 oracle slots/round (and 2 rows-only across
 1) satisfy the bound: each needs a record only once per three windows
-(119 <= 3*49, 2 <= 3*1).
+(121 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -82,47 +89,19 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# LEAD the window (round 13): the three r12 _ROTATION_NEW queries,
-# then the 16 queries whose newest green is r10.
+# LEAD the window (round 14): the two r13 _ROTATION_NEW queries,
+# then the two new r14 queries, then the 19 queries whose newest
+# green is r11.
 _ROTATION_FIRST = [
-    # the r12 _ROTATION_NEW promise -- no driver record anywhere yet;
+    # the r13 _ROTATION_NEW promise -- no driver record anywhere yet;
     # FIRST so a partial driver run still certifies them:
-    "q_embed_quantize",
-    "q_knn_classify",
-    "q_unicode_normalize",
-    # newest green r10 -- the staleness boundary:
-    "q_asof_join",
-    "q_stratified_sample",
-    "q_text_ratios",
-    "q_range_join",
-    "q_hypertable_rollup",
-    "q_cdc_apply",
-    "q_quantile_census",
-    "q_hypertable_quantiles",
-    "q_footer_census",
-    "q_window_rank_metrics",
-    "q_exact_dedup",
-    "q_token_count",
-    "q_quality_score",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_stream_cdc_apply",
-]
-
-# Rows-only query recorded this round: q_ann_recall (newest record
-# r11, at its two-round boundary; stays rows-only because the sweep's
-# IVF tier rides unquantized float k-means argmax).  q_ann_ivf was
-# recorded in r12 and sits out until r15.
-_ROWS_ONLY_IN = [
-    "q_ann_recall",
-]
-
-# OUT this round -- 68 oracle-backed queries: the 19 youngest r11
-# greens (two rounds old at r13; they MUST lead the r14 returns) plus
-# the 49 queries recorded green in CORRECTNESS_r12.json (one round
-# old).
-_ROTATION_OUT = [
-    # newest green r11 -- first in line for r14:
+    "q_unigram_entropy",
+    "q_dup_matrix",
+    # NEW in r14 (oracle-backed from birth, added before this window
+    # froze):
+    "q_semdedup",
+    "q_dup_spans",
+    # newest green r11 -- the staleness boundary:
     "q_profile_stats",
     "q_volume_by_day",
     "q_sessionize_batch",
@@ -142,16 +121,23 @@ _ROTATION_OUT = [
     "q_inverted_index",
     "q_filter_funnel",
     "q_unpivot_long",
-    # newest green r12 (the full r12 oracle window):
-    "q_stream_neardup",
-    "q_eval_auc",
-    "q_ks_distance",
-    "q_calibration_bins",
-    "q_eval_auc_daily",
-    "q_rolling_distinct",
-    "q_retention",
-    "q_lang_stats",
-    "q_text_tokens",
+]
+
+# Rows-only query recorded this round: q_ann_ivf (newest record r12,
+# at its two-round boundary; stays rows-only because its k-means
+# assignment argmax rides unquantized float comparisons).
+# q_ann_recall was recorded in r13 and sits out until r16.
+_ROWS_ONLY_IN = [
+    "q_ann_ivf",
+]
+
+# OUT this round -- 72 oracle-backed queries: the 23 r12 greens the
+# 26-slot return could not fit (two rounds old at r14; they MUST lead
+# the r15 returns) plus the 49 queries recorded green in
+# CORRECTNESS_r13.json (one round old).
+_ROTATION_OUT = [
+    # newest green r12 -- first in line for r15:
+    "q_sliding_window",
     "q_pii_scrub",
     "q_doc_chunk",
     "q_pack_sequences",
@@ -165,48 +151,74 @@ _ROTATION_OUT = [
     "q_dup_clusters",
     "q_mixture_sample",
     "q_group_sample",
-    "q_scan_project",
-    "q_filter_predicate",
-    "q_union_all",
-    "q_count_distinct",
-    "q_groupby_count_sum",
-    "q_groupby_rollup",
-    "q_top_duplicates",
-    "q_having_dups",
-    "q_sort_limit",
-    "q_case_when_check",
-    "q_pivot_wide",
-    "q_dedup_keep_first",
-    "q_inner_join",
-    "q_local_supplier_revenue",
-    "q_upsert_merge",
-    "q_window_rownum",
-    "q_string_clean",
-    "q_regex_validate",
-    "q_try_cast_json",
-    "q_split_part",
-    "q_tumbling_window",
-    "q_cube",
-    "q_intersect_except",
-    "q_sliding_window",
     "q_dup_exposure",
+    "q_stream_neardup",
+    "q_rolling_distinct",
+    "q_eval_auc",
+    "q_ks_distance",
+    "q_calibration_bins",
+    "q_eval_auc_daily",
     "q_eval_topk_precision",
     "q_heavy_hitters",
+    # newest green r13 (the full r13 oracle window):
+    "q_ann_batch",
+    "q_ann_lsh",
+    "q_anti_join",
+    "q_asof_join",
+    "q_bm25",
+    "q_cdc_apply",
+    "q_corpus_curate",
+    "q_decontaminate",
+    "q_doc_fingerprint",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_exact_dedup",
+    "q_footer_census",
+    "q_group_safe_split",
+    "q_hypertable_quantiles",
+    "q_hypertable_rollup",
+    "q_knn_classify",
+    "q_lang_id",
+    "q_length_histogram",
+    "q_lsh_recall",
+    "q_minhash_dedup",
+    "q_multimodal_meta",
+    "q_multimodal_pipeline",
+    "q_ngram_jaccard",
+    "q_null_range_checks",
+    "q_perplexity_buckets",
+    "q_quality_score",
+    "q_quantile_census",
+    "q_range_join",
+    "q_ref_integrity",
+    "q_semi_join",
+    "q_simhash_dedup",
+    "q_similarity_topk",
+    "q_source_priority_dedup",
+    "q_stratified_sample",
+    "q_stream_cdc_apply",
+    "q_stream_dedupe",
+    "q_stream_heavy_hitters",
+    "q_stream_sessionize",
+    "q_text_ratios",
+    "q_tfidf",
+    "q_token_count",
+    "q_token_histogram",
+    "q_train_val_split",
+    "q_unicode_normalize",
+    "q_unigram_logprob",
+    "q_window_rank_metrics",
+    "q_window_running_sum",
+    "q_winnow_fingerprint",
 ]
 
-# Oracle-backed queries added AFTER the r12 window was fixed — zero
+# Oracle-backed queries added AFTER the r14 window was fixed — zero
 # records anywhere yet, so they cannot displace a window slot promised
 # above.  Placed directly after the rotated-out queries; they MUST
-# lead the r14 window (tests/test_doc_consistency.py exempts exactly
+# lead the r15 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = [
-    # added mid-r13 (oracle-backed from birth): the per-source
-    # fixed-point unigram-entropy census and the cross-source
-    # near-dup matrix; MUST lead the r14 window:
-    "q_unigram_entropy",
-    "q_dup_matrix",
-]
+_ROTATION_NEW: list[str] = []
 
 
 def _apply_rotation() -> None:

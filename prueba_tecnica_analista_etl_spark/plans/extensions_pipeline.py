@@ -2282,3 +2282,138 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span census — substring-level dedup signal (r14)
+# ---------------------------------------------------------------------------
+
+# Overlapping k-token windows at stride s — the bounded form of
+# suffix-array substring dedup (the "memorized 50-token span" signal
+# from public dedup literature): linear in tokens, fingerprint-keyed
+# shuffle, the q_dup_exposure pattern at span granularity.  Shipped
+# operating point fits the harness corpus (~54-token docs); a real
+# 100 TB run raises k to ~50 and s to ~8 — both knobs live in the
+# staged artifact key, so a retune can never serve a stale stream.
+SPAN_K = 16
+SPAN_S = 4
+
+
+def doc_span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, fp) — one row per overlapping SPAN_K-token
+    window at stride SPAN_S, fp = md5 of the span text; staged once
+    per corpus alongside doc_grams4 (the span stream is the shared
+    feature for every substring-level consumer).  Docs shorter than
+    SPAN_K contribute no spans (too short to memorize — documented)."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        d = spread(_t(spark, sf_dir, "documents"))
+        toks = F.split(F.lower(F.col("text")), " ")
+        n = F.size(toks)
+        starts = F.when(
+            n >= F.lit(SPAN_K),
+            F.sequence(
+                F.lit(1), n - F.lit(SPAN_K - 1), F.lit(SPAN_S)
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            d.select(
+                "doc_id",
+                "source",
+                toks.alias("toks"),
+                F.explode(starts).alias("i"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), F.col("i"), SPAN_K)
+                    )
+                ).alias("fp"),
+            )
+        )
+
+    return corpus_artifact(
+        spark, sf_dir, f"doc_spans:k{SPAN_K}:s{SPAN_S}", build
+    )
+
+
+def _dup_spans_oracle_sql() -> str:
+    k, s = SPAN_K, SPAN_S
+    return f"""
+    WITH t AS (SELECT doc_id, source,
+                      string_split(lower(text), ' ') AS toks
+               FROM documents),
+         ix AS (SELECT doc_id, source, toks,
+                       unnest(generate_series(
+                         1, greatest(len(toks) - {k - 1}, 0), {s})) AS i
+                FROM t),
+         sp AS (SELECT doc_id, source,
+                       md5(array_to_string(
+                         list_slice(toks, i, i + {k - 1}), ' ')) AS fp
+                FROM ix),
+         census AS (SELECT fp, count(DISTINCT doc_id) AS nd
+                    FROM sp GROUP BY fp)
+    SELECT sp.source,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(count(DISTINCT CASE WHEN c.nd >= 2 THEN sp.doc_id END)
+             AS BIGINT) AS n_docs_hit,
+           CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * {s}
+             AS BIGINT) AS est_dup_tokens
+    FROM sp JOIN census c USING (fp)
+    GROUP BY sp.source
+    ORDER BY sp.source
+    """
+
+
+@query(
+    "q_dup_spans",
+    _dup_spans_oracle_sql(),
+    doc="extension (duplicate-span census, new r14): substring-level "
+    "dedup signal — doc-level dedup is complete, but a memorized "
+    "SPAN_K-token run shared across documents (the suffix-array "
+    "dedup shape from public literature) is invisible to whole-doc "
+    "fingerprints. Every overlapping SPAN_K-token window at stride "
+    "SPAN_S is md5-fingerprinted; a span whose fingerprint appears "
+    "in ≥2 DISTINCT docs corpus-wide is a duplicated span. Output: "
+    "per-source census (n_spans, n_dup_spans, n_docs_hit, "
+    "est_dup_tokens = n_dup_spans·stride — the dedupable-token "
+    "proxy) — all-integer. Scale shape: linear in tokens (one window "
+    "per stride step), ONE fingerprint-keyed shuffle for the "
+    "span-frequency census plus one fp-co-partitioned join back — "
+    "exactly the q_dup_exposure pattern at span granularity; the "
+    "span stream is staged once per corpus (doc_spans:k16:s4, "
+    "alongside doc_grams4) so every substring consumer reads, never "
+    "re-explodes.",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = doc_span_frame(spark, sf_dir)
+    census = spans.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.col("nd") >= 2
+    return (
+        spans.join(census, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(dup, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.count_distinct(
+                F.when(dup, F.col("doc_id"))
+            ).alias("n_docs_hit"),
+            (
+                F.sum(F.when(dup, 1).otherwise(0)) * F.lit(SPAN_S)
+            )
+            .cast("long")
+            .alias("est_dup_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -2857,3 +2857,310 @@ def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) dedup, cluster-then-purge
+# ---------------------------------------------------------------------------
+
+# Operating point for the semantic-dedup tier (r13 verdict task 4 —
+# the SemDeDup composition from public pretraining-pipeline
+# literature: cluster the embedding space, purge near-identical
+# points WITHIN each cluster, never compare across clusters).  All
+# three knobs are embedded in the staged artifact keys, so a retune
+# can never serve a stale frame.
+SEMDEDUP_K = 16  # coarse clusters (per-cluster pair work = the cost knob)
+SEMDEDUP_T = 0.30  # quantized-cosine purge threshold. The harness
+# corpus plants no true embedding dups (max pairwise cos ~0.53), so
+# the shipped threshold sits where the corpus's own similarity tail
+# lives — the knob a real pipeline retunes to ~0.95 for genuinely
+# duplicated embeddings.
+_SEMDEDUP_TAG = f"k{SEMDEDUP_K}:t030:c{BUCKET_CAP}"
+
+
+def _int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q) — per-vector symmetric int8 quantization of the
+    embeddings table (q_embed_quantize's grid: floor(x·127/maxabs +
+    0.5), exact BIGINT components). Map-only; not worth staging."""
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), F.abs))
+    sc = F.lit(127.0) / F.greatest(maxabs, F.lit(1e-12))
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * sc + F.lit(0.5))
+        ).alias("q"),
+    )
+
+
+def _iq_cos(a, b):
+    """Quantized cosine: exact int64 dots cast to double, one sqrt and
+    one divide per side — the single-IEEE-op determinism class, so
+    Spark and the SQL oracle produce bit-identical doubles."""
+
+    def idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p * r),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p,
+        )
+
+    return idot(a, b).cast("double") / (
+        F.sqrt(idot(a, a).cast("double"))
+        * F.sqrt(idot(b, b).cast("double"))
+    )
+
+
+def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, q) — every vector assigned to its nearest seed
+    medoid by quantized cosine, staged once per corpus.
+
+    The coarse quantizer is the SEMDEDUP_K smallest vec_ids' int8
+    vectors (seed medoids, cid = rank by vec_id).  Deliberately NOT
+    the float k-means fit (ivf_centroids): an iterative float argmax
+    has no engine-neutral form (why q_ann_ivf is rows-only), while
+    seed medoids + integer-grid dots make the WHOLE semantic-dedup
+    tier oracle-checkable.  The cluster stage is swappable — at 100 TB
+    plug ivf_centroids in and the purge below is unchanged; the
+    harness ships the checkable form.  Scale shape: the k medoids are
+    a model-sized broadcast (census_artifact class), assignment is one
+    scan + one hash shuffle of (vec_id, k) scored rows for the
+    per-vector argmax window — never a global window."""
+    from pyspark.sql import Window
+
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        census_artifact,
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        quant = _int8_quantized(spark, sf_dir)
+        # Model-sized collect (the ivf_centroids discipline): k int8
+        # vectors, staged as a pickled census so a fresh process
+        # reloads instead of re-scanning.
+        seed_rows = census_artifact(
+            spark,
+            sf_dir,
+            f"semdedup_seeds:k{SEMDEDUP_K}",
+            lambda: [
+                (i, r["q"])
+                for i, r in enumerate(
+                    quant.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+                )
+            ],
+        )
+        seeds = spark.createDataFrame(
+            seed_rows, "cid int, sq array<long>"
+        )
+        scored = quant.crossJoin(F.broadcast(seeds)).select(
+            "vec_id",
+            "cid",
+            "q",
+            _iq_cos(F.col("q"), F.col("sq")).alias("cosq"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosq"), F.asc("cid")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "q")
+        )
+
+    return corpus_artifact(
+        spark, sf_dir, f"semdedup_assign:k{SEMDEDUP_K}", build
+    )
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, vec_a, vec_b, cosq) — intra-cluster near-dup pairs at
+    quantized cosine ≥ SEMDEDUP_T, staged once per corpus.
+
+    NO all-pairs anywhere: vectors only ever meet inside their own
+    cluster (one groupBy(cid) shuffle), and oversized clusters are
+    sub-split by capped_pair_array's seeded md5_60 chunk order
+    (≤ BUCKET_CAP members per chunk → per-cluster work O(n·cap), the
+    same skew guard as every near-dup tier).  Cross-chunk pairs are
+    the documented residual; at 100 TB the cluster count scales with
+    the corpus so clusters stay cap-sized."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        grouped = (
+            semdedup_assign(spark, sf_dir)
+            .groupBy("cid")
+            .agg(F.collect_list(F.struct("vec_id", "q")).alias("vecs"))
+        )
+        return (
+            grouped.select(
+                "cid",
+                F.explode(
+                    capped_pair_array(
+                        F.col("vecs"),
+                        "vec_id",
+                        "q",
+                        "vec_a",
+                        "vec_b",
+                        seed_col=F.col("cid"),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                "cid",
+                "p.vec_a",
+                "p.vec_b",
+                _iq_cos(F.col("p.pa"), F.col("p.pb")).alias("cosq"),
+            )
+            .filter(F.col("cosq") >= F.lit(SEMDEDUP_T))
+            .select("cid", "vec_a", "vec_b")
+        )
+
+    return corpus_artifact(
+        spark, sf_dir, f"semdedup_pairs:{_SEMDEDUP_TAG}", build
+    )
+
+
+def semdedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, comp) — connected components over the intra-cluster
+    near-dup pairs; comp = min vec_id of the family.  The fixpoint is
+    eager (cluster_labels discipline), so it is staged per corpus;
+    survivors = comp representatives, purged = the rest."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    return corpus_artifact(
+        spark,
+        sf_dir,
+        f"semdedup_labels:{_SEMDEDUP_TAG}",
+        lambda: connected_components(
+            semdedup_pairs(spark, sf_dir), a="vec_a", b="vec_b"
+        ),
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB oracle for the whole semantic-dedup tier: int8
+    quantization (exact integer grid), seed-medoid assignment
+    (row_number over the same quantized-cosine doubles), capped
+    intra-cluster pairs (the _sql_chunk replay), recursive-CTE
+    components, and the per-cluster purge census — every stage
+    engine-neutral by the q_embed_quantize/md5_60 conventions."""
+    cos = (
+        "list_dot_product({a},{b})::DOUBLE / "
+        "(sqrt(list_dot_product({a},{a})::DOUBLE) * "
+        "sqrt(list_dot_product({b},{b})::DOUBLE))"
+    )
+    chunk = _sql_chunk("cid", "cid", "vec_id")
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * (127.0 / greatest(
+                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                              y -> abs(y))), 1e-12))
+                      + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     q AS sq
+              FROM qv ORDER BY vec_id LIMIT {SEMDEDUP_K}),
+    ass AS (
+      SELECT vec_id, cid, q,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {cos.format(a="q", b="sq")} DESC, cid ASC) AS rn
+      FROM qv, seeds),
+    a AS (SELECT vec_id, cid, q FROM ass WHERE rn = 1),
+    r AS (SELECT vec_id, cid, q, {chunk} AS chunk FROM a),
+    e AS (SELECT x.cid, x.vec_id AS ea, y.vec_id AS eb
+          FROM r x JOIN r y ON x.cid = y.cid AND x.chunk = y.chunk
+                           AND x.vec_id < y.vec_id
+          WHERE {cos.format(a="x.q", b="y.q")} >= {SEMDEDUP_T}),
+    sym AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+    nodes AS (SELECT DISTINCT ea AS node FROM sym),
+    lab AS (WITH RECURSIVE rr(node, m) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.ea, rr.m FROM sym s JOIN rr ON rr.node = s.eb)
+            SELECT node, min(m) AS comp FROM rr GROUP BY node),
+    purged AS (SELECT node FROM lab WHERE node <> comp),
+    base AS (SELECT cid, count(*) AS n_vecs FROM a GROUP BY cid),
+    ecnt AS (SELECT cid, count(*) AS n_dup_pairs FROM e GROUP BY cid),
+    pcnt AS (SELECT a.cid, count(*) AS n_purged
+             FROM purged p JOIN a ON a.vec_id = p.node GROUP BY a.cid)
+    SELECT b.cid AS cluster,
+           CAST(b.n_vecs AS BIGINT) AS n_vecs,
+           CAST(coalesce(ec.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(pc.n_purged, 0) AS BIGINT) AS n_purged,
+           CAST(b.n_vecs - coalesce(pc.n_purged, 0) AS BIGINT) AS n_kept
+    FROM base b
+    LEFT JOIN ecnt ec USING (cid)
+    LEFT JOIN pcnt pc USING (cid)
+    ORDER BY cluster
+    """
+
+
+@query(
+    "q_semdedup",
+    _semdedup_oracle_sql(),
+    doc="extension (semantic dedup, new r14 — the SemDeDup "
+    "composition from public pretraining-pipeline literature): "
+    "cluster the embedding space coarsely, purge near-identical "
+    "points WITHIN each cluster, keep one representative per "
+    "semantic-duplicate family. Engine shape: int8-quantize every "
+    "vector (q_embed_quantize's exact integer grid), assign to the "
+    "nearest of SEMDEDUP_K seed medoids by quantized cosine (the "
+    "engine-neutral stand-in for the float k-means quantizer — "
+    "swappable for ivf_centroids at 100 TB, where this census "
+    "becomes rows-only like q_ann_ivf), generate intra-cluster "
+    "candidate pairs only (groupBy(cid) + capped_pair_array skew "
+    "chunks — never all-pairs, never cross-cluster), connected "
+    "components over pairs at cosq ≥ SEMDEDUP_T, purge everything "
+    "but each family's min-id representative. Output: per-cluster "
+    "purge census (cluster, n_vecs, n_dup_pairs, n_purged, n_kept) "
+    "— all-integer, no float parity risk. Every stage is staged per "
+    "corpus (assign / pairs / labels artifacts, operating point in "
+    "the keys) and the whole tier is value-exact vs a recursive-CTE "
+    "DuckDB oracle. Eager note: first build runs the CC fixpoint "
+    "(cluster_labels discipline); steady state reads three "
+    "census-sized artifacts.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = semdedup_assign(spark, sf_dir).select("vec_id", "cid")
+    pairs = semdedup_pairs(spark, sf_dir)
+    labels = semdedup_labels(spark, sf_dir)
+    purged = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    base = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    ecnt = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    pcnt = (
+        assigned.join(purged, "vec_id", "left_semi")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_purged"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(ecnt, "cid", "left")
+        .join(pcnt, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_vecs",
+            F.coalesce(F.col("n_dup_pairs"), zero).alias("n_dup_pairs"),
+            F.coalesce(F.col("n_purged"), zero).alias("n_purged"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_purged"), zero)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -2004,11 +2004,21 @@ def test_pretrain_run_conservation_and_determinism(spark, sf_dir, tmp_path):
     )
     assert ledger["invariants_ok"]
     assert ledger["input_docs"] > 0
-    # decontaminate partitions the curation survivors exactly
+    # the semantic tier (r14) partitions the curation survivors FIRST,
+    # then decontaminate partitions what it kept — one conservation
+    # term per dedup tier. The harness corpus ships embeddings, so
+    # the tier must have RUN (None would mean silently skipped).
+    assert ledger["semdedup_purged"] is not None
     assert (
         ledger["after_near_dup"]
-        == ledger["bench_held"] + ledger["contam_flagged"] + ledger["kept"]
+        == ledger["semdedup_purged"]
+        + ledger["bench_held"]
+        + ledger["contam_flagged"]
+        + ledger["kept"]
     )
+    # the advisory substring signal is present and sane
+    sig = ledger["dup_span_signal"]
+    assert sig["n_spans"] >= sig["n_dup_spans"] >= 0
     # split census re-derivable from the shipped split assignment
     assert (
         sum(v["docs"] for v in ledger["splits"].values()) == ledger["kept"]
@@ -2032,3 +2042,145 @@ def test_pretrain_run_conservation_and_determinism(spark, sf_dir, tmp_path):
     a["export"] = {k: v for k, v in a["export"].items() if k != "path"}
     b["export"] = {k: v for k, v in b["export"].items() if k != "path"}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (q_semdedup) and duplicate-span census (q_dup_spans) — r14
+# ---------------------------------------------------------------------------
+
+
+def _planted_embeddings(spark, tmp_path):
+    """Fixture corpus with PLANTED semantic-duplicate families (the
+    real testdata plants none — max pairwise cos ~0.53): 16 seeded
+    anchor directions (ids 0-15 become the seed medoids), a 3-copy
+    identical family (20,21,22), a 2-copy identical family (30,31),
+    and isolated noise vectors. Returns (dir, expectations)."""
+    import random
+
+    rng = random.Random(7)
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1.0, 1.0) for _ in range(64)]
+
+    rows = [(i, vec(100 + i), 0) for i in range(16)]  # anchors/seeds
+    fam_a = vec(500)
+    rows += [(20, fam_a, 1), (21, fam_a, 1), (22, fam_a, 1)]
+    fam_b = vec(600)
+    rows += [(30, fam_b, 1), (31, fam_b, 1)]
+    rows += [(40 + j, vec(700 + j), 0) for j in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sem_sf")
+    df.write.parquet(f"{d}/embeddings.parquet")
+    return d, {"n_vecs": len(rows)}
+
+
+def test_semdedup_purges_planted_families(spark, tmp_path):
+    """Identical vectors quantize identically → same cluster, cosq=1.0
+    pairs, one component per family → exactly family-size-minus-one
+    purged per planted family; isolated vectors survive untouched.
+    The census conserves: Σ n_vecs = corpus size, n_kept = n_vecs −
+    n_purged everywhere, ≥1 representative survives per family."""
+    d, exp = _planted_embeddings(spark, tmp_path)
+    out = REGISTRY["q_semdedup"].fn(spark, d).collect()
+    assert sum(r["n_vecs"] for r in out) == exp["n_vecs"]
+    for r in out:
+        assert r["n_kept"] == r["n_vecs"] - r["n_purged"]
+        assert r["n_kept"] >= 0 and r["n_purged"] >= 0
+    # the two planted families purge exactly (3-1) + (2-1) = 3 among
+    # themselves; random 64-dim directions sit far below cosq 0.30,
+    # so no other purges occur on this corpus
+    assert sum(r["n_purged"] for r in out) == 3
+    assert sum(r["n_dup_pairs"] for r in out) == 3 + 1
+
+    # the purged ids are exactly the non-min family members
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        semdedup_labels,
+    )
+
+    labels = {
+        r["node"]: r["comp"]
+        for r in semdedup_labels(spark, d).collect()
+    }
+    assert labels == {20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_semdedup_fixture_oracle_parity(spark, tmp_path):
+    """The planted-family fixture ALSO runs the DuckDB oracle — the
+    engine-vs-SQL value equality holds on a corpus with real purges,
+    not just the no-true-dup testdata."""
+    import duckdb
+
+    d, _ = _planted_embeddings(spark, tmp_path)
+    spec = REGISTRY["q_semdedup"]
+    got = [tuple(r) for r in spec.fn(spark, d).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+
+
+def test_semdedup_plan_is_native_and_cluster_local(spark, sf_dir):
+    """Steady-state declared plan: artifact reads + native ops — no
+    Python nodes, no SinglePartition funnel, and NO join in the pair
+    path (pairs expand from grouped per-cluster arrays in codegen;
+    vectors never meet outside their cluster)."""
+    df = REGISTRY["q_semdedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # census totals conserve on the real corpus
+    rows = df.collect()
+    import duckdb
+
+    n = (
+        duckdb.connect()
+        .execute(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        )
+        .fetchone()[0]
+    )
+    assert sum(r["n_vecs"] for r in rows) == n
+
+
+def test_dup_spans_planted_shared_run(spark, tmp_path):
+    """Two docs sharing an exact 16-token run produce duplicated
+    spans; a short doc (<16 tokens) contributes none; a unique doc
+    contributes only unique spans. Counts are exact and the DuckDB
+    oracle agrees on the fixture."""
+    import duckdb
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        (0, "srcA", f"{shared} tail0 tail1 tail2 tail3"),
+        (1, "srcB", f"lead0 lead1 lead2 lead3 {shared}"),
+        (2, "srcA", " ".join(f"uniq{i}" for i in range(24))),
+        (3, "srcB", "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = str(tmp_path / "span_sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["q_dup_spans"]
+    got = {r["source"]: r.asDict() for r in spec.fn(spark, d).collect()}
+    # doc0: starts 1,5 → spans at 1 and 5; doc1: starts 1,5 → the
+    # start-5 span of doc1 IS the start-1 span of doc0 (both = the
+    # shared run) → exactly one duplicated fingerprint, hit twice.
+    assert got["srcA"]["n_spans"] == 2 + 3  # doc0 (2) + doc2 (3)
+    assert got["srcB"]["n_spans"] == 2  # doc1 (doc3 too short)
+    assert got["srcA"]["n_dup_spans"] == 1
+    assert got["srcB"]["n_dup_spans"] == 1
+    assert got["srcA"]["n_docs_hit"] == 1
+    assert got["srcB"]["n_docs_hit"] == 1
+    assert got["srcA"]["est_dup_tokens"] == 4
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
+    assert [tuple(r) for r in spec.fn(spark, d).collect()] == want
