@@ -111,6 +111,9 @@ def ivf_write_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, MODEL)
     )
+    # Snapshot the drift baseline while the model provably matches
+    # the data (one extra scan at build time; see ivf_drift_census).
+    _write_stats(spark, path)
     return C
 
 
@@ -229,3 +232,181 @@ def ivf_search_index(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance (r14): incremental adds, drift detection, rebalance
+# ---------------------------------------------------------------------------
+
+STATS = "stats"
+
+
+def _write_stats(spark: SparkSession, path: str) -> None:
+    """Persist the per-cluster assignment-quality baseline (n, mean
+    cosine of members to their OWN centroid) next to the model. The
+    drift census compares the live index against this snapshot, so it
+    is (re)written at build and rebalance time — the points where the
+    model actually matches the data."""
+    census = _own_centroid_census(spark, path)
+    census.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, STATS)
+    )
+
+
+def _own_centroid_census(spark: SparkSession, path: str) -> DataFrame:
+    """(cluster, n, mean_cos) — each member's cosine to its own
+    centroid, aggregated per cluster. One scan of the index; a
+    maintenance job, not a query-path cost."""
+    model = spark.read.parquet(os.path.join(path, MODEL)).select(
+        "cluster", F.col("centroid").alias("_c")
+    )
+    return (
+        _read_data(spark, path)
+        .join(F.broadcast(model), "cluster")
+        .select("cluster", cosine(F.col("vector"), F.col("_c")).alias("_cos"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_cos").alias("mean_cos"),
+        )
+    )
+
+
+def ivf_append(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors to an existing on-disk index WITHOUT a
+    refit: assign under the index's OWN sidecar model (cluster ids
+    stay comparable with every previously-indexed vector), then
+    append-write into the probed ``cluster=<i>`` directories only —
+    untouched partitions are never rewritten, so the incremental cost
+    is O(new vectors), not O(index).
+
+    Raises ``ValueError`` if the assigned schema does not match the
+    index's sidecar schema — appending a mismatched frame would
+    poison every future schema-explicit read (the corruption the
+    sidecar exists to prevent).
+
+    Returns ``{"appended": n, "clusters_touched": m}``. The drift
+    baseline (``stats``) is deliberately NOT rewritten: it snapshots
+    the last time the model matched the data, which is exactly what
+    ``ivf_drift_census`` must compare against after many appends.
+    """
+    spark = emb.sparkSession
+    C = ivf_read_model(spark, path)
+    assigned = emb.select(
+        id_col, as_double(F.col(vec_col)).alias("vector")
+    ).withColumn("cluster", assign_clusters(F.col("vector"), C))
+    with open(os.path.join(path, SCHEMA)) as fh:
+        want = T.StructType.fromJson(json.load(fh))
+    if assigned.schema != want:
+        raise ValueError(
+            f"append schema {assigned.schema.simpleString()} != index "
+            f"sidecar schema {want.simpleString()} — refusing to "
+            "poison the schema-explicit read path"
+        )
+    assigned = assigned.localCheckpoint()  # census + write, one compute
+    census = assigned.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster").alias("m"),
+    ).collect()[0]
+    assigned.repartition("cluster").write.partitionBy("cluster").mode(
+        "append"
+    ).parquet(os.path.join(path, DATA))
+    return {
+        "appended": int(census["n"]),
+        "clusters_touched": int(census["m"]),
+    }
+
+
+def ivf_drift_census(
+    spark: SparkSession, path: str, refit_drift: float = 0.05
+) -> dict:
+    """Assignment-quality drift since the model last matched the data.
+
+    Re-computes the per-cluster own-centroid cosine census over the
+    LIVE index and compares it to the ``stats`` baseline written at
+    build/rebalance: appends under a stale quantizer pull the mean
+    member-to-centroid cosine down as the corpus distribution moves
+    away from the centroids. Returns::
+
+        {"mean_cos_now", "mean_cos_baseline", "drift",
+         "clusters": k, "rows": n, "refit_recommended": bool}
+
+    ``refit_recommended`` fires when the weighted mean cosine dropped
+    by more than ``refit_drift`` — the census→re-fit trigger a real
+    100 TB similarity service runs on a schedule. Heuristic doubles
+    (order-dependent avg) by design: this is a maintenance signal,
+    not an oracle-checked census."""
+    base_p = os.path.join(path, STATS)
+    if not os.path.exists(base_p):
+        raise FileNotFoundError(
+            f"{base_p} missing — index predates the drift baseline; "
+            "rebuild via ivf_write_index/ivf_rebalance to snapshot one"
+        )
+    now = _own_centroid_census(spark, path)
+    agg_now = now.agg(
+        F.sum(F.col("mean_cos") * F.col("n")).alias("s"),
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+    base = spark.read.parquet(base_p)
+    agg_base = base.agg(
+        F.sum(F.col("mean_cos") * F.col("n")).alias("s"),
+        F.sum("n").alias("n"),
+    ).collect()[0]
+    mean_now = float(agg_now["s"]) / max(int(agg_now["n"]), 1)
+    mean_base = float(agg_base["s"]) / max(int(agg_base["n"]), 1)
+    drift = mean_base - mean_now
+    return {
+        "mean_cos_now": round(mean_now, 6),
+        "mean_cos_baseline": round(mean_base, 6),
+        "drift": round(drift, 6),
+        "clusters": int(agg_now["k"]),
+        "rows": int(agg_now["n"]),
+        "refit_recommended": drift > refit_drift,
+    }
+
+
+def ivf_rebalance(
+    spark: SparkSession,
+    path: str,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Re-fit the quantizer on the CURRENT index contents and rewrite
+    the layout — the action ``ivf_drift_census``'s trigger recommends.
+
+    Crash-safe by the rename-aside protocol (the bucketed_upsert
+    ordering applied to directories): the new index is built whole at
+    ``{path}__rebuild``, the live index is moved aside, the rebuild is
+    promoted, and only then is the old index deleted — at every
+    interruption point a complete index exists on disk (recover by
+    renaming whichever of ``{path}``/``{path}__rebuild``/
+    ``{path}__old`` survives; the sidecar schema + model make any of
+    them self-contained). Returns the new centroid model."""
+    import shutil
+
+    rebuild = f"{path}__rebuild"
+    old = f"{path}__old"
+    live = _read_data(spark, path).select(
+        F.col(id_col), F.col("vector").alias("embedding")
+    )
+    # localCheckpoint: the rebuild's fit + assignment must read the
+    # CURRENT files, not re-list the directory mid-swap.
+    live = live.localCheckpoint()
+    shutil.rmtree(rebuild, ignore_errors=True)
+    C = ivf_write_index(
+        live, rebuild, k=k, iters=iters, id_col=id_col,
+        vec_col="embedding",
+    )
+    _write_stats(spark, rebuild)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(rebuild, path)
+    shutil.rmtree(old)
+    return C

@@ -2184,3 +2184,115 @@ def test_dup_spans_planted_shared_run(spark, tmp_path):
     )
     want = [tuple(r) for r in con.execute(spec.oracle).fetchall()]
     assert [tuple(r) for r in spec.fn(spark, d).collect()] == want
+
+
+def test_ivf_append_preserves_search_and_drift_triggers_rebalance(
+    spark, sf_dir, tmp_path
+):
+    """IVF index maintenance (r14 stretch): (1) incremental adds go
+    through the SAME sidecar model, so search over an index built-then-
+    appended equals search over an index built in one shot under that
+    model — recall is preserved by construction; (2) append touches
+    only the probed cluster dirs (O(new vectors), not O(index));
+    (3) a schema-mismatched append is refused loudly; (4) the drift
+    census is ~0 for in-distribution adds, fires after
+    off-distribution adds, and ivf_rebalance restores a matched
+    model (drift back to ~0) without losing a single row."""
+    import glob
+    import os
+
+    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
+        DATA,
+        ivf_append,
+        ivf_drift_census,
+        ivf_rebalance,
+        ivf_search_index,
+        ivf_write_index,
+    )
+    from prueba_tecnica_analista_etl_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.filter(F.col("vec_id") < 400)
+    tail = emb.filter(F.col("vec_id") >= 400)
+    n_all = emb.count()
+
+    inc = str(tmp_path / "ivf_inc")
+    oneshot = str(tmp_path / "ivf_oneshot")
+    k = 8
+    C = ivf_write_index(head, inc, k=k, iters=2)
+
+    before = {
+        leaf: sorted(os.listdir(leaf))
+        for leaf in glob.glob(os.path.join(inc, DATA, "cluster=*"))
+    }
+    stats = ivf_append(tail, inc)
+    assert stats["appended"] == tail.count()
+    assert 1 <= stats["clusters_touched"] <= k
+    # untouched cluster dirs gained no files
+    touched = 0
+    for leaf, files in before.items():
+        now = sorted(os.listdir(leaf))
+        if now != files:
+            touched += 1
+            assert set(files) <= set(now)  # append, never rewrite
+    assert touched == stats["clusters_touched"]
+
+    # one-shot index under the SAME model == built-then-appended
+    ivf_write_index(emb, oneshot, k=k, iters=2, centroids=C)
+    query = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+
+    def rows(df):
+        return [(r["vec_id"], r["cos_sim"]) for r in df.collect()]
+
+    for nprobe in (2, k):
+        assert rows(
+            ivf_search_index(spark, inc, query, nprobe=nprobe, topk=10)
+        ) == rows(
+            ivf_search_index(
+                spark, oneshot, query, nprobe=nprobe, topk=10
+            )
+        )
+
+    # schema mismatch refused loudly
+    bad = tail.select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="sidecar schema"):
+        ivf_append(bad, inc)
+
+    # in-distribution appends barely move the census
+    census = ivf_drift_census(spark, inc)
+    assert census["rows"] == n_all
+    assert abs(census["drift"]) < 0.05
+    assert not census["refit_recommended"]
+
+    # off-distribution appends drag the mean own-centroid cosine
+    # down → trigger. Adversarial by construction: a null-space
+    # direction of the centroid matrix is orthogonal to EVERY
+    # centroid, so each junk vector's own-centroid cosine is ~0.
+    import numpy as np
+
+    _, _, vt = np.linalg.svd(np.asarray(C, dtype=np.float64))
+    far = [float(x) for x in vt[-1]]
+    junk = spark.createDataFrame(
+        [(100000 + j, far) for j in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_append(junk, inc)
+    drifted = ivf_drift_census(spark, inc, refit_drift=0.01)
+    assert drifted["rows"] == n_all + 300
+    assert drifted["drift"] > 0.01
+    assert drifted["refit_recommended"]
+
+    # rebalance: re-fit on current contents, rename-aside swap, zero
+    # row loss, drift baseline reset to ~0
+    ivf_rebalance(spark, inc, k=k, iters=2)
+    after = ivf_drift_census(spark, inc, refit_drift=0.01)
+    assert after["rows"] == n_all + 300
+    assert abs(after["drift"]) < 1e-9  # fresh baseline == fresh census
+    assert not os.path.exists(inc + "__rebuild")
+    assert not os.path.exists(inc + "__old")
+    got = ivf_search_index(spark, inc, query, nprobe=k, topk=10)
+    assert got.count() == 10
