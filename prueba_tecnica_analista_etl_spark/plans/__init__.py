@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 13):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 123 queries (121 oracle-backed + 2
-rows-only), so 73 must sit outside the recorded window in any given
+each round; the registry holds 125 queries (123 oracle-backed + 2
+rows-only), so 75 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -60,10 +60,10 @@ independently-recorded driver result:
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  121
+window (or in _ROTATION_NEW, which must lead the NEXT window).  123
 oracle queries across 49 oracle slots/round (and 2 rows-only across
 1) satisfy the bound: each needs a record only once per three windows
-(121 <= 3*49, 2 <= 3*1).
+(123 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -218,7 +218,13 @@ _ROTATION_OUT = [
 # lead the r15 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = []
+_ROTATION_NEW: list[str] = [
+    # added mid-r14 (oracle-backed from birth): the per-dimension
+    # embedding moment census and the vocabulary Zipf-curve census;
+    # MUST lead the r15 window:
+    "q_embed_stats",
+    "q_zipf_census",
+]
 
 
 def _apply_rotation() -> None:

@@ -1508,3 +1508,89 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("event_type"))
     )
+
+
+def _zipf_oracle_sql() -> str:
+    return """
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+         t AS (SELECT term FROM toks WHERE term <> ''),
+         census AS (SELECT term, count(*) AS freq FROM t GROUP BY term),
+         r AS (SELECT freq, rank() OVER (ORDER BY freq DESC) AS rnk
+               FROM census)
+    SELECT CAST(length(bin(rnk)) - 1 AS INTEGER) AS rank_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(freq) AS BIGINT) AS total_freq,
+           CAST(min(rnk) AS BIGINT) AS min_rank,
+           CAST(max(rnk) AS BIGINT) AS max_rank
+    FROM r GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "q_zipf_census",
+    _zipf_oracle_sql(),
+    doc="extension (corpus-health census, r14): vocabulary Zipf-curve "
+    "census — per log2-rank bucket (rank octave), term count and "
+    "total frequency mass. Natural text follows freq ∝ 1/rank, so "
+    "consecutive octaves carry roughly equal mass; an octave whose "
+    "mass spikes flags boilerplate/templating injection and one that "
+    "collapses flags tokenizer breakage — the one-glance vocabulary "
+    "diagnostic next to q_unigram_entropy's per-source view. "
+    "Distributed shape: the term census folds the shared doc_term_tf "
+    "artifact (vocab-sized — zero corpus scans), the global "
+    "frequency rank is the TWO-PASS histogram scheme over key "
+    "-freq (bucketed_rank: census-sized histogram collect, sharded "
+    "within-bucket windows — RANK ties share a bucket so no "
+    "Exchange SinglePartition, the q_global_rank pattern), and "
+    "floor(log2(rank)) = length(bin(rank))-1 is integer-exact in "
+    "both engines. Output: octave-count rows, all-integer.",
+)
+def q_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.plans.extensions_text import (
+        doc_term_tf_frame,
+    )
+
+    keyed = (
+        doc_term_tf_frame(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("freq"))
+        .select("term", "freq", (-F.col("freq")).alias("negfreq"))
+    )
+
+    def build():
+        lo, hi = keyed.agg(F.min("negfreq"), F.max("negfreq")).first()
+        if lo is None:  # empty corpus
+            return None
+        b = numeric_bucket(F.col("negfreq"), lo, hi, _RANK_BUCKETS)
+        return lo, hi, bucket_histogram(keyed, b)
+
+    census = census_artifact(spark, sf_dir, "zipf_rank_census", build)
+    if census is None:
+        return spark.createDataFrame(
+            [],
+            "rank_bucket int, n_terms long, total_freq long, "
+            "min_rank long, max_rank long",
+        )
+    lo, hi, hist = census
+    ranked = bucketed_rank(
+        keyed,
+        numeric_bucket(F.col("negfreq"), lo, hi, _RANK_BUCKETS),
+        ["negfreq"],
+        method="rank",
+        hist=hist,
+    )
+    zb = (F.length(F.bin(F.col("global_rank"))) - 1).cast("int")
+    return (
+        ranked.select(
+            zb.alias("rank_bucket"), "freq", "global_rank"
+        )
+        .groupBy("rank_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("freq").cast("long").alias("total_freq"),
+            F.min("global_rank").alias("min_rank"),
+            F.max("global_rank").alias("max_rank"),
+        )
+        .orderBy("rank_bucket")
+    )

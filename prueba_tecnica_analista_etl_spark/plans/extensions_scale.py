@@ -3164,3 +3164,78 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _embed_stats_oracle_sql() -> str:
+    hug = "CAST(sum(x) AS HUGEINT)"
+    hugss = "CAST(sum(x * x) AS HUGEINT)"
+    return f"""
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    g AS (SELECT i - 1 AS dim, qv[i] AS x
+          FROM q, (SELECT unnest(generate_series(1, 64)) AS i) t)
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_e6,
+           CAST(max(x) AS BIGINT) AS max_e6,
+           CAST({hug} // count(*) AS BIGINT) AS mean_e6,
+           CAST((count(*) * {hugss} - {hug} * {hug})
+                // (count(*) * count(*)) AS BIGINT) AS var_e12
+    FROM g GROUP BY dim ORDER BY dim
+    """
+
+
+@query(
+    "q_embed_stats",
+    _embed_stats_oracle_sql(),
+    doc="extension (embedding QA census, r14): per-dimension moment "
+    "census over the embeddings table — n, min/max, mean, variance "
+    "on the floor(x·1e6+0.5) integer grid with DECIMAL(38,0)/HUGEINT "
+    "accumulation (exact in any summation order, so the census is "
+    "bit-identical across engines AND across cluster sizes — the "
+    "property a drift monitor needs). This is the table a vector "
+    "pipeline watches per ingest batch: a dimension whose variance "
+    "collapses went dead (projection/init bug), one whose mean walks "
+    "flags normalization drift upstream of every ANN/semdedup tier. "
+    "Scale shape: one posexplode (map-only) + one 64-group hash "
+    "aggregate — partial aggregation collapses each partition to "
+    "64 rows before the shuffle, so network cost is O(dims x "
+    "partitions), never O(rows).",
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        as_double(F.col("embedding")).alias("v")
+    )
+    g = e.select(
+        F.posexplode(
+            F.transform(
+                F.col("v"), lambda x: F.floor(x * 1e6 + F.lit(0.5))
+            )
+        ).alias("dim", "x")
+    )
+    dec = "decimal(38,0)"
+    return (
+        g.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_e6"),
+            F.max("x").alias("max_e6"),
+            F.sum(F.col("x").cast(dec)).alias("_s"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("_ss"),
+        )
+        .select(
+            "dim",
+            "n",
+            "min_e6",
+            "max_e6",
+            F.expr("_s div n").alias("mean_e6"),
+            # exact integer variance: (n·Σx² − (Σx)²) div n²; the
+            # numerator is non-negative by Cauchy-Schwarz, and both
+            # engines truncate integral division toward zero, so the
+            # value is engine-identical even for negative means.
+            F.expr("(n * _ss - _s * _s) div (n * n)").alias("var_e12"),
+        )
+        .orderBy("dim")
+    )
