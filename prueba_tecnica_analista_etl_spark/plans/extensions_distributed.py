@@ -1565,7 +1565,9 @@ def q_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = numeric_bucket(F.col("negfreq"), lo, hi, _RANK_BUCKETS)
         return lo, hi, bucket_histogram(keyed, b)
 
-    census = census_artifact(spark, sf_dir, "zipf_rank_census", build)
+    census = census_artifact(
+        spark, sf_dir, f"zipf_rank_census:b{_RANK_BUCKETS}", build
+    )
     if census is None:
         return spark.createDataFrame(
             [],

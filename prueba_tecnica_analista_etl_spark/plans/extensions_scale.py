@@ -2875,7 +2875,11 @@ SEMDEDUP_T = 0.30  # quantized-cosine purge threshold. The harness
 # the shipped threshold sits where the corpus's own similarity tail
 # lives — the knob a real pipeline retunes to ~0.95 for genuinely
 # duplicated embeddings.
-_SEMDEDUP_TAG = f"k{SEMDEDUP_K}:t030:c{BUCKET_CAP}"
+# DERIVED from the constants (never hand-written), so a retune of any
+# knob can never serve a stale staged frame.
+_SEMDEDUP_TAG = (
+    f"k{SEMDEDUP_K}:t{int(round(SEMDEDUP_T * 100)):03d}:c{BUCKET_CAP}"
+)
 
 
 def _int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
