@@ -302,7 +302,13 @@ def ivf_append(
     ).withColumn("cluster", assign_clusters(F.col("vector"), C))
     with open(os.path.join(path, SCHEMA)) as fh:
         want = T.StructType.fromJson(json.load(fh))
-    if assigned.schema != want:
+    # Compare names + types only: nullability differs freely between
+    # sources (a filtered/checkpointed frame tightens nullable=false)
+    # and a stricter append is safe — rejecting it would refuse valid
+    # data.
+    got_sig = [(f.name, f.dataType) for f in assigned.schema.fields]
+    want_sig = [(f.name, f.dataType) for f in want.fields]
+    if got_sig != want_sig:
         raise ValueError(
             f"append schema {assigned.schema.simpleString()} != index "
             f"sidecar schema {want.simpleString()} — refusing to "
@@ -400,11 +406,12 @@ def ivf_rebalance(
     # CURRENT files, not re-list the directory mid-swap.
     live = live.localCheckpoint()
     shutil.rmtree(rebuild, ignore_errors=True)
+    # ivf_write_index snapshots the drift baseline itself — no second
+    # stats pass here.
     C = ivf_write_index(
         live, rebuild, k=k, iters=iters, id_col=id_col,
         vec_col="embedding",
     )
-    _write_stats(spark, rebuild)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(rebuild, path)

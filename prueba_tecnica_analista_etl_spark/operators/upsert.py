@@ -158,7 +158,15 @@ def bucketed_upsert(
     )
 
     ks = list(keys)
-    recover_upsert_swap(spark, table)
+    # Self-recover ONLY when an interrupted swap actually left side
+    # tables behind — a plain nonexistent base (typo, never created)
+    # must surface as the ordinary table-not-found from the catalog
+    # below, not as a confusing "nothing to recover".
+    staged_n, old_n = f"{table}__upsert_staged", f"{table}__upsert_old"
+    if spark.catalog.tableExists(staged_n) or spark.catalog.tableExists(
+        old_n
+    ):
+        recover_upsert_swap(spark, table)
     n_buckets, bkeys = bucket_spec(spark, table)
     if bkeys != ks:
         raise ValueError(

@@ -329,12 +329,16 @@ def _minhash_pairs_key() -> str:
     from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
         BUCKET_CAP,
         MINHASH_BANDS,
+        MINHASH_JACCARD_T,
         MINHASH_ROWS,
     )
 
+    # DERIVED from the constants (never hand-written) — 0.5 -> "t05",
+    # matching the existing on-disk key.
+    t = str(MINHASH_JACCARD_T).replace(".", "")
     return (
         f"minhash_pairs:{MINHASH_BANDS}x{MINHASH_ROWS}"
-        f":t05:c{BUCKET_CAP}"
+        f":t{t}:c{BUCKET_CAP}"
     )
 
 

@@ -2262,14 +2262,13 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.max("total").alias("total_tokens"),
-            # Widen the per-term product to DECIMAL(38,0) BEFORE the
-            # sum: the DuckDB oracle accumulates sum(cnt*nlp6) in
-            # HUGEINT, while a long sum in Spark silently wraps once a
-            # source's total approaches ~1e12 tokens (cnt*nlp6 terms
-            # sum past 2^63 at pretraining scale).  Same decimal
-            # widening _nlp6_spark_expr uses internally.
+            # DECIMAL(38,0) accumulation, cast BEFORE the multiply
+            # (the xe_num/en_num pattern above): the DuckDB oracle
+            # computes sum(cnt*nlp6) in HUGEINT, while in Spark both
+            # the long PRODUCT (cnt ~1e12 × nlp6 ~3e7 > 2^63 at
+            # pretraining scale) and the long sum would silently wrap.
             F.sum(
-                (F.col("cnt") * F.col("nlp6")).cast("decimal(38,0)")
+                F.col("cnt").cast("decimal(38,0)") * F.col("nlp6")
             ).alias("_num"),
         )
         .select(

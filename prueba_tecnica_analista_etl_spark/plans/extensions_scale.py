@@ -69,6 +69,11 @@ from prueba_tecnica_analista_etl_spark.streaming.windows import (
 # candidates — the AND-amplification that keeps the self-join linear.
 MINHASH_BANDS = 4
 MINHASH_ROWS = 3
+# Jaccard gate on re-ranked candidates: THE constant behind every
+# "jaccard >= 0.5" in the minhash family (function defaults, the
+# generated oracle, the staged pair-frame key) — a retune here moves
+# all of them together instead of silently serving a stale frame.
+MINHASH_JACCARD_T = 0.5
 BUCKET_CAP = 64  # skew guard: per-bucket pair work is bounded by
 # SUB-SPLITTING oversized buckets (see capped_pair_array), never by
 # silently dropping them.
@@ -356,7 +361,7 @@ def minhash_pair_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.5,
+    threshold: float = MINHASH_JACCARD_T,
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
     shingle_n: int = 3,
@@ -401,7 +406,7 @@ def minhash_pair_frame(
 
 def pairs_from_band_frame(
     banded: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = MINHASH_JACCARD_T,
     cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """The second half of :func:`minhash_pair_frame`: scored near-dup
@@ -543,7 +548,7 @@ def _minhash_oracle_sql() -> str:
     return f"""
     WITH {_minhash_scored_pairs_cte()}
     SELECT doc_a, doc_b, round(_j, 4) AS jaccard_sim
-    FROM j WHERE _j >= 0.5
+    FROM j WHERE _j >= {MINHASH_JACCARD_T}
     ORDER BY jaccard_sim DESC, doc_a, doc_b LIMIT 100
     """
 

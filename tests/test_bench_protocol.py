@@ -170,3 +170,75 @@ def test_no_previous_detail_no_remeasure(
     assert calls == [True, False, False]
     assert out["detail_trial"] == 1
     assert "detail_vs_prev_ratio" not in out
+
+
+def test_degraded_detail_with_best_wall_not_shipped(
+    bench, monkeypatch, tmp_path, capsys
+):
+    """A trial can post the BEST concurrent wall while its sequential
+    detail hit the steal window (the passes are minutes apart).
+    Selection must filter on the detail's own degraded signature
+    FIRST and only then take the best wall — here trial 1 has the
+    best wall (9.0) but a degraded detail, trial 2 re-measured clean
+    at a worse wall (9.5): the clean array must ship."""
+    _write_prev(tmp_path)
+
+    def script(i, measured):
+        if i == 0:
+            return 9.0, dict(DEGRADED)
+        return (9.5 if i == 1 else 9.6), dict(CLEAN)
+
+    out, calls, detail_file = _run_orchestrate(
+        bench, monkeypatch, tmp_path, capsys, script
+    )
+    assert calls == [True, True, False]
+    assert out["detail_trial"] == 2
+    assert out["detail_trial_wall"] == 9.5
+    assert "detail_degraded" not in out
+    got = json.load(open(detail_file))["queries"]
+    assert got == CLEAN
+
+
+def test_lpt_order_refreshed_after_remeasure(
+    bench, monkeypatch, tmp_path, capsys
+):
+    """After a trial-2 re-measure, trial 3's --lpt-from file must
+    carry the CLEAN timings (degraded inflation is non-uniform, so a
+    stale order mis-ranks the longest queries and stretches the
+    makespan)."""
+    _write_prev(tmp_path)
+    seen_lpt = {}
+
+    real_open = open
+
+    def script(i, measured):
+        if i == 0:
+            return 15.0, dict(DEGRADED)
+        return 9.4, dict(CLEAN)
+
+    calls = []
+
+    def fake_run(argv, stdout=None, text=None):
+        i = len(calls)
+        measured = not any(a.startswith("--lpt-from=") for a in argv)
+        calls.append(measured)
+        for a in argv:
+            if a.startswith("--lpt-from="):
+                with real_open(a.split("=", 1)[1]) as fh:
+                    seen_lpt[i] = json.load(fh)
+        wall, queries = script(i, measured)
+        out = json.dumps(_payload(wall, queries, measured))
+        import types as _t
+
+        return _t.SimpleNamespace(returncode=0, stdout=out + "\n")
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BENCH_DETAIL_FILE", str(tmp_path / "DETAIL.json")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TRIALS", "3")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_S", "10000")
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.orchestrate()
+    capsys.readouterr()
+    assert calls == [True, True, False]
+    assert seen_lpt[2] == CLEAN  # trial 3 got the refreshed order
