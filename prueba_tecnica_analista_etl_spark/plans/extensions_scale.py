@@ -2983,53 +2983,58 @@ def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cid, vec_a, vec_b, cosq) — intra-cluster near-dup pairs at
-    quantized cosine ≥ SEMDEDUP_T, staged once per corpus.
+def semdedup_pairs_for(assigned: DataFrame) -> DataFrame:
+    """(cid, vec_a, vec_b) — intra-cluster near-dup pairs at
+    quantized cosine ≥ SEMDEDUP_T over ANY ``(vec_id, cid, q)``
+    assignment frame: the quantizer-agnostic half of the SemDeDup
+    tier.  NO all-pairs anywhere: vectors only ever meet inside
+    their own cluster (one groupBy(cid) shuffle), and oversized
+    clusters are sub-split by capped_pair_array's seeded md5_60
+    chunk order (≤ BUCKET_CAP members per chunk → per-cluster work
+    O(n·cap), the same skew guard as every near-dup tier).
+    Cross-chunk pairs are the documented residual; at 100 TB the
+    cluster count scales with the corpus so clusters stay
+    cap-sized."""
+    grouped = assigned.groupBy("cid").agg(
+        F.collect_list(F.struct("vec_id", "q")).alias("vecs")
+    )
+    return (
+        grouped.select(
+            "cid",
+            F.explode(
+                capped_pair_array(
+                    F.col("vecs"),
+                    "vec_id",
+                    "q",
+                    "vec_a",
+                    "vec_b",
+                    seed_col=F.col("cid"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "cid",
+            "p.vec_a",
+            "p.vec_b",
+            _iq_cos(F.col("p.pa"), F.col("p.pb")).alias("cosq"),
+        )
+        .filter(F.col("cosq") >= F.lit(SEMDEDUP_T))
+        .select("cid", "vec_a", "vec_b")
+    )
 
-    NO all-pairs anywhere: vectors only ever meet inside their own
-    cluster (one groupBy(cid) shuffle), and oversized clusters are
-    sub-split by capped_pair_array's seeded md5_60 chunk order
-    (≤ BUCKET_CAP members per chunk → per-cluster work O(n·cap), the
-    same skew guard as every near-dup tier).  Cross-chunk pairs are
-    the documented residual; at 100 TB the cluster count scales with
-    the corpus so clusters stay cap-sized."""
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seed-medoid assignment's pair frame, staged once per
+    corpus (:func:`semdedup_pairs_for` over :func:`semdedup_assign`)."""
     from prueba_tecnica_analista_etl_spark.artifacts import (
         corpus_artifact,
     )
 
-    def build() -> DataFrame:
-        grouped = (
-            semdedup_assign(spark, sf_dir)
-            .groupBy("cid")
-            .agg(F.collect_list(F.struct("vec_id", "q")).alias("vecs"))
-        )
-        return (
-            grouped.select(
-                "cid",
-                F.explode(
-                    capped_pair_array(
-                        F.col("vecs"),
-                        "vec_id",
-                        "q",
-                        "vec_a",
-                        "vec_b",
-                        seed_col=F.col("cid"),
-                    )
-                ).alias("p"),
-            )
-            .select(
-                "cid",
-                "p.vec_a",
-                "p.vec_b",
-                _iq_cos(F.col("p.pa"), F.col("p.pb")).alias("cosq"),
-            )
-            .filter(F.col("cosq") >= F.lit(SEMDEDUP_T))
-            .select("cid", "vec_a", "vec_b")
-        )
-
     return corpus_artifact(
-        spark, sf_dir, f"semdedup_pairs:{_SEMDEDUP_TAG}", build
+        spark,
+        sf_dir,
+        f"semdedup_pairs:{_SEMDEDUP_TAG}",
+        lambda: semdedup_pairs_for(semdedup_assign(spark, sf_dir)),
     )
 
 
@@ -3141,9 +3146,20 @@ def _semdedup_oracle_sql() -> str:
     "census-sized artifacts.",
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = semdedup_assign(spark, sf_dir).select("vec_id", "cid")
-    pairs = semdedup_pairs(spark, sf_dir)
-    labels = semdedup_labels(spark, sf_dir)
+    return semdedup_census_for(
+        semdedup_assign(spark, sf_dir).select("vec_id", "cid"),
+        semdedup_pairs(spark, sf_dir),
+        semdedup_labels(spark, sf_dir),
+    )
+
+
+def semdedup_census_for(
+    assigned: DataFrame, pairs: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per-cluster purge census from an ``(vec_id, cid)`` assignment,
+    its pair frame, and its component labels — the quantizer-agnostic
+    census q_semdedup ships.  Survivor rule: every node keeps only if
+    it IS its component's min id."""
     purged = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("vec_id")
     )
@@ -3172,6 +3188,28 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cluster")
+    )
+
+
+def semdedup_purge_census(assigned: DataFrame) -> DataFrame:
+    """One-call SemDeDup purge census for ANY ``(vec_id, cid, q)``
+    assignment frame — the composition the q_semdedup docstring
+    promises is swappable: feed the seed-medoid assignment (the
+    oracle-checkable harness form) OR a float k-means assignment
+    (``ivf_centroids`` + ``assign_clusters`` — the 100 TB quantizer,
+    rows-only territory like q_ann_ivf) and get the identical purge
+    semantics downstream.  Eager (runs the CC fixpoint); callers
+    wanting per-corpus staging use the semdedup_pairs/labels
+    artifacts instead.  Proven by
+    tests/test_scale_extensions.py::test_semdedup_with_ivf_quantizer."""
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = semdedup_pairs_for(assigned).localCheckpoint()
+    labels = connected_components(pairs, a="vec_a", b="vec_b")
+    return semdedup_census_for(
+        assigned.select("vec_id", "cid"), pairs, labels
     )
 
 

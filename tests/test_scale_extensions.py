@@ -2296,3 +2296,62 @@ def test_ivf_append_preserves_search_and_drift_triggers_rebalance(
     assert not os.path.exists(inc + "__old")
     got = ivf_search_index(spark, inc, query, nprobe=k, topk=10)
     assert got.count() == 10
+
+
+def test_semdedup_with_ivf_quantizer(spark, tmp_path):
+    """The cluster stage is genuinely swappable (the q_semdedup
+    docstring's 100 TB claim): the SAME purge core
+    (semdedup_purge_census) fed a float k-means assignment
+    (ivf_fit + assign_clusters — the ivf_centroids quantizer) purges
+    exactly the planted duplicate families. Identical vectors assign
+    identically under ANY quantizer, so family purge counts are
+    invariant to the clustering tier."""
+    from prueba_tecnica_analista_etl_spark.functions.vectors import (
+        as_double,
+        assign_clusters,
+        ivf_fit,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        _int8_quantized,
+        semdedup_purge_census,
+    )
+
+    d, exp = _planted_embeddings(spark, tmp_path)
+    e = spark.read.parquet(f"{d}/embeddings.parquet").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    C = ivf_fit(e, "v", "vec_id", k=4, iters=2)
+    assigned = (
+        e.withColumn("cid", assign_clusters(F.col("v"), C))
+        .select("vec_id", "cid")
+        .join(_int8_quantized(spark, d), "vec_id")
+    )
+    census = semdedup_purge_census(assigned).collect()
+    assert sum(r["n_vecs"] for r in census) == exp["n_vecs"]
+    # The planted families purge under ANY quantizer (identical
+    # vectors assign identically): at least (3-1)+(2-1) purged and
+    # their 3+1 intra-family pairs found. Larger clusters (k=4 here
+    # vs 16 medoids) may add borderline pairs, so exact counts are
+    # NOT cluster-size-invariant — the medoid-path fixture test pins
+    # those.
+    assert sum(r["n_purged"] for r in census) >= 3
+    assert sum(r["n_dup_pairs"] for r in census) >= 4
+    for r in census:
+        assert r["n_kept"] == r["n_vecs"] - r["n_purged"]
+
+    # family-level check: the non-min members of both planted
+    # families are purged (not survivors) under the k-means tier too
+    from prueba_tecnica_analista_etl_spark.operators.components import (
+        connected_components,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        semdedup_pairs_for,
+    )
+
+    labels = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            semdedup_pairs_for(assigned), a="vec_a", b="vec_b"
+        ).collect()
+    }
+    assert labels[21] == 20 and labels[22] == 20 and labels[31] == 30
