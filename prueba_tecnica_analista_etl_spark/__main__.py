@@ -12,7 +12,14 @@ the reference (notebook + SQL scripts) gets on day one.
 when --out is given, format by extension); `explain` prints the
 formatted physical plan — the same plan text the repo's assertions
 pin; `oracle` prints the query's DuckDB oracle SQL (its executable
-documentation).
+documentation); `index` drives the on-disk IVF similarity index
+lifecycle (build / search / append / drift / rebalance)::
+
+    python -m prueba_tecnica_analista_etl_spark index build \
+        --path /tmp/ivf --sf-dir /root/testdata/sf0.001
+    python -m prueba_tecnica_analista_etl_spark index search \
+        --path /tmp/ivf --vec-id 7 --nprobe 4
+    python -m prueba_tecnica_analista_etl_spark index drift --path /tmp/ivf
 """
 
 from __future__ import annotations
@@ -48,7 +55,85 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--out-dir", required=True, dest="out_dir")
     s.add_argument("--shards", type=int, default=8)
+    s = sub.add_parser(
+        "index",
+        help="on-disk IVF similarity index lifecycle: build / search "
+        "/ append / drift / rebalance (operators/ivf_index.py)",
+    )
+    s.add_argument(
+        "action",
+        choices=["build", "search", "append", "drift", "rebalance"],
+    )
+    s.add_argument("--path", required=True, help="index directory")
+    s.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", dest="sf_dir"
+    )
+    s.add_argument(
+        "--from",
+        dest="src",
+        default=None,
+        help="parquet of (vec_id, embedding) rows for build/append "
+        "(default: the corpus embeddings table)",
+    )
+    s.add_argument("--k", type=int, default=16)
+    s.add_argument("--nprobe", type=int, default=4)
+    s.add_argument("--topk", type=int, default=10)
+    s.add_argument(
+        "--vec-id",
+        type=int,
+        default=0,
+        dest="vec_id",
+        help="search: probe with this corpus vector's embedding",
+    )
     return p
+
+
+def _cmd_index(args, spark: SparkSession) -> int:
+    import json
+
+    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
+        ivf_append,
+        ivf_drift_census,
+        ivf_rebalance,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    def emb_source():
+        if args.src is not None:
+            return spark.read.parquet(args.src)
+        from prueba_tecnica_analista_etl_spark.plans.queries import _t
+
+        return _t(spark, args.sf_dir, "embeddings")
+
+    if args.action == "build":
+        C = ivf_write_index(emb_source(), args.path, k=args.k)
+        print(json.dumps({"built": args.path, "k": int(C.shape[0])}))
+    elif args.action == "append":
+        print(json.dumps(ivf_append(emb_source(), args.path)))
+    elif args.action == "drift":
+        print(json.dumps(ivf_drift_census(spark, args.path)))
+    elif args.action == "rebalance":
+        C = ivf_rebalance(spark, args.path, k=args.k)
+        print(
+            json.dumps({"rebalanced": args.path, "k": int(C.shape[0])})
+        )
+    else:  # search
+        row = (
+            emb_source()
+            .filter(f"vec_id = {int(args.vec_id)}")
+            .first()
+        )
+        if row is None:
+            raise SystemExit(f"no vector with vec_id={args.vec_id}")
+        ivf_search_index(
+            spark,
+            args.path,
+            row["embedding"],
+            nprobe=args.nprobe,
+            topk=args.topk,
+        ).show(args.topk, truncate=False)
+    return 0
 
 
 def _resolve(query: str):
@@ -99,6 +184,18 @@ def main(
                 spark.stop()
         print(json.dumps(ledger, indent=1))
         return 0
+
+    if args.cmd == "index":
+        own = spark is None
+        if own:
+            from prueba_tecnica_analista_etl_spark.session import get_spark
+
+            spark = get_spark(app_name="cli-index")
+        try:
+            return _cmd_index(args, spark)
+        finally:
+            if own:
+                spark.stop()
 
     spec = _resolve(args.query)
     out = getattr(args, "out", None)

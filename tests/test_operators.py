@@ -1383,3 +1383,48 @@ def test_bucketed_upsert_external_base_rejected(spark, tmp_path):
         assert spark.table("b_ext_base").count() == 20
     finally:
         spark.sql("DROP TABLE IF EXISTS b_ext_base")
+
+
+def test_cli_index_lifecycle(spark, sf_dir, tmp_path, capsys):
+    """The `index` CLI drives the whole on-disk IVF lifecycle: build
+    emits the model size, search prints a top-k table, append reports
+    its census, drift reports the census JSON, rebalance re-fits —
+    all against a session injected by the caller."""
+    import json
+
+    from prueba_tecnica_analista_etl_spark.__main__ import main
+
+    path = str(tmp_path / "cli_ivf")
+    base = ["--path", path, "--sf-dir", sf_dir]
+    assert main(["index", "build", *base, "--k", "8"], spark=spark) == 0
+    assert json.loads(capsys.readouterr().out)["k"] == 8
+
+    assert (
+        main(
+            ["index", "search", *base, "--vec-id", "7", "--nprobe", "8"],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "cos_sim" in capsys.readouterr().out
+
+    assert main(["index", "append", *base], spark=spark) == 0
+    appended = json.loads(capsys.readouterr().out)
+    assert appended["appended"] > 0
+
+    assert main(["index", "drift", *base], spark=spark) == 0
+    drift = json.loads(capsys.readouterr().out)
+    assert "refit_recommended" in drift
+
+    assert (
+        main(["index", "rebalance", *base, "--k", "8"], spark=spark) == 0
+    )
+    assert json.loads(capsys.readouterr().out)["k"] == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            ["index", "search", *base, "--vec-id", "999999"],
+            spark=spark,
+        )
