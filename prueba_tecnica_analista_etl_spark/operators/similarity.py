@@ -68,6 +68,7 @@ def cosine_topk_batch(
     query_vec_col: str = "qv",
     exclude_self: bool = True,
     carry_cols: "tuple[str, ...]" = (),
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-``k`` per query for a whole query FRAME in one
     corpus scan: ``queries`` (small — it is broadcast) carries
@@ -105,6 +106,10 @@ def cosine_topk_batch(
     w = Window.partitionBy("_qid").orderBy(
         F.desc("_cos"), F.asc(id_col)
     )
+    # rank_col: expose the per-query rank (the window's row_number
+    # over UNROUNDED cosine + id tie-break) — ranking consumers
+    # (nDCG) need the position, and re-deriving it from the ROUNDED
+    # cos_sim outside could tie where the true ordering did not.
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -112,6 +117,11 @@ def cosine_topk_batch(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
             *[F.col(c) for c in carry_cols],
+            *(
+                [F.col("_rn").cast("int").alias(rank_col)]
+                if rank_col
+                else []
+            ),
             F.round(F.col("_cos"), 4).alias("cos_sim"),
         )
     )

@@ -3,8 +3,8 @@
 Registry-order note (transparent rotation, round 13):
 
 The external correctness harness records the FIRST 50 registry entries
-each round; the registry holds 125 queries (123 oracle-backed + 2
-rows-only), so 75 must sit outside the recorded window in any given
+each round; the registry holds 126 queries (124 oracle-backed + 2
+rows-only), so 76 must sit outside the recorded window in any given
 round.  Rather than curating a fixed favoured subset, the window is
 ROTATED across rounds so that every query receives an
 independently-recorded driver result:
@@ -60,10 +60,10 @@ independently-recorded driver result:
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
 being recorded, and any never-recorded query sits INSIDE the current
-window (or in _ROTATION_NEW, which must lead the NEXT window).  123
+window (or in _ROTATION_NEW, which must lead the NEXT window).  124
 oracle queries across 49 oracle slots/round (and 2 rows-only across
 1) satisfy the bound: each needs a record only once per three windows
-(123 <= 3*49, 2 <= 3*1).
+(124 <= 3*49, 2 <= 3*1).
 
 Every oracle-backed query — inside or outside the current window — is
 additionally parity-checked against DuckDB on every test run by
@@ -224,6 +224,8 @@ _ROTATION_NEW: list[str] = [
     # MUST lead the r15 window:
     "q_embed_stats",
     "q_zipf_census",
+    # nDCG@10 retrieval-eval census (also mid-r14):
+    "q_eval_ndcg",
 ]
 
 

@@ -596,6 +596,149 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nDCG@10 position weights on the 1e6 fixed-point grid: w_r =
+# round(1e6 / log2(r+1)) for rank r = 1..10, plus their prefix sums
+# (IDCG of an ideal list with n relevant docs = NDCG_PW[n]). Python
+# floats here are build-time LITERALS interpolated into BOTH the
+# engine expression and the generated oracle SQL, so the runtime
+# arithmetic is pure integers — bit-identical across engines.
+import math as _math
+
+NDCG_K = 10
+NDCG_W = [
+    int(round(1e6 / _math.log2(r + 1))) for r in range(1, NDCG_K + 1)
+]
+NDCG_PW = [sum(NDCG_W[:i]) for i in range(NDCG_K + 1)]  # PW[0] = 0
+
+
+def _ndcg_oracle_sql() -> str:
+    w_case = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W)
+    )
+    pw_case = " ".join(
+        f"WHEN {n} THEN {pw}" for n, pw in enumerate(NDCG_PW)
+    )
+    cos = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(e.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 10),
+    nn AS (
+      SELECT q_id, true_label, label, rn FROM (
+        SELECT q.q_id, q.true_label, e.label,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= {NDCG_K}),
+    per AS (SELECT q_id, true_label,
+                   CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_rel_at_k,
+                   CAST(sum(CASE WHEN label = true_label
+                            THEN CASE rn {w_case} END ELSE 0 END)
+                        AS BIGINT) AS dcg_e6
+            FROM nn GROUP BY q_id, true_label),
+    lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY label),
+    fin AS (SELECT p.q_id, p.true_label, p.n_rel_at_k, p.dcg_e6,
+                    lc.n - 1 AS n_rel_corpus,
+                    CAST(CASE least(lc.n - 1, {NDCG_K}) {pw_case} END
+                         AS BIGINT) AS idcg_e6
+             FROM per p JOIN lc ON lc.label = p.true_label)
+    SELECT q_id, true_label, n_rel_at_k, n_rel_corpus, dcg_e6, idcg_e6,
+           CAST(CASE WHEN idcg_e6 = 0 THEN 0
+                ELSE CAST(dcg_e6 AS HUGEINT) * 1000000 // idcg_e6
+                END AS BIGINT) AS ndcg_e6
+    FROM fin ORDER BY q_id
+    """
+
+
+@query(
+    "q_eval_ndcg",
+    _ndcg_oracle_sql(),
+    doc="extension (retrieval-eval census, r14): nDCG@10 per probe "
+    "over the labeled embedding corpus — THE ranking-quality metric "
+    "for a retrieval/RAG index, next to q_eval_topk_precision's "
+    "hit-rate and q_ann_recall's candidate-recall sweep. Relevance "
+    "is binary label match; position discounts ride the fixed-point "
+    "grid (w_r = round(1e6/log2(r+1)) as build-time literals, so "
+    "runtime arithmetic is all-integer and engine-identical); IDCG "
+    "normalizes by the FULL corpus relevance (min(k, corpus "
+    "relevant ex self) ideal list — the proper retrieval form, not "
+    "the retrieved-list shuffle). One corpus scan serves all probes "
+    "(cosine_topk_batch: broadcast query block + WindowGroupLimit, "
+    "rank carried out of the SAME unrounded-cos window the top-k "
+    "uses), the label census is vocabulary-sized, the output is "
+    "probes-sized. Neighbor stage swaps to IVF/sign-LSH at scale "
+    "without touching the metric.",
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    truth = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+    )
+    nn = cosine_topk_batch(
+        e, q, k=NDCG_K, carry_cols=("label",), rank_col="rank"
+    ).join(F.broadcast(truth), "q_id")
+    rel = (F.col("label") == F.col("true_label")).cast("long")
+    w_arr = F.array(*[F.lit(w) for w in NDCG_W])
+    per = nn.groupBy("q_id", "true_label").agg(
+        F.sum(rel).alias("n_rel_at_k"),
+        F.sum(rel * F.element_at(w_arr, F.col("rank")))
+        .cast("long")
+        .alias("dcg_e6"),
+    )
+    lc = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    pw_arr = F.array(*[F.lit(pw) for pw in NDCG_PW])
+    full = per.join(
+        F.broadcast(lc), per["true_label"] == lc["label"]
+    ).select(
+        "q_id",
+        "true_label",
+        "n_rel_at_k",
+        (F.col("n") - 1).alias("n_rel_corpus"),
+        "dcg_e6",
+        # element_at is 1-based: PW[n] lives at position n+1
+        F.element_at(
+            pw_arr,
+            F.least(F.col("n") - 1, F.lit(NDCG_K)).cast("int")
+            + F.lit(1),
+        )
+        .cast("long")
+        .alias("idcg_e6"),
+    )
+    return full.select(
+        "q_id",
+        "true_label",
+        "n_rel_at_k",
+        "n_rel_corpus",
+        "dcg_e6",
+        "idcg_e6",
+        F.when(F.col("idcg_e6") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(dcg_e6 AS DECIMAL(38,0)) * 1000000 div idcg_e6"
+            )
+        )
+        .alias("ndcg_e6"),
+    ).orderBy("q_id")
+
+
+
 TOKEN_HIST_TOP = 15
 
 
