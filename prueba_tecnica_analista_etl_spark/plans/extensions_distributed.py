@@ -404,36 +404,45 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    grp = Window.partitionBy("event_type")
     ranked = ev.select(
         "event_type",
         "value",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+        F.count("*").over(grp).alias("n"),
     )
-    cuts = ranked.groupBy("event_type").agg(
-        F.max("n").alias("n"),
+    # The cut VALUES are third/fourth whole-partition windows over the
+    # SAME hash(event_type) partitioning (r14 optimization): Catalyst
+    # stacks all four window specs behind ONE exchange, and the final
+    # groupBy(event_type) reuses that partitioning too — so the whole
+    # query is one scan + one exchange, vs the former two scans + a
+    # cuts groupBy + broadcast join-back (plan: 2 Exchange + 2 Scan ->
+    # 1 Exchange + 1 Scan; same clamp arithmetic, identical output).
+    with_cuts = ranked.select(
+        "event_type",
+        "value",
+        "n",
         F.max(
             F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("value"))
-        ).alias("lo_cut"),
+        )
+        .over(grp)
+        .alias("lo_cut"),
         F.max(
             F.when(
                 F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("value")
             )
-        ).alias("hi_cut"),
+        )
+        .over(grp)
+        .alias("hi_cut"),
     )
     clamped = F.least(
         F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut")
     )
-    return (
-        ranked.select("event_type", "value")
-        .join(F.broadcast(cuts), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max(F.col("n")).alias("n_events"),
-            F.max("lo_cut").alias("lo_cut"),
-            F.max("hi_cut").alias("hi_cut"),
-            F.sum(dec2(clamped)).cast("double").alias("winsorized_sum"),
-        )
+    return with_cuts.groupBy("event_type").agg(
+        F.max(F.col("n")).alias("n_events"),
+        F.max("lo_cut").alias("lo_cut"),
+        F.max("hi_cut").alias("hi_cut"),
+        F.sum(dec2(clamped)).cast("double").alias("winsorized_sum"),
     )
 
 
@@ -1376,8 +1385,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type")
     )
     tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    # spread() feeds ONLY the sketch pass (r14): the exact recount is
+    # map-side until candidate-sized rows, so round-robin reshuffling
+    # the full event table for it was a pure extra fact-table shuffle
+    # (plan: one Exchange RoundRobinPartitioning removed; result
+    # invariant — the threshold filter runs on exact counts).
     exact = frequent_items(
-        spread(ev), "event_type", capacity=_HH_CAPACITY
+        ev, "event_type", capacity=_HH_CAPACITY, sketch_df=spread(ev)
     )
     return (
         exact.crossJoin(F.broadcast(tot))

@@ -1031,13 +1031,17 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nb:287-340 profile; q_token_histogram's Zipf head) toward the
     tokenizer-artifact family (SURVEY §2 text analysis).
     """
-    d = _t(spark, sf_dir, "documents")
+    # tf folded from the staged doc_term_tf artifact (r14): identical
+    # tokenization (lower + space split; the length>=2 filter subsumes
+    # the artifact's empty-term drop), so summing per-doc tf over docs
+    # IS the corpus word count — the corpus re-explode (scan + tokenize
+    # + gram shuffle) collapses to an artifact read + one vocab-sized
+    # aggregate, the same fold q_token_histogram/q_tfidf already ride.
     wf = (
-        spread(d)
-        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        doc_term_tf_frame(spark, sf_dir)
+        .filter(F.length("term") >= 2)
+        .groupBy(F.col("term").alias("w"))
+        .agg(F.sum("tf").alias("tf"))
     )
     pairs = wf.select(
         F.explode(
