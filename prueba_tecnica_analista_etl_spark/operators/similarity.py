@@ -68,6 +68,7 @@ def cosine_topk_batch(
     query_vec_col: str = "qv",
     exclude_self: bool = True,
     carry_cols: "tuple[str, ...]" = (),
+    query_carry_cols: "tuple[str, ...]" = (),
     rank_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-``k`` per query for a whole query FRAME in one
@@ -79,7 +80,11 @@ def cosine_topk_batch(
     would otherwise return). ``carry_cols`` rides extra corpus
     columns (e.g. a label) through to the output — at 100 TB a
     consumer joining them back on would pay a SECOND full-corpus
-    read; carrying them keeps the op one scan (r12, q_knn_classify)."""
+    read; carrying them keeps the op one scan (r12, q_knn_classify).
+    ``query_carry_cols`` (r14) does the same for QUERY-side columns
+    (e.g. the probe's own label): they ride the already-broadcast
+    query frame, so a consumer stops re-reading the corpus a third
+    time just to join the probe attribute back on."""
     # Norms are hoisted BELOW the cross join: cosine(v, qv) inline
     # would re-fold dot(v, v) once per (row, query) pair — |Q|× the
     # necessary work, since Catalyst's subexpression elimination works
@@ -95,6 +100,7 @@ def cosine_topk_batch(
     ).withColumn("_nv", norm(F.col("_v")))
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
+        *[F.col(c) for c in query_carry_cols],
         as_double(F.col(query_vec_col)).alias("_qv"),
     ).withColumn("_nq", norm(F.col("_qv")))
     scored = e.crossJoin(F.broadcast(q)).withColumn(
@@ -117,6 +123,7 @@ def cosine_topk_batch(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
             *[F.col(c) for c in carry_cols],
+            *[F.col(c) for c in query_carry_cols],
             *(
                 [F.col("_rn").cast("int").alias(rank_col)]
                 if rank_col

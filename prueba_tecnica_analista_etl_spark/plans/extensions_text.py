@@ -477,8 +477,17 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         nfc_normalize,
     )
 
-    d = spread(_t(spark, sf_dir, "documents")).select("lang", "text")
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
     needs = F.coalesce(F.col("text").rlike(NON_ASCII_RE), F.lit(False))
+    # spread() only the non-ASCII sliver (r14): Catalyst pushes the
+    # rlike filter BELOW a repartition, so spreading the whole frame
+    # bought nothing for the regex (it runs scan-side either way) while
+    # round-robin-shuffling the ASCII MAJORITY whose remaining work is
+    # a literal projection + map-side partial aggregate. Now only the
+    # rows that actually cross into the Python normalizer pay a
+    # (sliver-sized) repartition for Arrow-stage width. Plan: the
+    # ASCII branch's full-corpus Exchange is gone (2 -> 1 round-robin
+    # exchanges, the survivor carrying only the non-ASCII rows).
     ascii_rows = d.filter(~needs).select(
         "lang",
         F.lit(0).cast("long").alias("nonascii"),
@@ -486,7 +495,7 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("saved"),
     )
     norm = nfc_normalize(F.col("text"))
-    uni_rows = d.filter(needs).select(
+    uni_rows = spread(d.filter(needs)).select(
         "lang",
         F.lit(1).cast("long").alias("nonascii"),
         (norm != F.col("text")).cast("long").alias("changed"),
@@ -561,13 +570,24 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
     )
     # label rides THROUGH the top-k (carry_cols) instead of a
     # join-back — the join form re-read the full corpus a second
-    # time (plan-visible: 4 embeddings scans vs 3)
-    nn = cosine_topk_batch(e, q, k=10, carry_cols=("label",))
-    votes = nn.groupBy("q_id", "label").agg(
+    # time (plan-visible: 4 embeddings scans vs 3); the probe's OWN
+    # label rides the broadcast query frame (query_carry_cols, r14),
+    # which drops the third corpus access + truth join-back (3 -> 2
+    # embeddings scans).
+    nn = cosine_topk_batch(
+        e,
+        q,
+        k=10,
+        carry_cols=("label",),
+        query_carry_cols=("true_label",),
+    )
+    votes = nn.groupBy("q_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
     )
     vr = Window.partitionBy("q_id").orderBy(
@@ -576,14 +596,15 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (
         votes.withColumn("vr", F.row_number().over(vr))
         .filter(F.col("vr") == 1)
-        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
-    )
-    truth = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
     )
     return (
-        pred.join(F.broadcast(truth), "q_id")
-        .select(
+        pred.select(
             "q_id",
             "true_label",
             "pred_label",
@@ -684,16 +705,22 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    # the probe's own label rides the broadcast query frame
+    # (query_carry_cols, r14) instead of a third corpus access +
+    # truth join-back: 3 -> 2 embeddings scans.
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
-    truth = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
         F.col("label").alias("true_label"),
     )
     nn = cosine_topk_batch(
-        e, q, k=NDCG_K, carry_cols=("label",), rank_col="rank"
-    ).join(F.broadcast(truth), "q_id")
+        e,
+        q,
+        k=NDCG_K,
+        carry_cols=("label",),
+        query_carry_cols=("true_label",),
+        rank_col="rank",
+    )
     rel = (F.col("label") == F.col("true_label")).cast("long")
     w_arr = F.array(*[F.lit(w) for w in NDCG_W])
     per = nn.groupBy("q_id", "true_label").agg(

@@ -15,9 +15,30 @@ import os
 
 from pyspark.sql import SparkSession
 
-# At 100 TB this would be sized to cluster cores x 2-3; locally we match
-# the driver's local[$SPARK_GRAFT_CPUS] so shuffles don't over-fragment.
-DEFAULT_SHUFFLE_PARTITIONS = 32
+# Shuffle-partition sizing is SCALE-ADAPTIVE (r14, guide §2.2/§9):
+# derived from the core count the harness actually grants instead of a
+# constant tuned for one machine shape. Priority: explicit
+# $SPARK_GRAFT_SHUFFLE_PARTITIONS override > $SPARK_GRAFT_CPUS (the
+# driver's own core knob — it benches at SEVERAL core counts, and a
+# fixed 32 over-fragments the low-core runs) > os.cpu_count(). On a
+# real cluster the production value is executor-cores × 2-3 with AQE
+# coalescing sizing the actual post-shuffle partitions from bytes
+# (adaptive.coalescePartitions is on in get_spark AND pinned at
+# runtime by ensure_runtime_conf), so this local default never leaks
+# into a cluster profile. On the 32-vCPU harness with
+# SPARK_GRAFT_CPUS=32 this evaluates to 32 — bit-identical to the
+# pre-r14 constant, keeping the driver's bench comparable.
+DEFAULT_SHUFFLE_PARTITIONS = 32  # last-resort floor/fallback
+
+
+def _default_shuffle_partitions() -> int:
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env and env.isdigit():
+        return max(int(env), 1)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus.isdigit():
+        return max(int(cpus), 1)
+    return os.cpu_count() or DEFAULT_SHUFFLE_PARTITIONS
 
 
 def get_spark(
@@ -39,7 +60,7 @@ def get_spark(
         .appName(app_name)
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or _default_shuffle_partitions()),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

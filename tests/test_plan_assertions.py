@@ -445,15 +445,17 @@ def test_r7_additions_plan_shapes(spark, sf_dir):
 def test_r8_late_additions_plan_shapes(spark, sf_dir):
     """Plan pins for the round-8 post-window additions:
 
-    - q_bpe_pairs: ONE corpus scan, vocab-side pair explosion, top-k
-      via TakeOrderedAndProject — never a global sort of the pair
-      frame;
+    - q_bpe_pairs: ZERO corpus scans (r14 — the tf-weighted
+      vocabulary folds from the staged doc_term_tf artifact, a
+      checkpointed frame, so no parquet scan survives in the plan),
+      vocab-side pair explosion, top-k via TakeOrderedAndProject —
+      never a global sort of the pair frame;
     - q_unpivot_long: the reshape is an Expand (map-only), and the
       only exchange belongs to the upstream pivot aggregate.
     """
     plan = _plan(spark, sf_dir, "q_bpe_pairs")
     assert "TakeOrderedAndProject" in plan
-    assert plan.split("== Initial Plan ==")[0].count("Scan parquet") == 1
+    assert plan.split("== Initial Plan ==")[0].count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
 
     plan = _plan(spark, sf_dir, "q_unpivot_long")
