@@ -358,7 +358,12 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data.",
 )
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(_t(spark, sf_dir, "embeddings"))
+    # no spread() (r14): the per-row work is one posexplode + partial
+    # avg — map-side-reducing from the first operator, so the
+    # unconditional round-robin repartition moved every vector across
+    # the wire to parallelize ~nothing (A/B at sf0.1: 0.66 -> 0.23 s;
+    # at scale the scan's own splits give the width).
+    e = _t(spark, sf_dir, "embeddings")
     x = e.select(
         "label",
         F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"),
@@ -2156,8 +2161,11 @@ def q_group_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     that stays leakage-safe when you must sample without fully
     deduplicating.
     """
+    # no spread() (r14): one md5 per row straight into a map-side
+    # partial aggregate — the repartition shuffled the full corpus
+    # text to parallelize a single hash call (A/B: 0.65 -> 0.33 s).
     g = (
-        spread(_t(spark, sf_dir, "documents"))
+        _t(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("fp"))
         .agg(
             F.min("doc_id").alias("rep"),

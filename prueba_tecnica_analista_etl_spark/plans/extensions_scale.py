@@ -3252,7 +3252,10 @@ def _embed_stats_oracle_sql() -> str:
     "partitions), never O(rows).",
 )
 def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(_t(spark, sf_dir, "embeddings")).select(
+    # no spread() (r14): posexplode + 64-group partial agg is
+    # map-side-reducing from the first operator (A/B: 0.74 -> 0.47 s;
+    # the repartition was a full vector shuffle for ~no parallel win).
+    e = _t(spark, sf_dir, "embeddings").select(
         as_double(F.col("embedding")).alias("v")
     )
     g = e.select(

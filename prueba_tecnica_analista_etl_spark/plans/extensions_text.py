@@ -285,7 +285,12 @@ _LANG_HITS = ", ".join(
     "accuracy is not meaningful here — the operator is proven by parity.",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(_t(spark, sf_dir, "documents"))
+    # no spread() (r14): predict_lang is a handful of array ops per
+    # row feeding a map-side census agg — the repartition cost more
+    # than the compute it spread (A/B: 0.65 -> 0.58 s). Contrast
+    # q_doc_fingerprint just below, where ~50 md5s/row make the
+    # spread a measured 6x WIN — kept there.
+    d = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     return (
         d.select("lang", predict_lang(toks).alias("predicted"))
