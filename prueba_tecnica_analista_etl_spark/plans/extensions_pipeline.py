@@ -164,6 +164,32 @@ def doc_grams4_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_artifact(spark, sf_dir, "doc_grams4", build)
 
 
+def bench_grams4_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The held-out benchmark's DISTINCT 4-gram vocabulary (one
+    ``gram`` column), staged once per corpus (r14): both contamination
+    consumers (the census and the decontamination filter) and the
+    pretrain run's holdout stage probe this same set, and rebuilding
+    it per query re-ran explode+distinct over the benchmark docs each
+    time (~0.43 s/call at sf0.1). In a real pipeline the benchmark
+    gram set IS a staged artifact, rebuilt when the eval set changes —
+    here the corpus fingerprint in the artifact key plays that role.
+    The ``%50`` holdout rule is part of the key so a re-cut can never
+    serve a stale vocabulary."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        g4 = doc_grams4_frame(spark, sf_dir)
+        return (
+            g4.filter(F.col("doc_id") % 50 == 0)
+            .select(F.explode("grams").alias("gram"))
+            .distinct()
+        )
+
+    return corpus_artifact(spark, sf_dir, "bench_grams4:m50", build)
+
+
 @query(
     "q_contamination",
     f"""
@@ -212,9 +238,9 @@ def doc_grams4_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     g4 = doc_grams4_frame(spark, sf_dir)
     grams = g4.select("doc_id", F.explode("grams").alias("gram"))
-    bench = (
-        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
-    )
+    # benchmark gram vocabulary from the staged artifact (r14) — see
+    # bench_grams4_frame; rebuilding it inline cost ~0.43 s/call.
+    bench = bench_grams4_frame(spark, sf_dir)
     hits = (
         grams.filter(F.col("doc_id") % 50 != 0)
         .join(F.broadcast(bench), "gram", "left_semi")
@@ -1773,9 +1799,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     g4 = doc_grams4_frame(spark, sf_dir)
     grams = g4.select("doc_id", F.explode("grams").alias("gram"))
-    bench = (
-        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
-    )
+    # staged benchmark gram vocabulary (r14) — see bench_grams4_frame.
+    bench = bench_grams4_frame(spark, sf_dir)
     flagged = (
         grams.filter(F.col("doc_id") % 50 != 0)
         .join(F.broadcast(bench), "gram", "left_semi")
