@@ -210,12 +210,15 @@ def ivf_search_index(
     nprobe: int = 4,
     topk: int = 10,
     id_col: str = "vec_id",
+    exclude_id=None,
 ) -> DataFrame:
     """Exact-cosine top-``topk`` over the ``nprobe`` probed partitions
     of the on-disk index. The ``cluster`` predicate is a PARTITION
     filter (cluster is a directory key): pruning happens at file
     listing, so the scan reads nprobe/k of the index's bytes — the
     property the tests pin via ``PartitionFilters`` + ``inputFiles``.
+    ``exclude_id`` drops that id's own row before ranking (the
+    self-match a probe drawn from the indexed corpus would return).
     """
     centroids = ivf_read_model(spark, path)
     probes = ivf_probe_clusters(centroids, query, nprobe)
@@ -223,6 +226,8 @@ def ivf_search_index(
     idx = _read_data(spark, path).filter(
         F.col("cluster").isin(probes)
     )
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
     return (
         idx.select(
             id_col,

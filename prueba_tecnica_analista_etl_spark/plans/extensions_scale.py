@@ -904,6 +904,47 @@ LSH_WORD_BITS = 32
 LSH_WORDS = LSH_BITS // LSH_WORD_BITS
 
 
+def lsh_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, sig) — every corpus vector with its 128-bit
+    sign-LSH signature (4×32-bit words over the seeded ±1 planes),
+    staged once per corpus (r14). This IS the at-rest layout the
+    q_ann_lsh docstring describes — a vector store keeps the
+    signature column beside the vectors so a probe scans signatures,
+    not matmuls — so the per-call Arrow projection (one corpus-wide
+    numpy matmul per invocation) moves into the once-per-corpus
+    builder, exactly like the simhash/embed-neardup signature stages
+    did in r13 (builder Arrow node pinned by
+    test_staged_builders_keep_their_arrow_stages). Operating point
+    (bits × word-bits, plane seed) lives in the key; signatures are
+    integer-grid exact, so the staged frame is bit-identical to the
+    live construction at any partitioning."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    return corpus_artifact(
+        spark,
+        sf_dir,
+        f"lsh_sigs:{LSH_BITS}x{LSH_WORD_BITS}:s42",
+        lambda: _lsh_sig_live(spark, sf_dir),
+    )
+
+
+def _lsh_sig_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live (vec_id, v, sig) construction :func:`lsh_sig_frame`
+    stages — named so the builder-Arrow plan pin can see it."""
+    # spread() before the signature matmul: a one-file embeddings
+    # table arrives as ONE partition and the Arrow UDF would run
+    # the whole corpus serially.
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = random_hyperplanes(LSH_BITS, 64, seed=42)
+    return e.withColumn(
+        "sig", sign_words(F.col("v"), planes, LSH_WORD_BITS)
+    )
+
+
 def ann_lsh_candidates(
     spark: SparkSession, sf_dir: str, max_hamming: int = LSH_HAMMING
 ) -> DataFrame:
@@ -924,16 +965,7 @@ def ann_lsh_candidates(
     vs the 64-dim double vectors) and the exact cosine re-rank
     touches the surviving ~10-15% — this is the signature-scan tier;
     partition-pruned reads belong to the IVF tier (q_ann_ivf)."""
-    # spread() before the signature matmul: a one-file embeddings
-    # table arrives as ONE partition and the Arrow UDF would run the
-    # whole corpus serially (every sibling embedding query spreads)
-    e = spread(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    planes = random_hyperplanes(LSH_BITS, 64, seed=42)
-    sigs = e.withColumn(
-        "sig", sign_words(F.col("v"), planes, LSH_WORD_BITS)
-    )
+    sigs = lsh_sig_frame(spark, sf_dir)
     q = sigs.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("sig").alias("qsig")
     )
@@ -1280,7 +1312,31 @@ def ann_ivf(
     "tested equal to brute force.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_ivf(spark, sf_dir, k=IVF_K, nprobe=IVF_NPROBE, iters=2)
+    # r14: the declared query now reads the SHIPPED on-disk index
+    # (partitionBy(cluster) layout + sidecar model — the same artifact
+    # q_ann_recall audits) instead of re-running the in-plan Arrow
+    # assignment over the full corpus on every call: probe selection
+    # is identical numpy math on the identical staged quantizer, the
+    # stored rows are the same assignment, so the top-10 is
+    # row-identical (A/B-proven) while the per-call cost drops from a
+    # corpus-wide matmul to a directory-pruned read of nprobe/k of the
+    # index bytes — the 100 TB read path executed literally. The live
+    # in-plan form stays exercised as ann_ivf (brute-force-equality
+    # and recall tests).
+    from prueba_tecnica_analista_etl_spark.operators.ivf_index import (
+        ivf_search_index,
+    )
+
+    qv = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .first()[0]
+    )
+    path = cached_ivf_index(spark, sf_dir, k=IVF_K, iters=2)
+    return ivf_search_index(
+        spark, path, qv, nprobe=IVF_NPROBE, topk=10, exclude_id=0
+    )
 
 
 def _embed_neardup_oracle_sql() -> str:

@@ -222,12 +222,12 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     ARROW_ALLOWED = {
         "q_winnow_fingerprint",
         "q_multimodal_meta",
-        "q_ann_lsh",
-        "q_ann_ivf",
-        # q_ann_recall left this set in r11, and q_simhash_dedup /
-        # q_embed_neardup / q_multimodal_pipeline in r13: their Arrow
-        # stages (signature bit census, sign projection, feature
-        # extraction) moved into artifact BUILDERS, so the declared
+        # q_ann_recall left this set in r11, q_simhash_dedup /
+        # q_embed_neardup / q_multimodal_pipeline in r13, and
+        # q_ann_lsh / q_ann_ivf in r14 (lsh_sig_frame artifact; the
+        # on-disk IVF index read path): their Arrow stages (signature
+        # bit census, sign projection, feature extraction, k-means
+        # assignment) moved into artifact BUILDERS, so the declared
         # plan is artifact reads + native ops — the disk-backed store
         # erases Python from the steady-state plan entirely. The
         # builders' Arrow nodes are pinned by
@@ -705,3 +705,28 @@ def test_staged_builders_keep_their_arrow_stages(spark, sf_dir):
     assert has_arrow(
         extract_features(fake_assets(docs), dim=16)
     ), "multimodal feature builder lost its mapInPandas stage"
+
+    # r14: q_ann_lsh serves the staged lsh_sigs frame and q_ann_ivf
+    # reads the on-disk index — their Arrow stages (signature matmul,
+    # k-means assignment) live in the builders now; pin both.
+    from prueba_tecnica_analista_etl_spark.functions.vectors import (
+        as_double,
+    )
+    from prueba_tecnica_analista_etl_spark.plans.extensions_scale import (
+        IVF_K,
+        _lsh_sig_live,
+        assign_clusters,
+        ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    assert has_arrow(
+        _lsh_sig_live(spark, sf_dir)
+    ), "lsh signature builder lost its sign-projection Arrow stage"
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = ivf_centroids(spark, sf_dir, e, k=IVF_K, iters=2)
+    assert has_arrow(
+        e.withColumn("cluster", assign_clusters(F.col("v"), cents))
+    ), "IVF assignment builder lost its Arrow matmul stage"
