@@ -1504,9 +1504,12 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type")
     )
     tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    # no spread() (r14): the recount is a pushed isin filter + a
+    # map-side partial aggregate — the round-robin repartition was a
+    # full fact-table shuffle with nothing to parallelize (the same
+    # finding as q_heavy_hitters' recount pass).
     exact = (
-        spread(ev)
-        .filter(F.col("event_type").isin(list(cand)))
+        ev.filter(F.col("event_type").isin(list(cand)))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
