@@ -36,6 +36,48 @@ from pyspark.sql import functions as F
 
 _BUCKET = "__rank_bucket"
 
+# Offset tables up to this many slots ship as a dense array LITERAL
+# (one element_at projection per row) instead of a createDataFrame +
+# broadcast join; census schemes here use <= 1024 buckets, far below
+# it. Larger/sparser id spaces fall back to the join form.
+_MAX_LITERAL_SLOTS = 8192
+
+
+def _offset_lookup(
+    offsets: list[tuple[int, ...]], n_vals: int
+) -> list[Column] | None:
+    """Per-bucket offset lookup expressions — dense ``array`` literals
+    indexed by bucket id (r15): the offsets are a census-sized,
+    driver-known table, so shipping them as plan literals turns the
+    former per-invocation ``createDataFrame`` (a driver→JVM row
+    conversion) + ``BroadcastHashJoin`` against the FACT-SIZED frame
+    into a map-only ``element_at`` projection — no join, no broadcast,
+    no extra plan node on the 100 TB path. Gaps (empty buckets) hold
+    0; no row carries their id, so the placeholder is never read.
+    Returns None when the id space is too large/sparse to densify —
+    callers keep the join form then."""
+    if not offsets:
+        return [F.lit(0).cast("long") for _ in range(n_vals)]
+    max_b = max(b for b, *_ in offsets)
+    if max_b >= _MAX_LITERAL_SLOTS:
+        return None
+    cols: list[Column] = []
+    for i in range(n_vals):
+        dense = [0] * (max_b + 1)
+        for b, *vals in offsets:
+            dense[b] = vals[i]
+        # ONE sql string through py4j: F.lit(<1024-element list>)
+        # marshals element-by-element (~400 ms per construction,
+        # measured — it would eat the whole win); the parsed array
+        # literal costs ~2 ms and executes identically.
+        arr = F.expr(
+            "array(" + ",".join(f"{v}L" for v in dense) + ")"
+        )
+        cols.append(
+            F.element_at(arr, F.col(_BUCKET).cast("int") + 1)
+        )
+    return cols
+
 
 def numeric_bucket(
     col: Column, lo: float, hi: float, n_buckets: int
@@ -126,12 +168,24 @@ def bucketed_rank(
     for b, n in hist:
         offsets.append((b, running))
         running += n
+    w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    within = F.rank() if method == "rank" else F.row_number()
+    lookup = _offset_lookup(offsets, 1)
+    if lookup is not None:
+        # Dense-literal path (r15): map-only offset projection. The
+        # inner offset join used to DROP NULL-bucket rows silently;
+        # the filter preserves exactly that semantic (the census pass
+        # raises on NULL buckets anyway — this only matters for a
+        # staged hist fed an unexpected frame).
+        return (
+            keyed.filter(F.col(_BUCKET).isNotNull())
+            .withColumn(out_col, lookup[0] + within.over(w))
+            .drop(_BUCKET)
+        )
     spark = df.sparkSession
     off = spark.createDataFrame(
         offsets or [(0, 0)], f"{_BUCKET} long, __rank_offset long"
     )
-    w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
-    within = F.rank() if method == "rank" else F.row_number()
     return (
         keyed.join(F.broadcast(off), _BUCKET)
         .withColumn(out_col, F.col("__rank_offset") + within.over(w))
@@ -204,17 +258,29 @@ def bucketed_prefix_sums(
     for b, totals in hist:
         offsets.append((b, *running))
         running = [r + (t or 0) for r, t in zip(running, totals)]
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lookup = _offset_lookup(offsets, len(sum_cols))
+    if lookup is not None:
+        # Dense-literal path (r15) — see bucketed_rank: the offsets
+        # ride the plan as array literals, removing the per-invocation
+        # createDataFrame + broadcast join from the fact path.
+        out = keyed.filter(F.col(_BUCKET).isNotNull())
+        for c, look in zip(sum_cols, lookup):
+            out = out.withColumn(
+                out_prefix + c,
+                look + F.coalesce(F.sum(c).over(w), F.lit(0)),
+            )
+        return out.drop(_BUCKET)
     off_cols = [f"__psum_off_{c}" for c in sum_cols]
     schema = ", ".join(
         [f"{_BUCKET} long"] + [f"{c} long" for c in off_cols]
     )
     off = df.sparkSession.createDataFrame(
         offsets or [tuple([0] * (len(sum_cols) + 1))], schema
-    )
-    w = (
-        Window.partitionBy(_BUCKET)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = keyed.join(F.broadcast(off), _BUCKET)
     for c, oc in zip(sum_cols, off_cols):

@@ -26,13 +26,16 @@ def _plan(df) -> str:
 
 def test_global_rank_has_no_single_partition_window(spark, sf_dir):
     """The whole point: global RANK() without funneling fact rows
-    through one reducer. The window must partition by bucket and the
-    only exchanges are hash exchanges + the offset broadcast."""
+    through one reducer. The window must partition by bucket, the
+    offsets ride the plan as a dense array LITERAL (r15: element_at
+    projection — no offsets createDataFrame, no broadcast join on the
+    fact path), and no exchange beyond the bucket hash exchange."""
     df = q_global_rank(spark, sf_dir)
     plan = _plan(df)
     assert "windowspecdefinition(__rank_bucket" in plan
     assert "Exchange SinglePartition" not in plan
-    assert "BroadcastExchange" in plan  # the offsets frame
+    assert "element_at" in plan  # literal offset lookup
+    assert "BroadcastExchange" not in plan  # the join form is gone
 
 
 def test_global_rank_matches_window_rank(spark, sf_dir):
