@@ -108,8 +108,11 @@ def _restricted_pairs(
     docs: DataFrame, pairs: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Restrict ``pairs`` to those whose BOTH endpoints exist in
-    ``docs`` and return ``(pairs, endpoints)``, both materialized and
-    lineage-truncated.
+    ``docs`` and return ``(pairs, base)``, both materialized and
+    lineage-truncated. ``base`` is the corpus-present endpoint set of
+    the RAW pairs — a superset of the restricted pairs' endpoints
+    that is interchangeable with the exact set for every consumer
+    (see the return-site comment), saving one materialization.
 
     The pair generator may run over a wider frame (raw corpus before
     quality gating / exact dedup), and an endpoint absent from
@@ -161,12 +164,14 @@ def _restricted_pairs(
             "left_semi",
         )
     )
-    endpoints = _materialize(
-        restricted.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(restricted.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    return restricted, endpoints
+    # The iteration base is ``present`` (r15 fuse): it is a SUPERSET
+    # of the restricted pairs' endpoints, and the extra ids sit in no
+    # restricted pair, so they ride every purge round untouched and
+    # cancel out of the dropped set (dropped = base − alive touches
+    # only ids that lose a round). Re-deriving the exact endpoint set
+    # (union + distinct + localCheckpoint of the pair frame) bought
+    # nothing — one fewer materialization barrier per invocation.
+    return restricted, present
 
 
 def _losers(pairs: DataFrame, alive: DataFrame) -> DataFrame:
