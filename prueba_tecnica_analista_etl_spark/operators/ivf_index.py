@@ -227,7 +227,10 @@ def ivf_search_index(
         F.col("cluster").isin(probes)
     )
     if exclude_id is not None:
-        idx = idx.filter(F.col(id_col) != exclude_id)
+        # Null-safe (ADVICE r14): `!=` drops NULL-id index rows only
+        # when exclude_id is set — inconsistent behavior keyed on an
+        # unrelated parameter; eqNullSafe keeps them either way.
+        idx = idx.filter(~F.col(id_col).eqNullSafe(F.lit(exclude_id)))
     return (
         idx.select(
             id_col,

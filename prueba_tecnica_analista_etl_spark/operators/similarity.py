@@ -85,6 +85,17 @@ def cosine_topk_batch(
     (e.g. the probe's own label): they ride the already-broadcast
     query frame, so a consumer stops re-reading the corpus a third
     time just to join the probe attribute back on."""
+    # Query-side carries must not collide with corpus-side output
+    # columns (ADVICE r14): a clash would surface only as an
+    # ambiguous-reference AnalysisException at first use of the
+    # duplicate name — fail fast with the actual conflict instead.
+    clash = set(query_carry_cols) & ({id_col, *carry_cols})
+    if clash:
+        raise ValueError(
+            "query_carry_cols collide with corpus-side output "
+            f"columns {sorted(clash)}; alias the query-side columns "
+            "before calling cosine_topk_batch"
+        )
     # Norms are hoisted BELOW the cross join: cosine(v, qv) inline
     # would re-fold dot(v, v) once per (row, query) pair — |Q|× the
     # necessary work, since Catalyst's subexpression elimination works

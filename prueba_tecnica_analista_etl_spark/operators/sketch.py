@@ -280,7 +280,11 @@ def frequent_items(
     q_null_range_checks' census owns it).
 
     ``sketch_df`` (r14 optimization) feeds the SKETCH pass only —
-    pass a ``spread()`` copy when the input arrives single-partition
+    it MUST contain exactly the same rows as ``df`` (a repartitioned
+    copy; only the NULL filter is re-applied here). A subset/sample
+    would silently void the Misra-Gries candidate-superset guarantee
+    and drop true heavy hitters (ADVICE r14). Pass a ``spread()``
+    copy when the input arrives single-partition
     so the Arrow summary runs wide, WITHOUT round-robin-reshuffling
     the full table a second time for the recount: the recount is a
     filter + broadcast semi-join + partially-aggregated groupBy, all

@@ -33,9 +33,24 @@ DEFAULT_SHUFFLE_PARTITIONS = 32  # last-resort floor/fallback
 
 def _default_shuffle_partitions() -> int:
     env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-    if env and env.isdigit():
-        return max(int(env), 1)
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if env is not None:
+        # Tolerate whitespace; WARN on anything non-numeric rather
+        # than silently falling through to the CPU-derived value
+        # (ADVICE r14: ' 64' / '64\n' used to be ignored without a
+        # trace).
+        env = env.strip()
+        if env.isdigit():
+            return max(int(env), 1)
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS="
+            f"{os.environ['SPARK_GRAFT_SHUFFLE_PARTITIONS']!r} is not "
+            "a positive integer; falling back to the core-derived "
+            "default",
+            stacklevel=2,
+        )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
     if cpus.isdigit():
         return max(int(cpus), 1)
     return os.cpu_count() or DEFAULT_SHUFFLE_PARTITIONS
