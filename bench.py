@@ -141,6 +141,23 @@ def single() -> None:
             t0 = time.perf_counter()
             run_query(spec.fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+        # Median-of-2 detail for the heaviest queries (r14 verdict
+        # task 7): the per-query detail was single-trial by design,
+        # and single-sample noise on ~0.5 s queries generated phantom
+        # 20-40% "regressions" every round. The top-N by first-pass
+        # time get ONE more timed run (~12 s at N=20) and ship the
+        # two-sample average; both samples stay visible — pass 1
+        # rides the detail line as queries_pass1, and the summary
+        # carries detail_median2_n. Timed region per query unchanged
+        # (same noop-sink execution, same sequential protocol).
+        top = sorted(timings, key=lambda n: -timings[n])[:DETAIL_MEDIAN2_N]
+        pass1 = {n: timings[n] for n in top}
+        gc.collect()
+        for name in top:
+            t0 = time.perf_counter()
+            run_query(REGISTRY[name].fn(spark, sf_dir))
+            t1 = round(time.perf_counter() - t0, 3)
+            timings[name] = round((pass1[name] + t1) / 2, 3)
 
     # Measured pass 2: the whole declared workload submitted through a
     # thread pool — Spark's scheduler interleaves independent jobs, so
@@ -214,6 +231,8 @@ def single() -> None:
         payload["queries_from_trial"] = 1
     else:
         payload["sequential_total"] = round(sum(timings.values()), 3)
+        payload["detail_median2_n"] = len(pass1)
+        payload["queries_pass1"] = pass1
     print(json.dumps(payload))
     spark.stop()
 
@@ -225,6 +244,12 @@ def single() -> None:
 # not engineering — the r13 record shipped phantom 2-3× "regressions"
 # the judge had to re-measure by hand.
 DETAIL_DEGRADED_RATIO = 1.3
+
+# The N slowest queries of the sequential detail get a second timed
+# run and ship the two-sample average (r14 verdict task 7): ~12 s of
+# extra trial-1 wall buys per-query numbers the round-over-round
+# comparators can trust on the heavy tail.
+DETAIL_MEDIAN2_N = 20
 
 
 def _prev_detail(path: str, sf: float | None) -> dict[str, float]:
@@ -453,6 +478,10 @@ def orchestrate() -> None:
             pass
     out.pop("queries", None)
     out.pop("queries_from_trial", None)
+    # the 20-entry pass-1 dict belongs on the detail line, not in the
+    # bounded-tail summary
+    out.pop("queries_pass1", None)
+    out.pop("detail_median2_n", None)
     # The shipped per-query detail comes from the measured trials
     # (r13 verdict task 2), preferring CLEAN ones: a trial can post a
     # good concurrent wall while its sequential pass hit the steal
@@ -478,6 +507,9 @@ def orchestrate() -> None:
     out["queries_n"] = len(queries)
     out["detail_trial"] = best_di + 1
     out["detail_trial_wall"] = trials[best_di]["value"]
+    out["detail_median2_n"] = trials[best_di].get(
+        "detail_median2_n", 0
+    )
     ratio = _detail_ratio(queries, prev_detail)
     if ratio is not None:
         out["detail_vs_prev_ratio"] = round(ratio, 2)
@@ -513,6 +545,10 @@ def orchestrate() -> None:
     # overwrite the clean reference — next round's degraded check
     # would compare weather against weather and see nothing.
     detail = {"detail": "per_query_sequential_sec", "queries": queries}
+    if trials[best_di].get("queries_pass1"):
+        # the re-measured heavy tail's FIRST samples — committed so a
+        # reader can see both sides of every median-of-2 entry
+        detail["queries_pass1"] = trials[best_di]["queries_pass1"]
     if not out.get("detail_degraded"):
         try:
             with open(detail_file, "w") as fh:
@@ -538,8 +574,64 @@ def orchestrate() -> None:
     print(line)
 
 
+def price_builds() -> None:
+    """Cold-store artifact pricing (r14 verdict task 2): every
+    recorded bench trial runs warm-store, so the one-time per-corpus
+    build costs (IVF index, signature/pair/feature frames, stream
+    replays) appear in NO committed number. This mode points the
+    artifact store at a fresh scratch directory, runs the whole
+    registry once sequentially (every build fires cold), and prints
+    one JSON line with the per-artifact build seconds measured inside
+    artifacts.py plus the cold-pass wall. It never touches the real
+    store or the standing bench protocol — run explicitly, commit the
+    output (ARTIFACT_BUILDS_r{N}.json)."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="ptae_price_builds_")
+    os.environ["PTAE_ARTIFACT_DIR"] = scratch  # before package import
+    os.environ.setdefault("SPARK_GRAFT_LSH_TRUTH_FRACTION", "0.5")
+
+    from prueba_tecnica_analista_etl_spark import artifacts
+    from prueba_tecnica_analista_etl_spark.plans import REGISTRY
+    from prueba_tecnica_analista_etl_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+    spark = get_spark(app_name="bench-price-builds")
+    t0 = time.perf_counter()
+    for _, spec in sorted(REGISTRY.items()):
+        run_query(spec.fn(spark, sf_dir))
+    wall = round(time.perf_counter() - t0, 3)
+    builds = {
+        k: round(v, 3)
+        for k, v in sorted(
+            artifacts.BUILD_SECONDS.items(), key=lambda kv: -kv[1]
+        )
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "artifact_build_cost",
+                "unit": "sec",
+                "sf": sf,
+                "store": "cold-scratch",
+                "cold_pass_wall": wall,
+                "total_build_sec": round(sum(builds.values()), 3),
+                "n_artifacts": len(builds),
+                "build_sec": builds,
+            }
+        )
+    )
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "--single" in sys.argv[1:]:
+    if "--price-builds" in sys.argv[1:]:
+        price_builds()
+    elif "--single" in sys.argv[1:]:
         single()
     else:
         orchestrate()

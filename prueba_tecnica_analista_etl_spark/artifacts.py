@@ -192,6 +192,19 @@ _LOCK = threading.Lock()
 # fingerprint), so a regenerated corpus builds under its own lock.
 _BUILD_LOCKS: dict[tuple, threading.Lock] = {}
 
+# Measured one-time build cost per artifact name (seconds, cumulative
+# across corpora in this process) — the r14 verdict's pricing ask: the
+# bench's warm-store trials never show what the per-corpus builds
+# cost, so `bench.py --price-builds` runs cold against a scratch store
+# and reports this ledger. Recording is passive (a perf_counter pair
+# around each build) — no behavior change.
+BUILD_SECONDS: dict[str, float] = {}
+
+
+def _record_build(name: str, seconds: float) -> None:
+    with _LOCK:
+        BUILD_SECONDS[name] = BUILD_SECONDS.get(name, 0.0) + seconds
+
 
 # ---------------------------------------------------------------- disk
 
@@ -441,6 +454,9 @@ def corpus_artifact(
                         shutil.rmtree(path, ignore_errors=True)
                         df = None
             if df is None:
+                import time as _time
+
+                _b0 = _time.perf_counter()
                 built = build()
                 if path is not None and _frame_disk_write(built, path):
                     # Persist for LATER processes; serve this session
@@ -456,6 +472,7 @@ def corpus_artifact(
                             df = None
                 if df is None:
                     df = built.localCheckpoint()
+                _record_build(name, _time.perf_counter() - _b0)
         finally:
             with _LOCK:
                 _BUILD_LOCKS.pop(key, None)
@@ -515,7 +532,11 @@ def census_artifact(
                 path = _disk_dir(root, sf_dir, key[2], key[3])
                 found, value = _value_disk_read(path)
             if not found:
+                import time as _time
+
+                _b0 = _time.perf_counter()
                 value = build()
+                _record_build(key[2], _time.perf_counter() - _b0)
                 if path is not None:
                     _value_disk_write(value, path)
         finally:
@@ -565,11 +586,15 @@ def artifact_directory(
                     return final
                 tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
                 os.makedirs(tmp)
+                import time as _time
+
+                _b0 = _time.perf_counter()
                 try:
                     build(tmp)
                 except Exception:
                     shutil.rmtree(tmp, ignore_errors=True)
                     raise
+                _record_build(f"dir:{name}", _time.perf_counter() - _b0)
                 if not _rename_into_place(tmp, final):
                     raise OSError(f"artifact publish failed: {final}")
                 _evict_superseded_disk(final)
@@ -591,7 +616,11 @@ def artifact_directory(
                 if hit is not None and os.path.isdir(hit):
                     return hit
             tmp = tempfile.mkdtemp(prefix="ptae_artifact_")
+            import time as _time
+
+            _b0 = _time.perf_counter()
             build(tmp)
+            _record_build(f"dir:{name}", _time.perf_counter() - _b0)
             with _LOCK:
                 # evict (and reclaim) superseded generations
                 for k in [
