@@ -41,21 +41,25 @@ independently-recorded driver result:
   r12 _ROTATION_NEW promise) — then the 16 r10-stale queries, with
   q_ann_recall in the rows-only slot and the oldest 30 r11 greens
   returning — the sixth consecutive zero-failure window;
-* round 14 (this rotation) leads with the two r13 _ROTATION_NEW
-  queries — q_unigram_entropy, q_dup_matrix (oracle-backed from
-  birth, zero records anywhere; the promise the r13 verdict made
-  task 1) — then the two NEW r14 queries q_semdedup and q_dup_spans
-  (added before this window froze, so they take window slots
-  directly instead of a _ROTATION_NEW detour), then the 19 queries
-  whose newest green is r11 (two rounds old at the r13 artifact; a
-  third unrecorded round would breach the staleness bound).  The one
-  rows-only slot takes q_ann_ivf (newest record r12, at its
-  boundary; q_ann_recall was recorded in r13 and sits out until
-  r16).  The remaining 26 oracle slots return the first 26 of the
-  49 r12 greens in registration order (the other 23 MUST lead the
-  r15 returns).  Paying for those 50 in-slots: the 72 oracle-backed
-  queries in _ROTATION_OUT (those 23 r12 greens plus the 49 r13
-  greens, one round old).
+* round 14 led with the two r13 _ROTATION_NEW queries
+  (q_unigram_entropy, q_dup_matrix), the two new r14 queries
+  q_semdedup and q_dup_spans, and the 19 r11-stale queries, with
+  q_ann_ivf in the rows-only slot (its first record on the on-disk
+  index read path) — the seventh consecutive zero-failure window
+  (49 oracle green + 1 rows>0);
+* round 15 (this rotation) leads with the three r14 _ROTATION_NEW
+  queries — q_embed_stats, q_zipf_census, q_eval_ndcg (oracle-backed
+  from birth, zero records anywhere) — then q_semdedup and
+  q_dup_spans returning (the r14 verdict's task 9: the r15 window
+  should lead with all five r14-born queries), then the 23 queries
+  whose newest green is r12 (the return the r14 rotation promised).
+  The one rows-only slot takes q_ann_ivf again (task 9: a repeat
+  record on the new index read path; q_ann_recall, newest record
+  r13, leads the r16 slot).  The remaining 21 oracle slots return
+  the first 21 of the 49 r13 greens in registration order (the
+  other 28 MUST lead the r16 returns).  Paying for those 50
+  in-slots: the 75 oracle-backed queries in _ROTATION_OUT (those 28
+  r13 greens plus the 47 r14 greens not re-recorded this round).
 
 Staleness invariant (tests/test_doc_consistency.py): every registry
 query's newest driver record is at most TWO rounds old at the round
@@ -89,54 +93,22 @@ from prueba_tecnica_analista_etl_spark.plans import extensions_distributed  # no
 # The harness records the first WINDOW registry entries per round.
 WINDOW = 50
 
-# LEAD the window (round 14): the two r13 _ROTATION_NEW queries,
-# then the two new r14 queries, then the 19 queries whose newest
-# green is r11.
+# LEAD the window (round 15): the three r14 _ROTATION_NEW queries,
+# then the two r14-born queries returning on the r14 verdict's task 9
+# ask, then the 23 queries whose newest green is r12 (the return the
+# r14 rotation promised).
 _ROTATION_FIRST = [
-    # the r13 _ROTATION_NEW promise -- no driver record anywhere yet;
+    # the r14 _ROTATION_NEW promise -- no driver record anywhere yet;
     # FIRST so a partial driver run still certifies them:
-    "q_unigram_entropy",
-    "q_dup_matrix",
-    # NEW in r14 (oracle-backed from birth, added before this window
-    # froze):
+    "q_embed_stats",
+    "q_zipf_census",
+    "q_eval_ndcg",
+    # r14-born, recorded green in r14; returned here because the r14
+    # verdict asked the r15 window to lead with all five r14-born
+    # queries:
     "q_semdedup",
     "q_dup_spans",
-    # newest green r11 -- the staleness boundary:
-    "q_profile_stats",
-    "q_volume_by_day",
-    "q_sessionize_batch",
-    "q_scd2",
-    "q_snapshot_diff",
-    "q_trailing_window",
-    "q_funnel",
-    "q_bpe_pairs",
-    "q_source_divergence",
-    "q_split_leakage",
-    "q_neardup_scores",
-    "q_global_rank",
-    "q_train_order",
-    "q_incremental_agg_merge",
-    "q_bloom_semi_join",
-    "q_winsorize",
-    "q_inverted_index",
-    "q_filter_funnel",
-    "q_unpivot_long",
-]
-
-# Rows-only query recorded this round: q_ann_ivf (newest record r12,
-# at its two-round boundary; stays rows-only because its k-means
-# assignment argmax rides unquantized float comparisons).
-# q_ann_recall was recorded in r13 and sits out until r16.
-_ROWS_ONLY_IN = [
-    "q_ann_ivf",
-]
-
-# OUT this round -- 72 oracle-backed queries: the 23 r12 greens the
-# 26-slot return could not fit (two rounds old at r14; they MUST lead
-# the r15 returns) plus the 49 queries recorded green in
-# CORRECTNESS_r13.json (one round old).
-_ROTATION_OUT = [
-    # newest green r12 -- first in line for r15:
+    # newest green r12 -- the promise in the r14 rotation comment:
     "q_sliding_window",
     "q_pii_scrub",
     "q_doc_chunk",
@@ -160,73 +132,108 @@ _ROTATION_OUT = [
     "q_eval_auc_daily",
     "q_eval_topk_precision",
     "q_heavy_hitters",
-    # newest green r13 (the full r13 oracle window):
-    "q_ann_batch",
-    "q_ann_lsh",
-    "q_anti_join",
-    "q_asof_join",
-    "q_bm25",
-    "q_cdc_apply",
-    "q_corpus_curate",
-    "q_decontaminate",
-    "q_doc_fingerprint",
-    "q_embed_neardup",
-    "q_embed_quantize",
-    "q_exact_dedup",
-    "q_footer_census",
-    "q_group_safe_split",
-    "q_hypertable_quantiles",
-    "q_hypertable_rollup",
-    "q_knn_classify",
-    "q_lang_id",
-    "q_length_histogram",
-    "q_lsh_recall",
-    "q_minhash_dedup",
-    "q_multimodal_meta",
-    "q_multimodal_pipeline",
-    "q_ngram_jaccard",
-    "q_null_range_checks",
-    "q_perplexity_buckets",
-    "q_quality_score",
-    "q_quantile_census",
-    "q_range_join",
-    "q_ref_integrity",
-    "q_semi_join",
-    "q_simhash_dedup",
-    "q_similarity_topk",
-    "q_source_priority_dedup",
-    "q_stratified_sample",
-    "q_stream_cdc_apply",
-    "q_stream_dedupe",
-    "q_stream_heavy_hitters",
-    "q_stream_sessionize",
-    "q_text_ratios",
-    "q_tfidf",
-    "q_token_count",
-    "q_token_histogram",
-    "q_train_val_split",
-    "q_unicode_normalize",
-    "q_unigram_logprob",
-    "q_window_rank_metrics",
-    "q_window_running_sum",
-    "q_winnow_fingerprint",
 ]
 
-# Oracle-backed queries added AFTER the r14 window was fixed — zero
+# Rows-only query recorded this round: q_ann_ivf again (r14 verdict
+# task 9: its r14 record was the first on the on-disk-index read
+# path; the verdict asked for a repeat record on that path).
+# q_ann_recall's newest record is r13 — it must lead the r16 slot.
+_ROWS_ONLY_IN = [
+    "q_ann_ivf",
+]
+
+# OUT this round -- 75 oracle-backed queries: the 28 r13 greens the
+# 21-slot return could not fit (two rounds old at r15; they MUST lead
+# the r16 returns) plus the 47 queries recorded green in
+# CORRECTNESS_r14.json that are not re-recorded this round.
+_ROTATION_OUT = [
+    # newest green r13 -- first in line for r16:
+    "q_winnow_fingerprint",
+    "q_ann_batch",
+    "q_unicode_normalize",
+    "q_knn_classify",
+    "q_token_histogram",
+    "q_bm25",
+    "q_unigram_logprob",
+    "q_perplexity_buckets",
+    "q_tfidf",
+    "q_source_priority_dedup",
+    "q_train_val_split",
+    "q_length_histogram",
+    "q_decontaminate",
+    "q_group_safe_split",
+    "q_minhash_dedup",
+    "q_ngram_jaccard",
+    "q_simhash_dedup",
+    "q_ann_lsh",
+    "q_embed_quantize",
+    "q_embed_neardup",
+    "q_multimodal_meta",
+    "q_stream_dedupe",
+    "q_stream_sessionize",
+    "q_corpus_curate",
+    "q_multimodal_pipeline",
+    "q_stream_cdc_apply",
+    "q_lsh_recall",
+    "q_stream_heavy_hitters",
+    # newest green r14 (the r14 oracle window minus the two r14-born
+    # queries re-recorded in _ROTATION_FIRST):
+    "q_scan_project",
+    "q_filter_predicate",
+    "q_union_all",
+    "q_count_distinct",
+    "q_groupby_count_sum",
+    "q_groupby_rollup",
+    "q_top_duplicates",
+    "q_having_dups",
+    "q_sort_limit",
+    "q_case_when_check",
+    "q_pivot_wide",
+    "q_dedup_keep_first",
+    "q_inner_join",
+    "q_local_supplier_revenue",
+    "q_upsert_merge",
+    "q_window_rownum",
+    "q_string_clean",
+    "q_regex_validate",
+    "q_try_cast_json",
+    "q_split_part",
+    "q_profile_stats",
+    "q_volume_by_day",
+    "q_tumbling_window",
+    "q_sessionize_batch",
+    "q_scd2",
+    "q_snapshot_diff",
+    "q_trailing_window",
+    "q_funnel",
+    "q_retention",
+    "q_lang_stats",
+    "q_text_tokens",
+    "q_cube",
+    "q_intersect_except",
+    "q_bpe_pairs",
+    "q_source_divergence",
+    "q_split_leakage",
+    "q_neardup_scores",
+    "q_unigram_entropy",
+    "q_dup_matrix",
+    "q_global_rank",
+    "q_train_order",
+    "q_incremental_agg_merge",
+    "q_bloom_semi_join",
+    "q_winsorize",
+    "q_inverted_index",
+    "q_filter_funnel",
+    "q_unpivot_long",
+]
+
+# Oracle-backed queries added AFTER the r15 window was fixed — zero
 # records anywhere yet, so they cannot displace a window slot promised
 # above.  Placed directly after the rotated-out queries; they MUST
-# lead the r15 window (tests/test_doc_consistency.py exempts exactly
+# lead the r16 window (tests/test_doc_consistency.py exempts exactly
 # this list from the never-recorded-inside-window rule on that
 # promise).  Append here when adding a query mid-round.
-_ROTATION_NEW: list[str] = [
-    # added mid-r14 (oracle-backed from birth): the per-dimension
-    # embedding moment census and the vocabulary Zipf-curve census;
-    # MUST lead the r15 window:
-    "q_embed_stats",
-    "q_zipf_census",
-    # nDCG@10 retrieval-eval census (also mid-r14):
-    "q_eval_ndcg",
-]
+_ROTATION_NEW: list[str] = []
 
 
 def _apply_rotation() -> None:
