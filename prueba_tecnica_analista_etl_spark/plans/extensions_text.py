@@ -754,10 +754,42 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dcg_e6"),
     )
-    lc = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # The per-label corpus count is a vocabulary-sized census —
+    # staged per corpus (r15) and shipped as a map LITERAL, so the
+    # former third embeddings scan + broadcast join became a pure
+    # projection. NULL-label census rows are skipped (the former
+    # inner join could never match them), and a NULL true_label
+    # probe drops via the isNotNull filter exactly as the inner
+    # join dropped it.
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        census_artifact,
+    )
+
+    lc = census_artifact(
+        spark,
+        sf_dir,
+        "embed_label_census",
+        lambda: sorted(
+            (r["label"], r["n"])
+            for r in e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r["label"] is not None
+        ),
+    )
+    n_of_label = F.element_at(
+        F.create_map(
+            *[
+                c
+                for label, n in lc
+                for c in (F.lit(label), F.lit(n).cast("long"))
+            ]
+        ),
+        F.col("true_label"),
+    )
     pw_arr = F.array(*[F.lit(pw) for pw in NDCG_PW])
-    full = per.join(
-        F.broadcast(lc), per["true_label"] == lc["label"]
+    full = per.withColumn("n", n_of_label).filter(
+        F.col("n").isNotNull()
     ).select(
         "q_id",
         "true_label",
