@@ -1508,13 +1508,28 @@ def _embed_neardup_pairs_live(
     "tests on generated container bytes.",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
+    )
     from prueba_tecnica_analista_etl_spark.multimodal import (
         extract_metadata,
         fake_assets,
     )
 
-    assets = fake_assets(spread(_t(spark, sf_dir, "documents")))
-    meta = extract_metadata(assets)
+    # The metadata frame is corpus-deterministic exactly like the
+    # feature frame q_multimodal_pipeline has staged since r13 —
+    # extract-once-store-metadata (r15): the Arrow mapInPandas
+    # header-sniff runs once per corpus in the builder (pinned by
+    # test_staged_builders_keep_their_arrow_stages) and the declared
+    # census folds the stored frame.
+    meta = corpus_artifact(
+        spark,
+        sf_dir,
+        "multimodal_meta",
+        lambda: extract_metadata(
+            fake_assets(spread(_t(spark, sf_dir, "documents")))
+        ),
+    )
     return (
         meta.groupBy("media_type")
         .agg(

@@ -220,13 +220,13 @@ def test_no_row_python_udfs_anywhere_in_registry(spark, sf_dir):
     test_eager_builder_pipelines_stay_clean (its declared plan is a
     post-checkpoint census)."""
     ARROW_ALLOWED = {
-        "q_multimodal_meta",
         # q_ann_recall left this set in r11, q_simhash_dedup /
         # q_embed_neardup / q_multimodal_pipeline in r13,
         # q_ann_lsh / q_ann_ivf in r14 (lsh_sig_frame artifact; the
         # on-disk IVF index read path), and q_winnow_fingerprint /
-        # q_heavy_hitters in r15 (winnow_fps frame; staged MG
-        # candidate census): their Arrow stages (signature bit
+        # q_heavy_hitters / q_multimodal_meta in r15 (winnow_fps
+        # frame; staged MG candidate census; staged metadata frame —
+        # the features16 discipline): their Arrow stages (signature bit
         # census, sign projection, feature extraction, k-means
         # assignment, sliding-min walk, MG summaries) moved into
         # artifact BUILDERS, so the declared plan is artifact reads +
@@ -752,3 +752,10 @@ def test_staged_builders_keep_their_arrow_stages(spark, sf_dir):
     assert has_arrow(
         mg_candidates(ev, "event_type", 8)
     ), "MG candidate builder lost its mapInPandas summary stage"
+    from prueba_tecnica_analista_etl_spark.multimodal import (
+        extract_metadata,
+    )
+
+    assert has_arrow(
+        extract_metadata(fake_assets(docs))
+    ), "metadata builder lost its mapInPandas header-sniff stage"
