@@ -715,12 +715,25 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seccion3_sql.sql:85-210 staging audits; q_volume_by_day) from
     per-day counts to overlapping-window distincts.
     """
-    ev = _t(spark, sf_dir, "events")
-    ud = (
-        ev.filter(F.col("user_id").isNotNull())
-        .select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
+    # The deduplicated (day, user) activity frame is the shared
+    # feature every rolling-distinct window reads — staged once per
+    # corpus (r15, the doc_term_tf discipline): O(users × active
+    # days) rows, strictly smaller than events. The per-call work
+    # (×7 anchor explode, day-grid join, per-anchor distinct count)
+    # stays live.
+    from prueba_tecnica_analista_etl_spark.artifacts import (
+        corpus_artifact,
     )
+
+    def _build_ud() -> DataFrame:
+        return (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select(F.to_date("ts").alias("day"), "user_id")
+            .distinct()
+        )
+
+    ud = corpus_artifact(spark, sf_dir, "user_day_activity", _build_ud)
     days = ud.select("day").distinct().withColumnRenamed("day", "anchor")
     expanded = ud.select(
         F.explode(
